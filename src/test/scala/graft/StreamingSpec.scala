@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.StreamOps
+
+/** True Structured-Streaming semantics: watermark + late-data drop and the
+  * timestamp-repair rules, via MemoryStream (no broker needed).
+  * Reference semantics: kafka_to_metrics.py:181-188 (repair), :204-214
+  * (45s watermark), SURVEY.md §7.4.3-7.4.4. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed count drops events later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("event_time", "city_id")
+      .withWatermark("event_time", "45 seconds")
+      .groupBy(window($"event_time", "1 minute"), $"city_id")
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // batch 1: two on-time events at 10:00, plus one at 10:05 that pushes
+      // the watermark to 10:04:15 once processed
+      mem.addData((ts("2024-01-01 10:00:10"), "A"), (ts("2024-01-01 10:00:20"), "A"),
+        (ts("2024-01-01 10:05:00"), "B"))
+      q.processAllAvailable()
+      // batch 2: a late event for the (closed) 10:00 window -> must be dropped
+      mem.addData((ts("2024-01-01 10:00:30"), "A"))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to close and emit all windows
+      mem.addData((ts("2024-01-01 10:30:00"), "C"))
+      q.processAllAvailable()
+      val out = spark.table("wm_out")
+        .select(date_format($"window.start", "HH:mm").as("w"), $"city_id", $"cnt")
+        .as[(String, String, Long)].collect().toSet
+      assert(out.contains(("10:00", "A", 2L)), s"late event must not bump the count: $out")
+      assert(!out.contains(("10:00", "A", 3L)))
+    } finally q.stop()
+  }
+
+  test("repairTimestamps in a streaming plan: null event_ts falls back to kafka_ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val parsed = StreamOps.repairTimestamps(
+      mem.toDF().toDF("event_ts", "ingest_ts", "kafka_ts"))
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("rep_out").start()
+    try {
+      mem.addData(
+        (null, "2024-01-01 10:00:05", ts("2024-01-01 10:00:00")),          // null event_ts
+        ("2024-01-01 09:59:00", "2024-01-01 09:59:30", ts("2024-01-01 10:00:00"))) // ingest < kafka
+      q.processAllAvailable()
+      val rows = spark.table("rep_out")
+        .select($"event_time".cast("string"), $"ingest_time".cast("string"))
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "2024-01-01 10:00:05"),
+        ("2024-01-01 09:59:00", "2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
+  test("update-mode running totals over a stream (A12, unbounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val agg = StreamOps.runningTotals(mem.toDF().toDF("city_id", "spend"),
+      Seq($"city_id"), $"spend")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("tot_out").start()
+    try {
+      mem.addData(("A", 10.0), ("A", 5.0), ("B", 1.0))
+      q.processAllAvailable()
+      mem.addData(("A", 1.0))
+      q.processAllAvailable()
+      // update mode re-emits the changed key; latest row per key wins
+      val arr = spark.table("tot_out").as[(String, Long, Double)].collect()
+      assert(arr.filter(_._1 == "A").map(_._2).max == 3L)
+      assert(arr.filter(_._1 == "A").map(_._3).max == 16.0)
+    } finally q.stop()
+  }
+}
