@@ -59,7 +59,46 @@ object SparkEntry {
 
   // ---- queries -------------------------------------------------------------
 
+  private val streamQueryId = new java.util.concurrent.atomic.AtomicInteger()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_source_roundtrip" -> ((s, dir) => {
+      // A1+A2 end-to-end: typed rows -> Kafka frame shape (JSON value,
+      // string key, ts) -> parseJson back to typed columns.
+      val ev = events(s, dir).select("event_id", "event_type", "user_id", "value")
+      val kafkaFrame = graft.sources.EventSources.fromBatch(
+        ev, keyExpr = "event_id", tsExpr = "timestamp'2024-01-01 00:00:00'")
+      StreamOps.parseJson(kafkaFrame,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id LONG, event_type STRING, user_id LONG, value DOUBLE"))
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    "a05_watermark_stream" -> ((s, dir) => {
+      // True Structured Streaming through the correctness gate: file source
+      // -> watermark -> 1-min windowed count per type -> memory sink
+      // (Trigger.AvailableNow, update mode emits final per-window values).
+      // FileStreamSource requires a directory; stage the single-file table
+      // behind a symlink in a temp dir.
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("a05_events")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "45 seconds")
+      val agg = StreamOps.windowKeyedCount(stream, "ts", "1 minute", Seq(col("event_type")))
+      val qn = s"a05_out_${streamQueryId.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("update").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(wStart(), col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
     "a02_json_decode" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_id"),
@@ -207,6 +246,10 @@ object SparkEntry {
   // ---- oracle SQL ----------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "a05_watermark_stream" ->
+      s"""SELECT ${minuteSql("ts")} AS w_start, event_type, COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "a02_json_decode" ->
       """SELECT event_id, TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

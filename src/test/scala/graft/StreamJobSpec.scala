@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import scala.collection.mutable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{StreamJob, StreamJobConfig}
+
+/** End-to-end: JSON events through parse → repair → watermark → agg →
+  * foreachBatch → exposition-format push, no Kafka/HTTP involved. */
+class StreamJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pushed = mutable.Buffer[String]()
+  private lazy val job = new StreamJob(spark,
+    StreamJobConfig(trigger = None,
+      checkpointRoot = java.nio.file.Files.createTempDirectory("chk").toString + "/chk",
+      debugStream = false),
+    body => pushed.synchronized { pushed += body })
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def bookingJson(cityId: String, cityName: String, adr: Double,
+                          checkin: String, eventTs: String): String =
+    s"""{"schema_version":"v1","event_type":"booking_created","event_ts":"$eventTs",
+       |"ingest_ts":"$eventTs","booking_id":"BKG-1","hotel_id":"h1","city_id":"$cityId",
+       |"city_name":"$cityName","checkin_date":"$checkin","nights":2,"guests":2,"rooms":1,
+       |"channel":"ota","lead_time_days":5,"adr_proxy":$adr,"currency":"EUR",
+       |"is_refundable":true,"status":"active","cancel_ts":null,
+       |"flight_anchor":{"predicted_inbound":3}}""".stripMargin.replaceAll("\n", "")
+
+  test("booking monitor + top-cities + geomap queries emit exposition metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val raw = mem.toDF().toDF("key", "value", "kafka_ts")
+    // dummy raw frames for the other two streams (no data needed here)
+    val empty = MemoryStream[(String, String, Timestamp)].toDF()
+      .toDF("key", "value", "kafka_ts")
+    val plans = job.plans(empty, empty, raw)
+
+    val names = Seq("bookings_cnt", "top_cities_minute", "cities_geomap")
+    val qs = names.map { n =>
+      val (df, mode, fn) = plans(n)
+      job.startQuery(df, n, mode, fn)
+    }
+    try {
+      mem.addData(
+        ("3165524|2024-07-01", bookingJson("3165524", "Roma", 120.0, "2024-07-01", "2024-06-20T10:00:00Z"), ts("2024-06-20 10:00:01")),
+        ("3165524|2024-07-01", bookingJson("3165524", "Roma", 80.0, "2024-07-01", "2024-06-20T10:00:05Z"), ts("2024-06-20 10:00:06")),
+        ("9999999|2024-07-02", bookingJson("9999999", "Nowhere", 50.0, "2024-07-02", "2024-06-20T10:00:10Z"), ts("2024-06-20 10:00:11")))
+      qs.foreach(_.processAllAvailable())
+      val all = pushed.synchronized(pushed.mkString("\n"))
+      // monitor: 3 bookings in the 10:00 minute, avg adr (120+80+50)/3
+      assert(all.contains("tourism_booking_msgs_per_min 3.0"), all)
+      assert(all.contains("tourism_booking_adr_avg 83.33333333333333"), all)
+      // top cities: Roma has 2 bookings with period label
+      assert(all.contains("""tourism_city_bookings_top{city_id="3165524",period="1m",city_name="Roma"} 2.0"""), all)
+      // geomap: Roma resolved via broadcast lookup; unknown city filtered out
+      assert(all.contains("""tourism_city_bookings_geo{city_id="3165524",city_name="Roma",lat="41.90280",lon="12.49640"} 2.0"""), all)
+      assert(!all.contains("9999999") || !all.contains("tourism_city_bookings_geo{city_id=\"9999999\""), all)
+    } finally qs.foreach(_.stop())
+  }
+
+  test("season rollup from event-time branch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val raw = mem.toDF().toDF("key", "value", "kafka_ts")
+    val empty = MemoryStream[(String, String, Timestamp)].toDF()
+      .toDF("key", "value", "kafka_ts")
+    val (df, mode, fn) = job.plans(empty, empty, raw)("season_roll_365")
+    val q = job.startQuery(df, "season_roll_365_t", mode, fn)
+    try {
+      pushed.synchronized(pushed.clear())
+      mem.addData(
+        ("a", bookingJson("1", "A", 100.0, "2024-07-15", "2024-07-01T00:00:00Z"), ts("2024-07-01 00:00:01")),
+        ("b", bookingJson("2", "B", 100.0, "2024-01-15", "2024-07-01T00:00:10Z"), ts("2024-07-01 00:00:11")))
+      q.processAllAvailable()
+      val all = pushed.synchronized(pushed.mkString("\n"))
+      assert(all.contains("""tourism_season_bookings_rolling{season="summer"} 1.0"""), all)
+      assert(all.contains("""tourism_season_bookings_rolling{season="winter"} 1.0"""), all)
+      // spend = adr*rooms*nights = 100*1*2
+      assert(all.contains("""tourism_season_spend_rolling_eur{season="summer"} 200.0"""), all)
+    } finally q.stop()
+  }
+
+  test("prometheus renderer escapes labels and renders bare metrics") {
+    import graft.metrics.Prometheus
+    val body = Prometheus.render(Seq(
+      ("m_total", Nil, 5.0),
+      ("m_city", Seq("name" -> "it\"quote\\slash"), 1.5)))
+    assert(body ==
+      "m_total 5.0\nm_city{name=\"it\\\"quote\\\\slash\"} 1.5\n")
+  }
+}
