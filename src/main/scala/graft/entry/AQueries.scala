@@ -1,0 +1,477 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Exprs._
+import graft.operators.{SeasonScore, StreamOps}
+import QueryHelpers._
+
+/** §2A streaming-operator queries (SURVEY.md §2A), batch-mode twins of the
+  * graft.operators/graft.streaming pipelines over the driver testdata, each
+  * with a DuckDB oracle. Key prefix a{NN} maps to the §2A operator id.
+  */
+object AQueries {
+
+  private val streamQueryId = new java.util.concurrent.atomic.AtomicInteger()
+
+  val queries: Map[String, Q] = Map(
+    "a01_source_roundtrip" -> ((s, dir) => {
+      // A1+A2 end-to-end: typed rows -> Kafka frame shape (JSON value,
+      // string key, ts) -> parseJson back to typed columns.
+      val ev = events(s, dir).select("event_id", "event_type", "user_id", "value")
+      val kafkaFrame = graft.sources.EventSources.fromBatch(
+        ev, keyExpr = "event_id", tsExpr = "timestamp'2024-01-01 00:00:00'")
+      StreamOps.parseJson(kafkaFrame,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id LONG, event_type STRING, user_id LONG, value DOUBLE"))
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    "a05_watermark_stream" -> ((s, dir) => {
+      // True Structured Streaming through the correctness gate: file source
+      // -> watermark -> 1-min windowed count per type -> memory sink
+      // (Trigger.AvailableNow, update mode emits final per-window values).
+      // FileStreamSource requires a directory; stage the single-file table
+      // behind a symlink in a temp dir.
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("a05_events")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "45 seconds")
+      val agg = StreamOps.windowKeyedCount(stream, "ts", "1 minute", Seq(col("event_type")))
+      val qn = s"a05_out_${streamQueryId.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("update").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(wStart(), col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "a02_json_decode" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), "k INT", new java.util.HashMap[String, String]())
+            .getField("k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    "a03_ts_repair" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("kafka_ts", col("ts") + expr("INTERVAL 3 SECONDS"))
+        .withColumn("event_ts",
+          when(col("event_type") === "error", lit(null).cast("timestamp")).otherwise(col("ts")))
+        .withColumn("ingest_ts",
+          when(col("value") < 100, col("ts") - expr("INTERVAL 10 SECONDS"))
+            .otherwise(col("ts") + expr("INTERVAL 10 SECONDS")))
+      StreamOps.repairTimestamps(ev)
+        .select(col("event_id"),
+          unix_timestamp(col("event_time")).as("event_epoch"),
+          unix_timestamp(col("ingest_time")).as("ingest_epoch"))
+        .orderBy("event_id")
+    }),
+
+    "a04_enrichment" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("event_time", col("ts"))
+        .withColumn("adr_proxy", col("value"))
+        .withColumn("rooms",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(pmod(col("event_id"), lit(3)) + 1).cast("int"))
+        .withColumn("nights",
+          when(pmod(col("event_id"), lit(11)) === 0, lit(null))
+            .otherwise(pmod(col("event_id"), lit(4)) + 1).cast("int"))
+        .withColumn("checkin_date", date_format(col("ts"), "yyyy-MM-dd"))
+      StreamOps.enrichBooking(ev)
+        .select(col("event_id"), rnd(col("spend_eur")).as("spend_eur"),
+          col("arrival_day"), col("event_day"))
+        .orderBy("event_id")
+    }),
+
+    "a06_rename" -> ((s, dir) => {
+      // A6: flights branch renames destination_city_id -> city_id before the
+      // event-time analytics (kafka_to_metrics.py:212-213).
+      events(s, dir)
+        .select(col("user_id").as("destination_city_id"), col("value"))
+        .withColumnRenamed("destination_city_id", "city_id")
+        .groupBy("city_id").agg(count(lit(1)).as("n"))
+        .orderBy("city_id")
+    }),
+
+    "a07_global_count" -> ((s, dir) => StreamOps.globalCount(events(s, dir), "n")),
+
+    "a08_minute_counts" -> ((s, dir) => {
+      StreamOps.windowCountAvg(events(s, dir), "ts", "1 minute", "value")
+        .select(wStart(), col("msgs"), rnd(col("value_avg")).as("value_avg"))
+        .orderBy("w_start")
+    }),
+
+    "a09_conditional_agg" -> ((s, dir) => {
+      StreamOps.conditionalAgg(events(s, dir), "ts", "1 minute",
+          col("event_type") === "error",
+          when(col("event_type") === "click", col("value")))
+        .select(wStart(), col("total"), col("cancelled"),
+          rnd(col("delay_avg")).as("delay_avg"))
+        .orderBy("w_start")
+    }),
+
+    "a10_keyed_window_counts" -> ((s, dir) => {
+      StreamOps.windowKeyedCount(events(s, dir), "ts", "1 minute", Seq(col("event_type")))
+        .select(wStart(), col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "a11_filter_day" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("event_day", to_date(col("ts")))
+      StreamOps.filterOnDay(ev, "event_day", to_date(lit("2024-01-15")))
+        .select(col("event_id"), col("user_id"), col("event_day"))
+        .orderBy("event_id")
+    }),
+
+    "a12_running_totals" -> ((s, dir) => {
+      StreamOps.runningTotals(events(s, dir), Seq(col("user_id")), dec(col("value")))
+        .select(col("user_id"), col("arrivals"), decOut(col("spend_sum")).as("spend_sum"))
+        .orderBy("user_id")
+    }),
+
+    "a13_long_windows" -> ((s, dir) => {
+      StreamOps.longWindowCount(events(s, dir), "ts", "30 days", Seq(col("user_id")))
+        .select(wStart(), col("user_id"), col("cnt"))
+        .orderBy("w_start", "user_id")
+    }),
+
+    "a14_season_case" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(seasonOf(col("o_orderdate")).as("season"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("season")
+    }),
+
+    "a15_month_rollup" -> ((s, dir) => {
+      StreamOps.monthRollup(events(s, dir), "ts", "365 days", to_date(col("ts")),
+          dec(col("value")))
+        .select(wStart(), col("arr_month"), col("bookings"),
+          decOut(col("spend_sum")).as("spend_sum"))
+        .orderBy("w_start", "arr_month")
+    }),
+
+    "a16_season_rollup" -> ((s, dir) => {
+      StreamOps.seasonRollup(orders(s, dir), "o_orderdate", "365 days",
+          col("o_orderdate"), dec(col("o_totalprice")))
+        .select(wStart(), col("season"), col("bookings"),
+          decOut(col("spend_sum")).as("spend_sum"))
+        .orderBy("w_start", "season")
+    }),
+
+    "a17_broadcast_join" -> ((s, dir) => {
+      val dim = customer(s, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      StreamOps.broadcastLookupJoin(orders(s, dir), dim, Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), decOut(sum(dec(col("o_totalprice")))).as("spend_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "a18_multikey_join" -> ((s, dir) => {
+      // A18: left join of two windowed aggregates on the (window, city_id,
+      // season) composite incl. the window struct (kafka_to_metrics.py:451-455).
+      val ev = events(s, dir)
+      val b = rnd6Cols(SeasonScore.bookingStats(bookingsAnalog(ev), "event_time", "30 days"),
+        Seq("adr_avg"))
+      val w = rnd6Cols(SeasonScore.weatherStats(weatherAnalog(ev), "event_time", "30 days"),
+        Seq("t_avg", "precip_avg"))
+      StreamOps.multiKeyLeftJoin(b, w, Seq("window", "city_id", "season"))
+        .select(wStart(), col("city_id"), col("season"), col("bookings"),
+          col("adr_avg"), col("t_avg"), col("precip_avg"))
+        .orderBy("w_start", "city_id", "season")
+    }),
+
+    "a19_seasonal_stats" -> ((s, dir) => {
+      // A19: per-(window, city, season) flight stats with guarded cancel_rate
+      // (kafka_to_metrics.py:424-432).
+      val f = rnd6Cols(
+        SeasonScore.flightStats(flightsAnalog(events(s, dir)), "event_time", "30 days"),
+        Seq("delay_avg", "cancel_rate"))
+      f.select(wStart(), col("city_id"), col("season"), col("flights_total"),
+          col("flights_cancelled"), rnd(col("delay_avg")).as("delay_avg"),
+          rnd(col("cancel_rate")).as("cancel_rate"))
+        .orderBy("w_start", "city_id", "season")
+    }),
+
+    "a20_percentiles" -> ((s, dir) => {
+      // A20: p10/p90 of 5 per-season stats per (window, city) — exact
+      // percentile for the oracle (quantile_cont twin); production path is
+      // percentile_approx (StreamOps.pct, benched separately).
+      val p = SeasonScore.cityPercentiles(csJoin(s, dir), exact = true)
+      val cols = Seq("adr_p10", "adr_p90", "book_p10", "book_p90", "rain_p10",
+        "rain_p90", "cancel_p10", "cancel_p90", "delay_p10", "delay_p90")
+      // double-round (6dp then 4dp) to mirror the oracle CTE, which rounds
+      // percentiles to 6dp before the 4dp output rounding
+      p.select(wStart() +: col("city_id") +: cols.map(c => rnd(rnd6(col(c))).as(c)): _*)
+        .orderBy("w_start", "city_id")
+    }),
+
+    "a22_minmax_norm" -> ((s, dir) => {
+      // A22: min-max normalization with degenerate-range guard
+      // (kafka_to_metrics.py:478-481), bounds from a 1-row global aggregate
+      // broadcast onto the rows (no collect).
+      val ev = events(s, dir)
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .select(col("event_id"),
+          rnd(minmaxNorm(col("value"), col("lo"), col("hi"))).as("value_norm"))
+        .orderBy("event_id")
+    }),
+
+    "a23_season_score" -> ((s, dir) => {
+      seasonScoreFrame(s, dir, exact = true)
+        .select(wStart(), col("city_id"), col("season"), col("city_name"),
+          rnd(col("price_idx")).as("price_idx"),
+          rnd(col("weather_idx")).as("weather_idx"),
+          rnd(col("crowd_idx")).as("crowd_idx"),
+          rnd(col("reliab_idx")).as("reliab_idx"),
+          rnd(col("season_score")).as("season_score"))
+        .orderBy("w_start", "city_id", "season")
+    }),
+
+    "a24_topk" -> ((s, dir) => {
+      val totals = StreamOps.runningTotals(events(s, dir), Seq(col("user_id")), dec(col("value")))
+      StreamOps.topK(totals, col("spend_sum"), 10, col("user_id"))
+        .select(col("user_id"), col("arrivals"), decOut(col("spend_sum")).as("spend_sum"))
+    }),
+
+    "a25_global_sum" -> ((s, dir) => {
+      StreamOps.globalSum(events(s, dir), dec(col("value")), "value_sum")
+        .select(decOut(col("value_sum")).as("value_sum"))
+    }),
+
+    "a26_null_filter" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("g",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      StreamOps.notNullFilter(ev, Seq("g"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id")
+    })
+  )
+
+  // ---- shared pipeline fragments -------------------------------------------
+
+  private def rnd6Cols(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, rnd6(col(c))))
+
+  /** cs_join (stats joined on window/city/season) with 6-decimal stat
+    * rounding so oracle CTEs see bit-identical doubles. */
+  private def csJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val b = rnd6Cols(SeasonScore.bookingStats(bookingsAnalog(ev), "event_time", "30 days"),
+      Seq("adr_avg"))
+    val w = rnd6Cols(SeasonScore.weatherStats(weatherAnalog(ev), "event_time", "30 days"),
+      Seq("t_avg", "precip_avg"))
+    val f = rnd6Cols(SeasonScore.flightStats(flightsAnalog(ev), "event_time", "30 days"),
+      Seq("delay_avg", "cancel_rate"))
+    SeasonScore.joinStats(b, w, f)
+  }
+
+  def seasonScoreFrame(spark: SparkSession, dir: String, exact: Boolean): DataFrame = {
+    val ev = events(spark, dir)
+    SeasonScore(bookingsAnalog(ev), weatherAnalog(ev), flightsAnalog(ev),
+      "30 days", bookingTs = "event_time", exact = exact,
+      roundStats = if (exact) Some(6) else None)
+  }
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  /** Season-score CTE preamble shared by a18/a19/a20/a23: the events-table
+    * analogs (Tables.bookingsAnalog et al.) re-expressed in DuckDB SQL with
+    * the same 6-decimal stat rounding. */
+  private lazy val csCtes: String = {
+    val w30 = wStartSql("ts", 2592000L)
+    s"""WITH b AS (
+       |  SELECT $w30 AS w_start, CAST(user_id AS VARCHAR) AS city_id,
+       |         'city_' || CAST(user_id AS VARCHAR) AS city_name, $seasonAnalogSql AS season, value AS adr_proxy
+       |  FROM events WHERE event_type = 'purchase'),
+       |bcs AS (
+       |  SELECT w_start, city_id, season, city_name, COUNT(*) AS bookings, round((AVG(adr_proxy)) * 1000000) / 1000000 AS adr_avg
+       |  FROM b GROUP BY 1, 2, 3, 4),
+       |w AS (
+       |  SELECT $w30 AS w_start, CAST(user_id AS VARCHAR) AS city_id, $seasonAnalogSql AS season,
+       |         value / 10.0 AS t_min, value / 5.0 AS t_max, greatest(value - 150.0, 0.0) / 10.0 AS precip_mm
+       |  FROM events WHERE event_type = 'view'),
+       |wcs AS (
+       |  SELECT w_start, city_id, season, round((AVG((t_max + t_min) / 2.0)) * 1000000) / 1000000 AS t_avg,
+       |         round((AVG(precip_mm)) * 1000000) / 1000000 AS precip_avg
+       |  FROM w GROUP BY 1, 2, 3),
+       |f AS (
+       |  SELECT $w30 AS w_start, CAST(user_id AS VARCHAR) AS city_id, $seasonAnalogSql AS season,
+       |         CASE WHEN event_type = 'error' THEN 'cancelled' ELSE 'arrived' END AS status,
+       |         CASE WHEN event_type = 'error' THEN NULL ELSE CAST(floor(value) AS INT) END AS delay_min
+       |  FROM events WHERE event_type IN ('click', 'error')),
+       |fcs AS (
+       |  SELECT w_start, city_id, season, COUNT(*) AS flights_total,
+       |         CAST(SUM(CASE WHEN status = 'cancelled' THEN 1 ELSE 0 END) AS BIGINT) AS flights_cancelled,
+       |         round((AVG(delay_min)) * 1000000) / 1000000 AS delay_avg
+       |  FROM f GROUP BY 1, 2, 3),
+       |fcs2 AS (
+       |  SELECT *, round((CASE WHEN flights_total > 0 THEN flights_cancelled * 1.0 / flights_total ELSE 0.0 END) * 1000000) / 1000000 AS cancel_rate
+       |  FROM fcs),
+       |cs AS (
+       |  SELECT bcs.w_start, bcs.city_id, bcs.season, bcs.city_name, bcs.bookings, bcs.adr_avg,
+       |         wcs.t_avg, wcs.precip_avg, fcs2.cancel_rate, fcs2.delay_avg
+       |  FROM bcs
+       |  LEFT JOIN wcs ON bcs.w_start = wcs.w_start AND bcs.city_id = wcs.city_id AND bcs.season = wcs.season
+       |  LEFT JOIN fcs2 ON bcs.w_start = fcs2.w_start AND bcs.city_id = fcs2.city_id AND bcs.season = fcs2.season),
+       |p AS (
+       |  SELECT w_start, city_id,
+       |         round((quantile_cont(adr_avg, 0.10)) * 1000000) / 1000000 AS adr_p10, round((quantile_cont(adr_avg, 0.90)) * 1000000) / 1000000 AS adr_p90,
+       |         round((quantile_cont(bookings, 0.10)) * 1000000) / 1000000 AS book_p10, round((quantile_cont(bookings, 0.90)) * 1000000) / 1000000 AS book_p90,
+       |         round((quantile_cont(precip_avg, 0.10)) * 1000000) / 1000000 AS rain_p10, round((quantile_cont(precip_avg, 0.90)) * 1000000) / 1000000 AS rain_p90,
+       |         round((quantile_cont(cancel_rate, 0.10)) * 1000000) / 1000000 AS cancel_p10, round((quantile_cont(cancel_rate, 0.90)) * 1000000) / 1000000 AS cancel_p90,
+       |         round((quantile_cont(delay_avg, 0.10)) * 1000000) / 1000000 AS delay_p10, round((quantile_cont(delay_avg, 0.90)) * 1000000) / 1000000 AS delay_p90
+       |  FROM cs GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB twin of SeasonScore (30-day windows, exact percentiles). */
+  private lazy val seasonScoreOracle: String = {
+    val norm = (x: String, lo: String, hi: String) =>
+      s"(CASE WHEN ($hi - $lo) <= 1e-9 THEN 0.5 ELSE least(greatest(($x - $lo) / ($hi - $lo), 0.0), 1.0) END)"
+    val priceIdx = s"(1.0 - ${norm("adr_avg", "adr_p10", "adr_p90")})"
+    val crowdIdx = s"(1.0 - ${norm("bookings", "book_p10", "book_p90")})"
+    val tempPenalty = "least(abs(COALESCE(t_avg, 21.0) - 21.0) / 12.0, 1.0)"
+    val rainNorm = norm("COALESCE(precip_avg, 0.0)", "rain_p10", "rain_p90")
+    val weatherIdx = s"(1.0 - (0.6 * $tempPenalty + 0.4 * $rainNorm))"
+    val cancelNorm = norm("COALESCE(cancel_rate, 0.0)", "cancel_p10", "cancel_p90")
+    val delayNorm = norm("COALESCE(delay_avg, 0.0)", "delay_p10", "delay_p90")
+    val reliabIdx = s"(1.0 - (0.7 * $cancelNorm + 0.3 * $delayNorm))"
+    val score = s"(100.0 * (0.40 * $priceIdx + 0.35 * $weatherIdx + 0.15 * $crowdIdx + 0.10 * $reliabIdx))"
+    s"""$csCtes,
+       |j AS (
+       |  SELECT cs.*, p.adr_p10, p.adr_p90, p.book_p10, p.book_p90, p.rain_p10, p.rain_p90,
+       |         p.cancel_p10, p.cancel_p90, p.delay_p10, p.delay_p90
+       |  FROM cs LEFT JOIN p ON cs.w_start = p.w_start AND cs.city_id = p.city_id)
+       |SELECT w_start, city_id, season, city_name,
+       |  ${rndSql(priceIdx)} AS price_idx, ${rndSql(weatherIdx)} AS weather_idx,
+       |  ${rndSql(crowdIdx)} AS crowd_idx, ${rndSql(reliabIdx)} AS reliab_idx,
+       |  ${rndSql(score)} AS season_score
+       |FROM j ORDER BY w_start, city_id, season""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "a05_watermark_stream" ->
+      s"""SELECT ${minuteSql("ts")} AS w_start, event_type, COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a02_json_decode" ->
+      """SELECT event_id, TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a03_ts_repair" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(CASE WHEN event_type = 'error' THEN ts + INTERVAL 3 SECOND ELSE ts END)) AS BIGINT) AS event_epoch,
+        |  CAST(floor(epoch(CASE WHEN value < 100 THEN ts + INTERVAL 3 SECOND ELSE ts + INTERVAL 10 SECOND END)) AS BIGINT) AS ingest_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a04_enrichment" ->
+      """SELECT event_id,
+        |  round((value * COALESCE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 3 + 1 END, 1)
+        |              * COALESCE(CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_id % 4 + 1 END, 1)) * 10000) / 10000 AS spend_eur,
+        |  CAST(ts AS DATE) AS arrival_day, CAST(ts AS DATE) AS event_day
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a06_rename" ->
+      """SELECT user_id AS city_id, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a07_global_count" -> "SELECT COUNT(*) AS n FROM events",
+
+    "a08_minute_counts" ->
+      s"""SELECT ${minuteSql("ts")} AS w_start, COUNT(*) AS msgs, ${rndSql("AVG(value)")} AS value_avg
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a09_conditional_agg" ->
+      s"""SELECT ${minuteSql("ts")} AS w_start, COUNT(*) AS total,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cancelled,
+         |  ${rndSql("AVG(CASE WHEN event_type = 'click' THEN value END)")} AS delay_avg
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a10_keyed_window_counts" ->
+      s"""SELECT ${minuteSql("ts")} AS w_start, event_type, COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a11_filter_day" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS event_day
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' ORDER BY event_id""".stripMargin,
+
+    "a12_running_totals" ->
+      s"""SELECT user_id, COUNT(*) AS arrivals, ${decSumSql("value")} AS spend_sum
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a13_long_windows" ->
+      s"""SELECT ${wStartSql("ts", 2592000L)} AS w_start, user_id, COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a14_season_case" ->
+      s"""SELECT $seasonOfSql AS season, COUNT(*) AS n
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a15_month_rollup" ->
+      s"""SELECT ${wStartSql("ts", 31536000L)} AS w_start, month(ts) AS arr_month,
+         |  COUNT(*) AS bookings, ${decSumSql("value")} AS spend_sum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a16_season_rollup" ->
+      s"""SELECT ${wStartSql("o_orderdate", 31536000L)} AS w_start,
+         |  $seasonOfSql AS season,
+         |  COUNT(*) AS bookings, ${decSumSql("o_totalprice")} AS spend_sum
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a17_broadcast_join" ->
+      s"""SELECT c.c_mktsegment, COUNT(*) AS n, ${decSumSql("o.o_totalprice")} AS spend_sum
+         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a18_multikey_join" ->
+      s"""$csCtes
+         |SELECT bcs.w_start, bcs.city_id, bcs.season, bcs.bookings, bcs.adr_avg,
+         |       wcs.t_avg, wcs.precip_avg
+         |FROM bcs
+         |LEFT JOIN wcs ON bcs.w_start = wcs.w_start AND bcs.city_id = wcs.city_id AND bcs.season = wcs.season
+         |ORDER BY bcs.w_start, bcs.city_id, bcs.season""".stripMargin,
+
+    "a19_seasonal_stats" ->
+      s"""$csCtes
+         |SELECT w_start, city_id, season, flights_total, flights_cancelled,
+         |  ${rndSql("delay_avg")} AS delay_avg, ${rndSql("cancel_rate")} AS cancel_rate
+         |FROM fcs2 ORDER BY w_start, city_id, season""".stripMargin,
+
+    "a20_percentiles" ->
+      s"""$csCtes
+         |SELECT w_start, city_id,
+         |  ${rndSql("adr_p10")} AS adr_p10, ${rndSql("adr_p90")} AS adr_p90,
+         |  ${rndSql("book_p10")} AS book_p10, ${rndSql("book_p90")} AS book_p90,
+         |  ${rndSql("rain_p10")} AS rain_p10, ${rndSql("rain_p90")} AS rain_p90,
+         |  ${rndSql("cancel_p10")} AS cancel_p10, ${rndSql("cancel_p90")} AS cancel_p90,
+         |  ${rndSql("delay_p10")} AS delay_p10, ${rndSql("delay_p90")} AS delay_p90
+         |FROM p ORDER BY w_start, city_id""".stripMargin,
+
+    "a22_minmax_norm" ->
+      s"""SELECT event_id,
+         |  ${rndSql("CASE WHEN (hi - lo) <= 1e-9 THEN 0.5 ELSE least(greatest((value - lo) / (hi - lo), 0.0), 1.0) END")} AS value_norm
+         |FROM events, (SELECT min(value) AS lo, max(value) AS hi FROM events)
+         |ORDER BY event_id""".stripMargin,
+
+    "a23_season_score" -> seasonScoreOracle,
+
+    "a24_topk" ->
+      s"""SELECT user_id, COUNT(*) AS arrivals, ${decSumSql("value")} AS spend_sum
+         |FROM events GROUP BY 1 ORDER BY spend_sum DESC, user_id LIMIT 10""".stripMargin,
+
+    "a25_global_sum" -> s"""SELECT ${decSumSql("value")} AS value_sum FROM events""",
+
+    "a26_null_filter" ->
+      """SELECT user_id, COUNT(*) AS cnt FROM events
+        |WHERE event_type <> 'error' GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,54 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the SparkEntry query registry and its DuckDB oracle
+  * twins. Conventions for oracle parity (the driver sorts columns by name and
+  * hash-compares values):
+  *  - window struct starts are emitted as epoch seconds BIGINT (`w_start`);
+  *  - double outputs are rounded via scale-multiply round(x*10^n)/10^n so the
+  *    oracle engine rounds the same double identically (see [[rnd]]);
+  *  - sums over money-like doubles run through DECIMAL(18,4) so both engines
+  *    sum exactly, output DECIMAL(38,6);
+  *  - every query orders by its key columns.
+  */
+object QueryHelpers {
+
+  /** Query signature of the driver contract. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def wStart(c: String = "window"): Column =
+    unix_timestamp(col(s"$c.start")).as("w_start")
+
+  def dec(c: Column): Column = c.cast("decimal(18,4)")
+  def decOut(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** 4-decimal rounding via scale-multiply, NOT round(x, 4): Spark rounds the
+    * exact binary expansion of the double while DuckDB multiplies by 1e4
+    * first, so the two disagree when x*1e4 lands exactly on .5. Both engines
+    * then round the same double identically. */
+  def rnd(c: Column): Column = round(c * lit(10000.0)) / lit(10000.0)
+  def rnd3(c: Column): Column = round(c * lit(1000.0)) / lit(1000.0)
+  def rnd6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
+
+  // ---- DuckDB SQL fragments ------------------------------------------------
+
+  def rndSql(e: String): String = s"round(($e) * 10000) / 10000"
+  def rnd3Sql(e: String): String = s"round(($e) * 1000) / 1000"
+  def wStartSql(tsExpr: String, seconds: Long): String =
+    s"CAST(floor(epoch($tsExpr) / $seconds) * $seconds AS BIGINT)"
+  def minuteSql(tsExpr: String): String =
+    s"CAST(floor(epoch(date_trunc('minute', $tsExpr))) AS BIGINT)"
+  def decSumSql(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DECIMAL(38,6))"
+
+  val seasonAnalogSql: String =
+    "CASE (day(ts) % 4) WHEN 0 THEN 'winter' WHEN 1 THEN 'spring' WHEN 2 THEN 'summer' ELSE 'autumn' END"
+
+  val seasonOfSql: String =
+    """CASE WHEN month(o_orderdate) IN (12, 1, 2) THEN 'winter'
+      |     WHEN month(o_orderdate) IN (3, 4, 5) THEN 'spring'
+      |     WHEN month(o_orderdate) IN (6, 7, 8) THEN 'summer'
+      |     ELSE 'autumn' END""".stripMargin
+}

@@ -36,10 +36,11 @@ object Exprs {
     * Pure trig on built-ins — codegen-friendly, no UDF. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val r = lit(6371.0088)
-    val dLat = radians(lat2 - lat1)
-    val dLon = radians(lon2 - lon1)
-    val a = pow(sin(dLat / 2), 2) +
-      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    val sLat = sin(radians(lat2 - lat1) / 2)
+    val sLon = sin(radians(lon2 - lon1) / 2)
+    // x*x, not pow(x,2): exact IEEE multiply reproduces across engines,
+    // libm pow need not
+    val a = sLat * sLat + cos(radians(lat1)) * cos(radians(lat2)) * (sLon * sLon)
     r * lit(2.0) * asin(sqrt(a))
   }
 
