@@ -1,10 +1,222 @@
 package graft.entry
 
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.{DedupOps, Multimodal, SimilarityOps, TextOps}
 import QueryHelpers._
 
-/** Training-data pipeline queries (dedup / similarity / text / multimodal) —
-  * filled in alongside graft.operators.{DedupOps, SimilarityOps, TextOps}. */
+/** Training-data pipeline queries over the documents/embeddings tables
+  * (SURVEY.md §2E): text analysis (t), deduplication (d), similarity
+  * search (s), multimodal plumbing (m). Each is DuckDB-oracle-checked
+  * except the approximate ANN variants (s02/s03), whose recall against the
+  * exact baseline is asserted in SimilaritySpec instead (an approximate
+  * index has no closed-form SQL twin).
+  */
 object DQueries {
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val JaccardThreshold = 0.8
+  private val CosineThreshold = 0.4
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_count" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "t02_quality_score" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), rnd(TextOps.qualityScore(col("text"))).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "t03_lang_id" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "t04_fingerprint" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "d01_exact_dedup" -> ((s, dir) => {
+      DedupOps.exactDedup(documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("fingerprint")
+    }),
+
+    "d02_ngram_jaccard" -> ((s, dir) => {
+      val sh = DedupOps.shingleSets(documents(s, dir), col("doc_id"), col("text"), 3)
+      DedupOps.jaccardPairsBrute(sh, JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), rnd(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d03_minhash_lsh" -> ((s, dir) => {
+      // Scale path: LSH banding prunes candidates, exact Jaccard verifies.
+      // Same oracle as d02 — with 32x4 banding the per-pair miss probability
+      // at J>=0.8 is <5e-8, so the verified output equals brute force.
+      val sh = DedupOps.shingleSets(documents(s, dir), col("doc_id"), col("text"), 3)
+      DedupOps.minhashLshPairs(sh, JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), rnd(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d04_simhash" -> ((s, dir) => {
+      // maxHamming 3 with 4x15-bit chunk candidates: pigeonhole makes the
+      // chunked plan's recall exact, so it matches the brute-force oracle.
+      val fp = DedupOps.simhash60(documents(s, dir), col("doc_id"), col("text"))
+      DedupOps.simhashPairs(fp, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d05_embedding_dup" -> ((s, dir) => {
+      SimilarityOps.cosinePairsBrute(embeddings(s, dir), CosineThreshold)
+        .select(col("vec_a"), col("vec_b"), rnd(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    "s01_ann_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("q_id"), col("rank"), col("nn_id"), rnd(col("cos")).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "s02_ann_lsh" -> ((s, dir) => {
+      // Approximate: no SQL twin; recall vs s01 asserted in SimilaritySpec.
+      val emb = embeddings(s, dir)
+      SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("q_id"), col("rank"), col("nn_id"), rnd(col("cos")).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "s03_ann_ivf" -> ((s, dir) => {
+      // Approximate: no SQL twin; recall vs s01 asserted in SimilaritySpec.
+      val emb = embeddings(s, dir)
+      val codebook = SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), codebook,
+          k = 5, nProbe = 4)
+        .select(col("q_id"), col("rank"), col("nn_id"), rnd(col("cos")).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "m01_media_features" -> ((s, dir) => {
+      val media = Multimodal.attachBinary(documents(s, dir))
+      Multimodal.extractFeatures(media).orderBy("doc_id")
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** Word-3-shingle sets CTE (DuckDB twin of TextOps.wordShingles k=3). */
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |  FROM (SELECT doc_id, $toksSql AS w FROM documents))""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH $shingleCte,
+       |j AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) * 1.0
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jc
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ${rndSql("jc")} AS jaccard FROM j
+       |WHERE jc >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sequential-fold double cosine twin of SimilarityOps.cosine (list_sum
+    * over list_transform folds left-to-right like Spark's aggregate()). */
+  private def cosSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_count" ->
+      s"""SELECT doc_id, len($toksSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" -> {
+      val swr = s"(len(list_filter($toksSql, t -> list_contains(['the','a','of','and','to','in'], t))) * 1.0 / len($toksSql))"
+      val avgLen = s"(len(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($toksSql))"
+      val punct = s"((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / greatest(length(text), 1))"
+      val q = s"0.35 * least(length(text) * 1.0 / 500.0, 1.0) + 0.25 * (1.0 - abs($swr - 0.4)) " +
+        s"+ 0.2 * least($avgLen / 8.0, 1.0) + 0.2 * (1.0 - least($punct * 4.0, 1.0))"
+      s"""SELECT doc_id, ${rndSql(q)} AS quality FROM documents ORDER BY doc_id"""
+    },
+
+    "t03_lang_id" -> {
+      def hits(ms: String) = s"len(list_filter($toksSql, t -> list_contains([$ms], t)))"
+      val en = hits("'the','a','of','and'")
+      val de = hits("'der','die','das','und'")
+      val es = hits("'el','la','de','que'")
+      val zh = hits("'的','是','了'")
+      s"""SELECT doc_id,
+         |  CASE WHEN greatest($en, $de, $es, $zh) = 0 THEN 'und'
+         |       WHEN $en = greatest($en, $de, $es, $zh) THEN 'en'
+         |       WHEN $de = greatest($en, $de, $es, $zh) THEN 'de'
+         |       WHEN $es = greatest($en, $de, $es, $zh) THEN 'es'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "t04_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d01_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d02_ngram_jaccard" -> jaccardPairsSql,
+
+    "d03_minhash_lsh" -> jaccardPairsSql,
+
+    "d04_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks),
+        |votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM th, (SELECT unnest(range(60)) AS j) t2(j) GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a, fp b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d05_embedding_dup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${rndSql(cosSql("a.embedding", "b.embedding"))} AS cos
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id AND ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "s01_ann_topk" ->
+      s"""SELECT q_id, rank, nn_id, ${rndSql("c")} AS cos FROM (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS c,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id) AS rank
+         |  FROM embeddings q, embeddings n
+         |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "m01_media_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  ascii(substr(text, length(text), 1)) AS last_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

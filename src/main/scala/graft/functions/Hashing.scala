@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine-reproducible hashing for the dedup/similarity
+  * operators.
+  *
+  * Spark's native hash()/xxhash64 are fast but engine-specific; the dedup
+  * pipeline instead derives 60-bit integers from md5 (standard algorithm,
+  * identical everywhere — an external system, or the DuckDB oracle, can
+  * reproduce every signature bit-for-bit). md5 here is a per-shingle setup
+  * cost off the hot aggregation path; the k minhash permutations reuse one
+  * md5 via cheap affine re-hashing.
+  */
+object Hashing {
+
+  /** 60-bit positive hash: first 15 hex digits of md5 as a BIGINT.
+    * DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side scalar twin of [[hash60]] — for precomputing constant
+    * hash-derived parameters (LSH planes, IVF codebooks) once instead of
+    * evaluating md5 per row at runtime. */
+  def hash60Scalar(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Prime modulus < 2^32 for affine minhash permutations. Coefficients are
+    * kept < 2^30 so every intermediate product stays under 2^62 — no Long
+    * overflow, the arithmetic is exact and portable to any engine. */
+  val MinhashPrime: Long = 4294967291L
+  private val CoefPrime: Long = 1073741789L // < 2^30
+
+  /** i-th affine permutation of a base hash: (a_i * (x mod P) + b_i) mod P,
+    * with deterministic coefficients derived from the permutation index. */
+  def minhashPerm(baseHash: Column, i: Int): Column = {
+    val ai = (2654435761L * (i + 1) + 1) % CoefPrime + 1
+    val bi = (40503L * (i + 7) + 2654435769L) % MinhashPrime
+    ((baseHash % MinhashPrime) * ai + bi) % MinhashPrime
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deduplication operators for training-data pipelines: exact (fingerprint
+  * hash-groupBy), exact n-gram Jaccard (the verification/oracle path),
+  * MinHash+LSH (the scale path for near-dup mining), and SimHash (hamming
+  * near-dup). All candidate generation is relational (aggregate + equi-join
+  * on band buckets — shuffles on bucket keys, never an O(n²) comparison at
+  * scale); the O(n²) brute-force variants exist for verification and as the
+  * small-input oracle twin.
+  *
+  * Hashes are md5-derived and portable (see [[Hashing]]) so every signature
+  * can be reproduced by an external engine bit-for-bit.
+  */
+object DedupOps {
+
+  /** Exact dedup by content fingerprint: per fingerprint keep the minimum id
+    * and report group size. Single hash aggregate — the 100 TB-scale exact
+    * dedup is exactly this shape (shuffle on fingerprint). */
+  def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(TextOps.fingerprint(text).as("fingerprint"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (id, shingles) frame: distinct word-k-shingle sets per document. */
+  def shingleSets(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    df.select(id.as("doc_id"), TextOps.wordShingles(text, k).as("shingles"))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - inter
+    // two empty sets -> 0 similarity (also keeps ANSI mode from raising
+    // divide-by-zero)
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Brute-force exact Jaccard pairs (threshold-filtered). O(n²) — the
+    * verification step over LSH candidates and the oracle twin at small SF;
+    * never the scale path on its own. */
+  def jaccardPairsBrute(shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, hs): shingles mapped once to 60-bit hashes. Downstream minhash
+    * and Jaccard verification both run on the hashed sets — md5 is evaluated
+    * once per shingle for the whole pipeline, and set ops compare longs, not
+    * strings. Hash-set Jaccard equals string-set Jaccard up to 60-bit
+    * collisions (~n²/2^61 — negligible at any corpus size). */
+  def hashedShingleSets(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"),
+      transform(col("shingles"), s => Hashing.hash60(s)).as("hs"))
+
+  /** MinHash signature columns sig_0..sig_{h-1}: per doc, min over shingle
+    * hashes of each affine permutation — one hash aggregate computing h mins
+    * in a single pass (map-side partial aggregation applies). */
+  def minhashSignatures(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = hashedShingles.select(col("doc_id"), explode(col("hs")).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(Hashing.minhashPerm(col("h"), i)).as(s"sig_$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand),
+    * bucket-join on (band, band-signature), dedup candidates, then verify
+    * with exact Jaccard ≥ threshold. Candidate generation is
+    * explode→shuffle-on-bucket→self-join — linear in data + collisions, the
+    * standard web-scale near-dup plan. Verification re-joins the two shingle
+    * sets only for candidate pairs.
+    *
+    * Recall is 1-(1-J^r)^b per pair; defaults (32×4) give miss < 1e-14 at
+    * J=0.9, <5e-8 at J=0.8. */
+  def minhashLshPairs(shingled: DataFrame, threshold: Double,
+                      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // the hashed sets feed three plan branches (signatures + both sides of
+    // the verification join); persist so shingling+md5 runs once — the
+    // at-scale equivalent is materializing the signature table between
+    // stages
+    val hashed = hashedShingleSets(shingled)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(hashed, numHashes)
+    val bandCols = (0 until bands).map { bnd =>
+      val rows = (0 until rowsPerBand).map(r => col(s"sig_${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), concat_ws("_", rows: _*).as("bsig"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val l = buckets.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+    val r = buckets.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+    val candidates = l.join(r, Seq("band", "bsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = hashed.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
+    val sb = hashed.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 60-bit SimHash per document: explode tokens, hash, per-bit signed vote
+    * (60 conditional sums in one aggregate pass), reassemble the sign bits.
+    * 60 bits (not 64) keeps the fingerprint a positive BIGINT in every
+    * engine — no signed-overflow edge at the top bit. Hamming distance
+    * between simhashes tracks token-set similarity. */
+  def simhash60(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(TextOps.tokens(text)).as("t"))
+      .withColumn("h", Hashing.hash60(col("t")))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 60).map(j =>
+      when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming <= maxHamming: candidates via
+    * 15-bit chunk equality (pigeonhole: with 4 chunks, hamming <= 3
+    * guarantees at least one equal chunk — exact recall at maxHamming 3),
+    * verified by bit_count(xor). Chunk-bucket join keeps candidate
+    * generation linear — same shape as the minhash banding. */
+  def simhashPairs(simhashed: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ck")))
+    val buckets = simhashed.select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
+    val l = buckets.select(col("chunk"), col("ck"), col("doc_id").as("doc_a"),
+      col("simhash").as("ha"))
+    val r = buckets.select(col("chunk"), col("ck"), col("doc_id").as("doc_b"),
+      col("simhash").as("hb"))
+    l.join(r, Seq("chunk", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

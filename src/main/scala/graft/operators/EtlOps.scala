@@ -185,6 +185,26 @@ object EtlOps {
   def intCoerce(c: Column): Column = floor(c + lit(0.5)).cast("long")
   def hadDecimals(c: Column): Column = (c =!= floor(c)).cast("int")
 
+  // --- B28: CSV + YAML sinks (build_hotels_yaml.py:294-330) -----------------
+  /** Ordered-column CSV sink (reference writes a fixed column order). */
+  def writeOrderedCsv(df: DataFrame, columns: Seq[String], path: String): Unit =
+    df.select(columns.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** YAML payload with schema_version header — driver-side renderer for
+    * dimension-table exports (small data by construction; rows are passed in
+    * already collected/ordered). */
+  def yamlRender(key: String, schemaVersion: Int,
+                 rows: Seq[Map[String, String]]): String = {
+    val sb = new StringBuilder(s"schema_version: $schemaVersion\n$key:\n")
+    rows.foreach { r =>
+      r.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
+        sb.append(if (i == 0) s"  - $k: $v\n" else s"    $k: $v\n")
+      }
+    }
+    sb.toString
+  }
+
   // --- B27: surrogate id generation (build_hotels_yaml.py:31-33,286-291) ----
   /** {group}-{slug}-{zero-padded rank}: rank via row_number over an explicit
     * deterministic ordering (the reference pads a positional index, which is

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Cosine is computed with built-in higher-order functions (zip_with +
+  * aggregate) in DOUBLE with strict left-to-right summation — deterministic
+  * and reproducible by the oracle engine; no UDF, stays in codegen.
+  *
+  * Scale paths: brute-force top-k is the correctness baseline (O(n·q), fine
+  * when the query set is small and broadcastable); random-hyperplane LSH
+  * bucketing bounds the candidate set for high-similarity search; IVF with a
+  * deterministic codebook partitions the corpus so a probe touches only
+  * nProbe inverted lists.
+  */
+object SimilarityOps {
+
+  /** dot(a, b) over float arrays, accumulated in double left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: queries × corpus cross join (queries
+    * broadcast), per-query rank by (similarity desc, id asc). The window
+    * sort is per-query over corpus-size rows — the exact-search baseline
+    * every ANN variant is measured against. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"), cosine(col("qe"), col("ce")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "cos")
+  }
+
+  /** Brute-force cosine near-dup pairs (threshold-filtered), the all-pairs
+    * twin of [[bruteForceTopK]] — O(n²), verification/oracle use. */
+  def cosinePairsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic ±1 hyperplane, precomputed driver-side from the portable
+    * hash (buckets reproducible anywhere) and shipped as an array LITERAL —
+    * the runtime plan does zero hashing, only the multiply-add fold. */
+  private def planeWeights(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      if ((Hashing.hash60Scalar(s"${table}_${plane}_$d") & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH bucket id per (table, vector): `planes` sign bits
+    * of dot(v, hyperplane). Emits numTables rows per vector — candidates for
+    * a query are vectors sharing a bucket in ANY table. */
+  def lshBuckets(corpus: DataFrame, numTables: Int, planes: Int,
+                 dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val w = array(planeWeights(t, p, dim).map(lit).toIndexedSeq: _*)
+        val proj = aggregate(
+          zip_with(col("embedding"), w, (x, wi) => x.cast("double") * wi),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, 1L << p).otherwise(0L)
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+    }
+    corpus.select(col("vec_id"), explode(array(tables: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = same bucket in any table,
+    * then exact cosine + per-query rank. Recall vs [[bruteForceTopK]] is
+    * measured in SimilaritySpec; it rises with numTables and falls with
+    * planes. Candidate generation is a bucket equi-join — never O(n·q).
+    * Defaults favor recall on weakly-similar corpora (few planes, many
+    * tables): top neighbors at cos≈0.45 are near-orthogonal, so each extra
+    * plane halves their bucket-collision odds almost as fast as a random
+    * pair's. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numTables: Int = 16, planes: Int = 6): DataFrame = {
+    val cb = lshBuckets(corpus, numTables, planes)
+    val qb = lshBuckets(queries, numTables, planes)
+      .withColumnRenamed("vec_id", "q_id")
+    val cand = qb.join(cb, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id")).distinct()
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    cand.join(c, "nn_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("nn_id"), cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "cos")
+  }
+
+  /** Deterministic IVF codebook: nCells anchor vectors with ±1 components
+    * derived from the portable hash (a fixed codebook instead of trained
+    * k-means centroids — same partitioned-search plan, reproducible). */
+  def ivfCodebook(spark: org.apache.spark.sql.SparkSession, nCells: Int,
+                  dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until nCells).map { cell =>
+      val anchor = Array.tabulate(dim) { d =>
+        if ((Hashing.hash60Scalar(s"ivf_${cell}_$d") & 1L) == 0L) 1.0f else -1.0f
+      }
+      (cell, anchor)
+    }.toDF("cell", "anchor")
+  }
+
+  /** IVF assignment: each vector goes to its nearest (max cosine) codebook
+    * cell — broadcast the codebook, min(struct) argmax, no sort. */
+  def ivfAssign(corpus: DataFrame, codebook: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("anchor")).as("acos"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("acos")).as("neg"), col("cell").as("cell"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
+
+  /** IVF probe: search only the nProbe nearest cells' inverted lists.
+    * Exact cosine within the probed subset, per-query top-k. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+              k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, codebook)
+    val qCells = queries.crossJoin(broadcast(codebook))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"),
+        cosine(col("embedding"), col("anchor")).as("acos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("acos").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select("q_id", "qe", "cell")
+    qCells.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nn_id", "cos")
+  }
+}

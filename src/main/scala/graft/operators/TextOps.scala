@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language identification, document
+  * fingerprinting, shingling. Everything is pure built-in `Column`
+  * composition (codegen'd, no UDFs) so the hot path stays inside
+  * whole-stage codegen and the same logic is expressible in the DuckDB
+  * oracle.
+  *
+  * These extend the reference surface (which has no document processing) —
+  * see SURVEY.md §2E.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces + standalone non-word glyphs, the
+    * usual pre-tokenizer regex shape. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Average token length in characters (whitespace removed / token count). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      tokenCount(text)
+
+  /** Share of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t))).cast("double") /
+      tokenCount(text)
+  }
+
+  /** Punctuation character share. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\p{Alnum}\\s]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
+  /** Composite quality score in [0, 1]: length saturation, stopword balance,
+    * token-shape, punctuation penalty — the standard cheap pre-filter shape
+    * for pretraining corpora (weights are engine defaults, callers can
+    * recompose from the parts). */
+  def qualityScore(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val lenSat = least(length(text).cast("double") / 500.0, lit(1.0))
+    val swBalance = lit(1.0) - abs(stopwordRatio(text, stopwords) - lit(0.4))
+    val shapeSat = least(avgTokenLen(text) / 8.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    lit(0.35) * lenSat + lit(0.25) * swBalance + lit(0.2) * shapeSat +
+      lit(0.2) * punctPenalty
+  }
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Language-ID by stopword-marker voting: count marker-token hits per
+    * language, argmax with a fixed precedence order; 'und' when nothing
+    * matches. A real system uses char-n-gram profiles — same relational
+    * shape (per-language score column + argmax), heavier marker set. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
+    val toks = tokens(text)
+    val scores = markers.map { case (lang, ms) =>
+      val arr = array(ms.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, "und")) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lang)
+    }.otherwise("und")
+  }
+
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Content fingerprint: md5 of canonicalized text (lowercase, collapsed
+    * whitespace). Identical in any engine — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Distinct word k-shingles ("n-gram" units for Jaccard/minhash). Guarded:
+    * fewer than k tokens -> empty set (sequence(1, 0) would count DOWN in
+    * Spark, not produce an empty array). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) < k, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))))
+  }
+
+  /** Shingles mapped to 60-bit portable hashes (see [[Hashing.hash60]]). */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(wordShingles(text, k), s => Hashing.hash60(s))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EtlOps, Multimodal, RadiusDedup}
+
+/** Unit coverage for the batch-ETL operators' edge semantics (the sf-scale
+  * behavior is covered by the Verify oracle gate). */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("findColumn: normalized exact match wins over substring") {
+    val cols = Seq("Part-Key", "The Name", "part_key_old")
+    assert(EtlOps.findColumn(cols, Seq("partkey")) === Some("Part-Key"))
+    assert(EtlOps.findColumn(cols, Seq("name")) === Some("The Name"))
+    assert(EtlOps.findColumn(cols, Seq("missing", "name")) === Some("The Name"))
+    assert(EtlOps.findColumn(cols, Seq("nope")) === None)
+  }
+
+  test("sniffDelimiter picks the densest candidate in the head bytes") {
+    val tmp = java.nio.file.Files.createTempDirectory("sniff")
+    val f = tmp.resolve("x.csv")
+    java.nio.file.Files.writeString(f, "a;b;c\n1;2;3\n4;5;6\n")
+    assert(EtlOps.sniffDelimiter(spark, f.toString) === ';')
+    val g = tmp.resolve("y.csv")
+    java.nio.file.Files.writeString(g, "a\tb\tc\n1\t2,5\t3\n")
+    assert(EtlOps.sniffDelimiter(spark, g.toString) === '\t')
+  }
+
+  test("stagedFallbackJoin fills only missing rows and records the stage") {
+    val left = Seq((1, 10, 10), (2, 99, 20), (3, 98, 97)).toDF("id", "k1", "k2")
+    val right = Seq((10, "a"), (20, "b"), (30, "c")).toDF("rk", "v")
+    val out = EtlOps.stagedFallbackJoin(left, right,
+        Seq(col("k1") -> col("rk"), col("k2") -> col("rk")), Seq("v"))
+      .select("id", "v", "matched_stage").orderBy("id").collect()
+    assert(out(0).getString(1) === "a" && out(0).getInt(2) === 1)
+    assert(out(1).getString(1) === "b" && out(1).getInt(2) === 2)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("radius dedup: greedy keep-first in id order") {
+    // three points on a line ~111 km/deg apart: 0 and 1 within 200 km,
+    // 2 farther; greedy keeps 0 (first), drops 1 (near 0), keeps 2
+    val pts = Seq(
+      ("g", 0L, 0.0, 0.0),
+      ("g", 1L, 1.0, 0.0),
+      ("g", 2L, 5.0, 0.0)).toDF("grp", "id", "lat", "lon")
+    val kept = RadiusDedup(pts, 200.0).select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 2L))
+  }
+
+  test("b28: ordered-column CSV sink + YAML render") {
+    val df = Seq((2, "b"), (1, "a")).toDF("id", "name")
+    val tmp = java.nio.file.Files.createTempDirectory("sink").toString
+    EtlOps.writeOrderedCsv(df.orderBy("id"), Seq("name", "id"), tmp)
+    val back = spark.read.option("header", "true").csv(tmp)
+    assert(back.columns.toSeq === Seq("name", "id"))
+    assert(back.count() === 2)
+    val yaml = EtlOps.yamlRender("hotels", 2,
+      Seq(Map("id" -> "1", "name" -> "a"), Map("id" -> "2", "name" -> "b")))
+    assert(yaml.startsWith("schema_version: 2\nhotels:"))
+    assert(yaml.contains("  - id: 1"))
+  }
+
+  test("multimodal: binary plumbing + stub decode features") {
+    val docs = Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.extractFeatures(Multimodal.attachBinary(docs)).collect()
+    assert(out.head.getLong(0) === 7L)
+    assert(out.head.getInt(1) === 3) // n_bytes
+    assert(out.head.getInt(2) === 'a'.toInt)
+    assert(out.head.getInt(3) === 'c'.toInt)
+  }
+}
