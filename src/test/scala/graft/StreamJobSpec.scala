@@ -82,6 +82,45 @@ class StreamJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def flightJson(dest: String, origin: String, status: String,
+                         delay: Option[Int], eventTs: String): String =
+    s"""{"schema_version":"v1","event_type":"flight_arrival","event_ts":"$eventTs",
+       |"ingest_ts":"$eventTs","flight_id":"FL1","airline":"AZ","service_date":"2024-06-20",
+       |"origin_iata":"$origin","destination_iata":"$dest","destination_city_id":"3165524",
+       |"status":"$status","delay_min":${delay.map(_.toString).getOrElse("null")},
+       |"load_factor":0.8,"seats":180,"weather_factor":0.1,"airport_congestion":0.2}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("flight monitor + airport top-N emit cancel rate, delay avg, totals, directions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val raw = mem.toDF().toDF("key", "value", "kafka_ts")
+    val empty = MemoryStream[(String, String, Timestamp)].toDF()
+      .toDF("key", "value", "kafka_ts")
+    val plans = job.plans(empty, raw, empty)
+    val names = Seq("flights_cnt", "airports_inbound", "airports_outbound")
+    val qs = names.map { n =>
+      val (df, mode, fn) = plans(n)
+      job.startQuery(df, n + "_f", mode, fn)
+    }
+    try {
+      pushed.synchronized(pushed.clear())
+      mem.addData(
+        ("FCO|1", flightJson("FCO", "LIN", "arrived", Some(10), "2024-06-20T10:00:00Z"), ts("2024-06-20 10:00:01")),
+        ("FCO|2", flightJson("FCO", "LIN", "arrived", Some(20), "2024-06-20T10:00:05Z"), ts("2024-06-20 10:00:06")),
+        ("MXP|3", flightJson("MXP", "FCO", "cancelled", None, "2024-06-20T10:00:10Z"), ts("2024-06-20 10:00:11")),
+        ("FCO|4", flightJson("FCO", "MXP", "arrived", Some(0), "2024-06-20T10:00:15Z"), ts("2024-06-20 10:00:16")))
+      qs.foreach(_.processAllAvailable())
+      val all = pushed.synchronized(pushed.mkString("\n"))
+      assert(all.contains("tourism_flight_msgs_per_min 4.0"), all)
+      assert(all.contains("tourism_flight_cancel_rate 0.25"), all)
+      assert(all.contains("tourism_flight_delay_min_avg 10.0"), all) // (10+20+0)/3 non-null
+      assert(all.contains("tourism_flights_total_per_min 4.0"), all)
+      assert(all.contains("""tourism_airport_flights_per_min{airport="FCO",direction="inbound"} 3.0"""), all)
+      assert(all.contains("""tourism_airport_flights_per_min{airport="LIN",direction="outbound"} 2.0"""), all)
+    } finally qs.foreach(_.stop())
+  }
+
   test("prometheus renderer escapes labels and renders bare metrics") {
     import graft.metrics.Prometheus
     val body = Prometheus.render(Seq(
