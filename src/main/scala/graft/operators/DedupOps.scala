@@ -24,9 +24,14 @@ object DedupOps {
     df.groupBy(TextOps.fingerprint(text).as("fingerprint"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (id, shingles) frame: distinct word-k-shingle sets per document. */
+  /** (id, shingles) frame: distinct word-k-shingle sets per document. The
+    * token array is materialized in its own projection so the tokenizer runs
+    * once per row, not once per element_at inside the shingle lambda (the
+    * two projections don't collapse — Catalyst keeps non-cheap aliases with
+    * multiple references). */
   def shingleSets(df: DataFrame, id: Column, text: Column, k: Int): DataFrame =
-    df.select(id.as("doc_id"), TextOps.wordShingles(text, k).as("shingles"))
+    df.select(id.as("doc_id"), TextOps.tokens(text).as("__w"))
+      .select(col("doc_id"), TextOps.shinglesOfTokens(col("__w"), k).as("shingles"))
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -86,16 +86,24 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
-  /** Distinct word k-shingles ("n-gram" units for Jaccard/minhash). Guarded:
-    * fewer than k tokens -> empty set (sequence(1, 0) would count DOWN in
-    * Spark, not produce an empty array). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
+  /** Distinct word k-shingles from an ALREADY-MATERIALIZED token array
+    * column. Guarded: fewer than k tokens -> empty set (sequence(1, 0) would
+    * count DOWN in Spark, not produce an empty array).
+    *
+    * Callers must project the token array into its own column first
+    * (`select(tokens(text).as("w"))`) — passing `tokens(text)` directly
+    * re-evaluates the split regex for every element_at access inside the
+    * transform lambda, turning shingling O(tokens²·|text|) (measured 5× the
+    * whole pipeline cost). */
+  def shinglesOfTokens(w: Column, k: Int): Column =
     when(size(w) < k, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(sequence(lit(1), size(w) - (k - 1)),
           i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))))
-  }
+
+  /** Single-expression convenience form — only for small inputs/tests; see
+    * the [[shinglesOfTokens]] performance note. */
+  def wordShingles(text: Column, k: Int): Column = shinglesOfTokens(tokens(text), k)
 
   /** Shingles mapped to 60-bit portable hashes (see [[Hashing.hash60]]). */
   def shingleHashes(text: Column, k: Int): Column =
