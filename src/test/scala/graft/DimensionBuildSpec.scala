@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.jobs.DimensionBuild
+
+/** §3.3 end-to-end: messy raw fixtures (tab-separated GeoNames, sniffed-
+  * separator ISTAT with locale numerics and macro-territory noise, OSM
+  * hotels with WKT/star text, OurAirports with duplicate IATA) through the
+  * full dimension-build pipeline. */
+class DimensionBuildSpec extends SparkSpec {
+
+  private lazy val dir: Path = Files.createTempDirectory("dimbuild")
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private lazy val job = new DimensionBuild(spark)
+
+  // 19-column GeoNames TSV: Roma + Milano populated places, one duplicate
+  // lower-pop Roma row, one non-P row, one zero-pop row
+  private lazy val geonames = write("IT.txt", Seq(
+    Seq("3169070", "Napoli", "Napoli", "", "40.85", "14.27", "P", "PPLA", "IT", "", "04",
+      "NA", "", "", "950000", "", "17", "Europe/Rome", "2024-01-01"),
+    Seq("3165524", "Roma", "Roma", "", "41.90", "12.49", "P", "PPLC", "IT", "", "07",
+      "RM", "", "", "2870000", "", "21", "Europe/Rome", "2024-01-01"),
+    Seq("9999991", "Roma", "Roma", "", "41.95", "12.40", "P", "PPL", "IT", "", "07",
+      "RM", "", "", "1200", "", "21", "Europe/Rome", "2024-01-01"),
+    Seq("3173435", "Milano", "Milano", "", "45.46", "9.19", "P", "PPLA", "IT", "", "09",
+      "MI", "", "", "1350000", "", "120", "Europe/Rome", "2024-01-01"),
+    Seq("8888888", "Tiberisola", "Tiberisola", "", "41.89", "12.47", "T", "ISL", "IT", "", "07",
+      "RM", "", "", "0", "", "15", "Europe/Rome", "2024-01-01"),
+    Seq("7777777", "Ghosttown", "Ghosttown", "", "42.00", "13.00", "P", "PPL", "IT", "", "07",
+      "RM", "", "", "0", "", "0", "Europe/Rome", "2024-01-01")
+  ).map(_.mkString("\t")).mkString("\n"))
+
+  // ISTAT households: ';'-sniffed, quoted messy headers, locale numerics,
+  // macro-territory row (IT) and an older year to drop
+  private lazy val istatHouseholds = write("istat_households.csv",
+    """" Territorio ";"Codice Metrica";" Valore ";"Anno"
+      |IT;population_census;59.000.000,0;2021
+      |Roma;population_census;2.800.000,0;2011
+      |Roma;population_census;2.750.000,5;2021
+      |Roma;households;1.300.000,0;2021
+      |Milano;population_census;1.340.000,0;2021
+      |Milano;households;700.000,0;2021
+      |Napoli;households;n/d;2021
+      |""".stripMargin)
+
+  // ISTAT homes: '|'-sniffed
+  private lazy val istatHomes = write("istat_homes.csv",
+    """Territorio|Codice Metrica|Valore|Anno
+      |Roma|dwellings_total|1.500.000,0|2021
+      |Roma|dwellings_occupied|1.200.000,0|2021
+      |Milano|dwellings_total|800.000,0|2021
+      |Milano|dwellings_occupied|760.000,0|2021
+      |""".stripMargin)
+
+  // OSM hotels: two Roma hotels 90 m apart with the same normalized name
+  // (radius dedup drops one), one Milano hotel via name join, one hotel with
+  // an unknown city name rescued by NN fallback near Napoli
+  private lazy val osmHotels = write("hotels.csv",
+    """osm_id,name,stars,addr_city,wkt
+      |h1,Hotel Tevere,hotel 4*,Roma,POINT (12.4900 41.9000)
+      |h2,HOTEL TEVERE,4,Roma,POINT (12.4900 41.9008)
+      |h3,Grand Milano,★★★ 3,Milano,POINT (9.1900 45.4600)
+      |h4,Albergo Vesuvio,2.5,Borgo Ignoto,POINT (14.2700 40.8500)
+      |h5,No Coords Inn,3,Roma,
+      |""".stripMargin)
+
+  // OurAirports: duplicate IATA resolved by type rank, non-IT row dropped,
+  // bad IATA dropped
+  private lazy val airports = write("airports.csv",
+    """ident,type,name,latitude_deg,longitude_deg,iso_country,municipality,iata_code
+      |LIRF,large_airport,Fiumicino,41.8,12.25,IT,Roma,FCO
+      |LIRX,small_airport,Fiumicino Old,41.81,12.26,IT,Roma,FCO
+      |LIML,medium_airport,Linate,45.45,9.28,IT,Milano,LIN
+      |LFPG,large_airport,Charles de Gaulle,49.0,2.55,FR,Paris,CDG
+      |LIXX,small_airport,NoIata,42.0,13.0,IT,Nowhere,X1
+      |""".stripMargin)
+
+  private lazy val cities = job.buildCities(geonames)
+
+  test("cities base: P-class filter, pop>0, keep-richest per (name, admin1)") {
+    val got = cities.select("city_id", "city_name", "population").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("3165524", "Roma", 2870000L), // duplicate lower-pop Roma dropped
+      ("3173435", "Milano", 1350000L),
+      ("3169070", "Napoli", 950000L)))
+  }
+
+  test("ISTAT clean: sniffed separator, fuzzy columns, locale numerics, latest year, pivot") {
+    val hh = job.cleanIstat(istatHouseholds,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("population_census", "households"))
+    val roma = hh.filter(col("norm_name") === "roma").collect().head
+    // 2011 row dropped (latest year = 2021); locale "2.750.000,5" parsed
+    assert(roma.getAs[Double]("population_census") === 2750000.5)
+    assert(roma.getAs[Double]("households") === 1300000.0)
+    // macro territory IT filtered out
+    assert(hh.filter(col("norm_name") === "it").count() === 0)
+    // malformed numeric -> null, not failure
+    val napoli = hh.filter(col("norm_name") === "napoli").collect().head
+    assert(napoli.isNullAt(napoli.fieldIndex("households")))
+  }
+
+  test("enrichment: staged joins fill payloads, ratios and int coercion applied") {
+    val hh = job.cleanIstat(istatHouseholds,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("population_census", "households"))
+    val homes = job.cleanIstat(istatHomes,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("dwellings_total", "dwellings_occupied"))
+    val enriched = job.enrichCities(cities, hh, homes)
+    val roma = enriched.filter(col("city_id") === "3165524").collect().head
+    assert(roma.getAs[Long]("population") === 2750000L) // census overrides GeoNames
+    assert(roma.getAs[Long]("households") === 1300000L)
+    assert(roma.getAs[Double]("occupied_share") === 0.8)
+    assert(roma.getAs[Double]("avg_family_size") === 2.12)
+    // Napoli has no homes data -> worst row in the quality report
+    val report = job.cityQualityReport(enriched).collect()
+    assert(report.head.getAs[String]("city_id") === "3169070")
+    assert(report.head.getAs[Int]("missing_count") >= 2)
+  }
+
+  test("hotels: WKT/stars parse, name join, NN fallback, radius dedup, surrogate ids") {
+    val hotels = job.buildHotels(osmHotels, cities)
+    val rows = hotels.collect()
+    val byName = rows.map(r => r.getAs[String]("name") -> r).toMap
+    // radius dedup: the two Tevere hotels (90 m apart, same norm name) -> 1
+    assert(rows.count(_.getAs[String]("city_id") == "3165524") === 1)
+    assert(byName.contains("Hotel Tevere") || byName.contains("HOTEL TEVERE"))
+    // stars text parsed
+    assert(byName.get("Grand Milano").map(_.getAs[Double]("stars_num")).contains(3.0))
+    // NN fallback: unknown city resolved to nearest (Napoli)
+    assert(byName.get("Albergo Vesuvio").map(_.getAs[String]("city_name")).contains("Napoli"))
+    // no-coordinate row filtered
+    assert(!byName.contains("No Coords Inn"))
+    // surrogate id shape {city}-{slug}-{rank}
+    rows.foreach(r => assert(
+      r.getAs[String]("hotel_id").matches("""\d+-[a-z0-9-]+-\d{6}"""),
+      r.getAs[String]("hotel_id")))
+  }
+
+  test("airports: IT + IATA filters, duplicate IATA resolved by type rank") {
+    val got = job.buildAirports(airports).collect()
+      .map(r => (r.getAs[String]("airport_code"), r.getAs[String]("ident"))).toSet
+    assert(got === Set(("FCO", "LIRF"), ("LIN", "LIML")))
+  }
+}
