@@ -215,6 +215,39 @@ object AQueries {
         .orderBy("w_start", "city_id")
     }),
 
+    "a21_percentile_rejoin" -> ((s, dir) => {
+      // A21: re-join the per-(window, city) percentile frame onto the
+      // per-(window, city, season) stats (kafka_to_metrics.py:474).
+      val cs = csJoin(s, dir)
+      val p = SeasonScore.cityPercentiles(cs, exact = true)
+      StreamOps.multiKeyLeftJoin(cs, p, Seq("window", "city_id"))
+        .select(wStart(), col("city_id"), col("season"), col("bookings"),
+          rnd(rnd6(col("adr_p10"))).as("adr_p10"),
+          rnd(rnd6(col("adr_p90"))).as("adr_p90"))
+        .orderBy("w_start", "city_id", "season")
+    }),
+
+    "a27_stream_dedup" -> ((s, dir) => {
+      // Streaming dedup through the real streaming path (AvailableNow file
+      // source), keyed on (user_id, event_type); batch twin = DISTINCT.
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val streamDir = java.nio.file.Files.createTempDirectory("a27_events")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "45 seconds")
+      val deduped = StreamOps.streamDedup(
+        stream.select(col("user_id"), col("event_type"), col("ts")),
+        Seq("user_id", "event_type"))
+      val qn = s"a27_out_${streamQueryId.incrementAndGet()}"
+      val q = deduped.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select("user_id", "event_type").orderBy("user_id", "event_type")
+    }),
+
     "a22_minmax_norm" -> ((s, dir) => {
       // A22: min-max normalization with degenerate-range guard
       // (kafka_to_metrics.py:478-481), bounds from a 1-row global aggregate
@@ -455,6 +488,16 @@ object AQueries {
          |  ${rndSql("cancel_p10")} AS cancel_p10, ${rndSql("cancel_p90")} AS cancel_p90,
          |  ${rndSql("delay_p10")} AS delay_p10, ${rndSql("delay_p90")} AS delay_p90
          |FROM p ORDER BY w_start, city_id""".stripMargin,
+
+    "a21_percentile_rejoin" ->
+      s"""$csCtes
+         |SELECT cs.w_start, cs.city_id, cs.season, cs.bookings,
+         |  ${rndSql("p.adr_p10")} AS adr_p10, ${rndSql("p.adr_p90")} AS adr_p90
+         |FROM cs LEFT JOIN p ON cs.w_start = p.w_start AND cs.city_id = p.city_id
+         |ORDER BY cs.w_start, cs.city_id, cs.season""".stripMargin,
+
+    "a27_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""".stripMargin,
 
     "a22_minmax_norm" ->
       s"""SELECT event_id,

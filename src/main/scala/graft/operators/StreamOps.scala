@@ -132,6 +132,16 @@ object StreamOps {
   def pct(c: Column, p: Double, exact: Boolean): Column =
     if (exact) percentile(c, lit(p)) else percentile_approx(c, lit(p), lit(10000))
 
+  // --- E: streaming dedup (beyond reference — SURVEY.md §2A "not present"
+  // list; a training-data ingest needs it) ----------------------------------
+  /** Drop duplicate events by key on a stream: state is bounded by the
+    * watermark (dropDuplicatesWithinWatermark), so late re-deliveries inside
+    * the watermark window dedup exactly and state evicts after it. In batch
+    * mode this degrades to a plain dropDuplicates (same result set). */
+  def streamDedup(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
   // --- A24: top-K (:249,274,294,405,511) -----------------------------------
   /** orderBy(desc(metric), tiebreak).limit(k) → TakeOrderedAndProject:
     * the limit is pushed into the plan so only k rows ever reach the

@@ -64,6 +64,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamDedup: duplicate keys across batches within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val deduped = StreamOps.streamDedup(
+      mem.toDF().toDF("ts", "k").withWatermark("ts", "1 minute"), Seq("k"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), "A"), (ts("2024-01-01 10:00:01"), "A"))
+      q.processAllAvailable()
+      // same key again in a later batch, still inside the watermark window
+      mem.addData((ts("2024-01-01 10:00:30"), "A"), (ts("2024-01-01 10:00:31"), "B"))
+      q.processAllAvailable()
+      val ks = spark.table("dedup_out").select("k").as[String].collect().toSeq
+      assert(ks.sorted == Seq("A", "B"), s"dup 'A' must be dropped across batches: $ks")
+    } finally q.stop()
+  }
+
   test("update-mode running totals over a stream (A12, unbounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
