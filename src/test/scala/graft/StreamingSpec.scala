@@ -82,6 +82,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonFiles source: JSONL directory -> Kafka frame shape -> parse round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    java.nio.file.Files.writeString(dir.resolve("part1.jsonl"),
+      """{"city_id":"A","t_min":10.0,"t_max":20.0}
+        |{"city_id":"B","t_min":5.0,"t_max":12.0}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "city_id STRING, t_min DOUBLE, t_max DOUBLE")
+    val src = graft.sources.EventSources.jsonFiles(spark, dir.toString, schema,
+      keyExpr = "city_id", tsExpr = "timestamp'2024-01-01 00:00:00'")
+    val parsed = StreamOps.parseJson(src, schema)
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("jsonl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val rows = spark.table("jsonl_out")
+        .select("key", "city_id", "t_max").as[(String, String, Double)]
+        .collect().toSet
+      assert(rows == Set(("A", "A", 20.0), ("B", "B", 12.0)))
+    } finally q.stop()
+  }
+
   test("update-mode running totals over a stream (A12, unbounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
