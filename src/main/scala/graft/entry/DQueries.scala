@@ -66,6 +66,18 @@ object DQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "d06_dedup_clusters" -> ((s, dir) => {
+      // Cluster assignment over the LSH-mined near-dup pairs: each doc gets
+      // its connected component's min id as representative; keep one per
+      // cluster.
+      val docs = documents(s, dir)
+      val sh = DedupOps.shingleSets(docs, col("doc_id"), col("text"), 3)
+      val pairs = DedupOps.minhashLshPairs(sh, JaccardThreshold)
+      DedupOps.dedupClusters(docs.select("doc_id"), pairs)
+        .select(col("doc_id"), col("rep"), col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "d04_simhash" -> ((s, dir) => {
       // maxHamming 3 with 4x15-bit chunk candidates: pigeonhole makes the
       // chunked plan's recall exact, so it matches the brute-force oracle.
@@ -182,6 +194,24 @@ object DQueries {
     "d02_ngram_jaccard" -> jaccardPairsSql,
 
     "d03_minhash_lsh" -> jaccardPairsSql,
+
+    "d06_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s)) * 1.0
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, min(d) AS rep,
+         |  CAST(s = min(d) AS INT) AS keep
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),

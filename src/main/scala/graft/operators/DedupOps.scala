@@ -110,6 +110,46 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate-cluster assignment: connected components over near-dup pairs
+    * via iterative min-label propagation — rep(x) := min(rep(x),
+    * min(rep(neighbors))) until fixpoint. Converges in O(cluster diameter)
+    * rounds (near-dup clusters are shallow — pairs are mutually similar), each
+    * round one shuffle join + aggregate; the standard large-graph CC shape.
+    * Returns (doc_id, rep, keep) — keep = the cluster's minimum id survives.
+    *
+    * `ids` must cover every document (isolated docs form singleton
+    * clusters); `pairs` carries (doc_a, doc_b). */
+  def dedupClusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // persist the pair set first: the symmetric edge union reads it twice,
+    // and upstream pair mining (LSH) is the expensive part
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
+    var prev: Option[DataFrame] = None
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst").as("nbr_id")).agg(min(col("rep")).as("nbr_rep"))
+      // carry the previous rep alongside so convergence is a filter over the
+      // persisted frame, not an extra self-join per round
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_id"), "left")
+        // least() skipping nulls is exactly right here: no neighbor -> keep rep
+        .select(col("doc_id"), least(col("rep"), col("nbr_rep")).as("rep"),
+          col("rep").as("prev_rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
+      prev = Some(next)
+      labels = next.select("doc_id", "rep")
+      i += 1
+    }
+    // persisted frames are left cached for the query lifetime — lineage of
+    // the returned frame passes through every round
+    labels.withColumn("keep", col("doc_id") === col("rep"))
+  }
+
   /** 60-bit SimHash per document: explode tokens, hash, per-bit signed vote
     * (60 conditional sums in one aggregate pass), reassemble the sign bits.
     * 60 bits (not 64) keeps the fingerprint a positive BIGINT in every

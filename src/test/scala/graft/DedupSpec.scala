@@ -50,6 +50,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("dedupClusters: chain components collapse to the min id, isolated docs are singletons") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (transitive cluster), pair 5-6, isolated 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(ids, pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
   test("simhash: identical docs hamming 0, near-dups small, distinct docs large") {
     val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
