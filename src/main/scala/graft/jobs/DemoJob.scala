@@ -22,7 +22,13 @@ object DemoJob {
     val base = spark.readStream.format("rate")
       .option("rowsPerSecond", rate.toString).load()
     val cityIdx = pmod(col("value"), lit(20))
-    val cityId = concat(lit("31"), lpad(cityIdx.cast("string"), 5, "0"))
+    // real cityLookup ids so the geomap broadcast join resolves coordinates
+    // (kafka_to_metrics.py:372-394 id set)
+    val lookupIds = Seq("3165524", "3173435", "3183560", "3169070", "3164603",
+      "3172394", "3176959", "3176219", "3170647", "3164527", "3164600", "3183299",
+      "3176217", "3172397", "3176218", "3176958", "3172395", "3171457", "3173331",
+      "3171180")
+    val cityId = element_at(array(lookupIds.map(lit): _*), cityIdx.cast("int") + 1)
     val eventTs = date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     val payload = kind match {
       case "booking" => struct(
@@ -30,7 +36,12 @@ object DemoJob {
         eventTs.as("event_ts"), eventTs.as("ingest_ts"),
         concat(lit("BKG-"), col("value").cast("string")).as("booking_id"),
         cityId.as("city_id"), concat(lit("city_"), cityIdx.cast("string")).as("city_name"),
-        date_format(col("timestamp") + expr("INTERVAL 7 DAYS"), "yyyy-MM-dd").as("checkin_date"),
+        // a third of bookings arrive today so the current_date()-filtered
+        // city_today query has data to emit
+        when(pmod(col("value"), lit(3)) === 0,
+          date_format(col("timestamp"), "yyyy-MM-dd"))
+          .otherwise(date_format(col("timestamp") + expr("INTERVAL 7 DAYS"), "yyyy-MM-dd"))
+          .as("checkin_date"),
         (pmod(col("value"), lit(4)) + 1).cast("int").as("nights"),
         (pmod(col("value"), lit(3)) + 1).cast("int").as("rooms"),
         (pmod(col("value"), lit(4)) + 1).cast("int").as("guests"),

@@ -116,8 +116,16 @@ class DimensionBuild(spark: SparkSession) {
       .withColumn("stars_num", starsNorm(col("stars")))
       .withColumn("norm_city", normalizeName(col("addr_city")))
       .filter(col("lat").isNotNull && col("lon").isNotNull)
-    val cityDim = cities.select(col("city_id"), col("city_name"), col("norm_name"),
-      col("lat").as("c_lat"), col("lon").as("c_lon"))
+    // norm_name is unique only per (norm_name, admin1) after buildCities —
+    // same-named towns in different provinces would multiply hotel rows
+    // through the name join. Disambiguate: keep the highest-population city
+    // per norm_name for pass 1 (pass 2's NN fallback resolves by geometry
+    // anyway).
+    val cityDim = EtlOps.keepFirstPerKey(
+      cities.select(col("city_id"), col("city_name"), col("norm_name"),
+        col("population"), col("lat").as("c_lat"), col("lon").as("c_lon")),
+      Seq(col("norm_name")), Seq(col("population").desc, col("city_id").asc))
+      .drop("population")
     // pass 1: exact normalized-name join
     val byName = parsed.join(broadcast(cityDim), col("norm_city") === col("norm_name"), "left")
     val matched = byName.filter(col("city_id").isNotNull)

@@ -66,10 +66,14 @@ object Prometheus {
   def push(gatewayUrl: String, job: String, instance: String, body: String): Boolean =
     try {
       val uri = URI.create(s"$gatewayUrl/metrics/job/$job/instance/$instance")
+      // POST, not PUT: all 14 queries share one Pushgateway group
+      // (job/instance), and PUT replaces the whole group — each query's push
+      // would erase the other 13 queries' metrics. POST replaces only
+      // same-named metrics (matches the reference, kafka_to_metrics.py:66).
       val req = HttpRequest.newBuilder(uri)
         .timeout(Duration.ofSeconds(3))
         .header("Content-Type", "text/plain; version=0.0.4")
-        .PUT(HttpRequest.BodyPublishers.ofString(body))
+        .POST(HttpRequest.BodyPublishers.ofString(body))
         .build()
       val rsp = client.send(req, HttpResponse.BodyHandlers.discarding())
       rsp.statusCode() / 100 == 2

@@ -127,7 +127,6 @@ object DedupOps {
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
-    var prev: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -141,10 +140,13 @@ object DedupOps {
           col("rep").as("prev_rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
-      prev = Some(next)
       labels = next.select("doc_id", "rep")
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[dedupClusters] WARNING: not converged after $maxIter rounds " +
+        "(a duplicate chain longer than maxIter exists); clusters may be split. " +
+        "Raise maxIter for deep-chain corpora.")
     // persisted frames are left cached for the query lifetime — lineage of
     // the returned frame passes through every round
     labels.withColumn("keep", col("doc_id") === col("rep"))

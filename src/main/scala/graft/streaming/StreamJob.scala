@@ -35,7 +35,18 @@ class StreamJob(spark: SparkSession, config: StreamJobConfig,
   import StreamOps._
 
   type Push = Seq[(String, Seq[(String, String)], Double)] => Unit
-  private val push: Push = ms => if (ms.nonEmpty) pushFn(Prometheus.render(ms))
+
+  /** Collapse duplicate (name, labels) samples before rendering — a
+    * micro-batch can update two windows of the same unlabeled monitor metric
+    * (e.g. a trigger straddling a minute boundary), and Pushgateway rejects
+    * bodies with duplicate samples. Last value wins, insertion order kept
+    * (the reference's dict-keyed metrics map, kafka_to_metrics.py:524-548). */
+  private val push: Push = ms => if (ms.nonEmpty) {
+    val deduped = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Seq[(String, String)]), Double]
+    ms.foreach { case (n, ls, v) => deduped((n, ls)) = v }
+    pushFn(Prometheus.render(deduped.map { case ((n, ls), v) => (n, ls, v) }.toSeq))
+  }
 
   /** 20-row static geo lookup (kafka_to_metrics.py:372-394). */
   def cityLookup: DataFrame = {

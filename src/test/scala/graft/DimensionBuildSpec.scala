@@ -145,6 +145,26 @@ class DimensionBuildSpec extends SparkSpec {
       r.getAs[String]("hotel_id")))
   }
 
+  test("hotels: ambiguous city name across provinces does not multiply hotel rows") {
+    // two "Borgo" cities in different admin1 regions + one Borgo hotel
+    val geo2 = write("IT2.txt", Seq(
+      Seq("1000001", "Borgo", "Borgo", "", "41.00", "12.00", "P", "PPL", "IT", "", "07",
+        "RM", "", "", "50000", "", "10", "Europe/Rome", "2024-01-01"),
+      Seq("1000002", "Borgo", "Borgo", "", "45.00", "9.00", "P", "PPL", "IT", "", "09",
+        "MI", "", "", "9000", "", "10", "Europe/Rome", "2024-01-01")
+    ).map(_.mkString("\t")).mkString("\n"))
+    val osm2 = write("hotels2.csv",
+      """osm_id,name,stars,addr_city,wkt
+        |hb1,Hotel Borgo,3,Borgo,POINT (12.0000 41.0000)
+        |""".stripMargin)
+    val cities2 = job.buildCities(geo2)
+    assert(cities2.count() === 2) // both survive (different admin1)
+    val hotels2 = job.buildHotels(osm2, cities2)
+    assert(hotels2.count() === 1, "name join must not fan out on ambiguous names")
+    // resolved to the higher-population Borgo
+    assert(hotels2.collect().head.getAs[String]("city_id") === "1000001")
+  }
+
   test("airports: IT + IATA filters, duplicate IATA resolved by type rank") {
     val got = job.buildAirports(airports).collect()
       .map(r => (r.getAs[String]("airport_code"), r.getAs[String]("ident"))).toSet

@@ -121,6 +121,15 @@ class StreamJobSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("duplicate (name, labels) samples collapse before push (Pushgateway rejects dups)") {
+    // two windows of the same unlabeled monitor metric in one micro-batch
+    val df = Seq(Tuple1(10L), Tuple1(20L)).toDF("weather_count")
+    pushed.synchronized(pushed.clear())
+    job.pushBatchCounts(df, 0L)
+    val body = pushed.synchronized(pushed.mkString)
+    assert(body.linesIterator.count(_.startsWith("tourism_weather_msgs_per_min")) === 1, body)
+  }
+
   test("prometheus renderer escapes labels and renders bare metrics") {
     import graft.metrics.Prometheus
     val body = Prometheus.render(Seq(
