@@ -15,6 +15,32 @@ object AQueries {
 
   private val streamQueryId = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Shared harness for true-streaming queries through the correctness gate:
+    * stage the single-file events table behind a symlink dir
+    * (FileStreamSource requires a directory), stream -> watermark ->
+    * transform -> memory sink under Trigger.AvailableNow, return the sink
+    * table. Temp artifacts are registered for JVM-exit cleanup. */
+  private def runEventStream(s: SparkSession, dir: String, prefix: String,
+                             outputMode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory(s"${prefix}_events")
+    val link = java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    link.toFile.deleteOnExit()
+    streamDir.toFile.deleteOnExit()
+    val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "45 seconds")
+    val qn = s"${prefix}_out_${streamQueryId.incrementAndGet()}"
+    val q = transform(stream).writeStream.outputMode(outputMode)
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
   val queries: Map[String, Q] = Map(
     "a01_source_roundtrip" -> ((s, dir) => {
       // A1+A2 end-to-end: typed rows -> Kafka frame shape (JSON value,
@@ -30,25 +56,11 @@ object AQueries {
     }),
 
     "a05_watermark_stream" -> ((s, dir) => {
-      // True Structured Streaming through the correctness gate: file source
-      // -> watermark -> 1-min windowed count per type -> memory sink
-      // (Trigger.AvailableNow, update mode emits final per-window values).
-      // FileStreamSource requires a directory; stage the single-file table
-      // behind a symlink in a temp dir.
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("a05_events")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "45 seconds")
-      val agg = StreamOps.windowKeyedCount(stream, "ts", "1 minute", Seq(col("event_type")))
-      val qn = s"a05_out_${streamQueryId.incrementAndGet()}"
-      val q = agg.writeStream.outputMode("update").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
+      // True Structured Streaming through the correctness gate: watermark ->
+      // 1-min windowed count per type (update mode + single AvailableNow
+      // batch emits final per-window values).
+      runEventStream(s, dir, "a05", "update")(
+        StreamOps.windowKeyedCount(_, "ts", "1 minute", Seq(col("event_type"))))
         .select(wStart(), col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
     }),
@@ -228,24 +240,13 @@ object AQueries {
     }),
 
     "a27_stream_dedup" -> ((s, dir) => {
-      // Streaming dedup through the real streaming path (AvailableNow file
-      // source), keyed on (user_id, event_type); batch twin = DISTINCT.
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val streamDir = java.nio.file.Files.createTempDirectory("a27_events")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "45 seconds")
-      val deduped = StreamOps.streamDedup(
-        stream.select(col("user_id"), col("event_type"), col("ts")),
-        Seq("user_id", "event_type"))
-      val qn = s"a27_out_${streamQueryId.incrementAndGet()}"
-      val q = deduped.writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn).select("user_id", "event_type").orderBy("user_id", "event_type")
+      // Streaming dedup through the real streaming path, keyed on
+      // (user_id, event_type); batch twin = DISTINCT.
+      runEventStream(s, dir, "a27", "append")(stream =>
+        StreamOps.streamDedup(
+          stream.select(col("user_id"), col("event_type"), col("ts")),
+          Seq("user_id", "event_type")))
+        .select("user_id", "event_type").orderBy("user_id", "event_type")
     }),
 
     "a22_minmax_norm" -> ((s, dir) => {
@@ -393,6 +394,9 @@ object AQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "a01_source_roundtrip" ->
+      """SELECT event_id, event_type, user_id, value FROM events ORDER BY event_id""",
+
     "a05_watermark_stream" ->
       s"""SELECT ${minuteSql("ts")} AS w_start, event_type, COUNT(*) AS cnt
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

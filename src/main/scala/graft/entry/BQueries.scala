@@ -29,7 +29,10 @@ object BQueries {
     "b01_csv_sniff" -> ((s, dir) => {
       // B1: write the region table as a ';'-separated CSV, sniff the
       // delimiter from the head bytes, and read it back distributed.
-      val tmp = java.nio.file.Files.createTempDirectory("b01_csv").toString
+      // Fixed reused scratch dir (overwrite mode) so repeated runs don't
+      // litter /tmp with a copy of the table each time.
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_b01_csv").toString
       region(s, dir).coalesce(1).write.mode("overwrite")
         .option("header", "true").option("delimiter", ";").csv(tmp)
       EtlOps.readSniffedCsv(s, tmp)
