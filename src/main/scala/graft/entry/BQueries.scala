@@ -372,8 +372,8 @@ object BQueries {
 
     "b07_pivot" ->
       s"""SELECT l_returnflag,
-         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS F,
-         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS O
+         |  ${decSumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+         |  ${decSumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "b08_ratio" ->

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *  - double outputs are rounded via scale-multiply round(x*10^n)/10^n so the
   *    oracle engine rounds the same double identically (see [[rnd]]);
   *  - sums over money-like doubles run through DECIMAL(18,4) so both engines
-  *    sum exactly, output DECIMAL(38,6);
+  *    sum exactly, then output as a 4-dp-rounded DOUBLE (see [[decOut]]);
   *  - every query orders by its key columns.
   */
 object QueryHelpers {
@@ -22,7 +22,15 @@ object QueryHelpers {
     unix_timestamp(col(s"$c.start")).as("w_start")
 
   def dec(c: Column): Column = c.cast("decimal(18,4)")
-  def decOut(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** Output convention for money-like sums: the SUM itself runs in
+    * DECIMAL(18,4) (exact, order-independent), but the *emitted* column is a
+    * 4-dp-rounded DOUBLE. Rendering a DECIMAL(38,6) surface form differs
+    * between Spark and DuckDB (trailing-zero/width conventions), which
+    * hash-mismatches even when values are numerically identical; the decimal
+    * sum is exact so the double conversion + scale-multiply round is
+    * deterministic in both engines. */
+  def decOut(c: Column): Column = rnd(c.cast("double"))
 
   /** 4-decimal rounding via scale-multiply, NOT round(x, 4): Spark rounds the
     * exact binary expansion of the double while DuckDB multiplies by 1e4
@@ -41,7 +49,7 @@ object QueryHelpers {
   def minuteSql(tsExpr: String): String =
     s"CAST(floor(epoch(date_trunc('minute', $tsExpr))) AS BIGINT)"
   def decSumSql(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DECIMAL(38,6))"
+    s"round(CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE) * 10000) / 10000"
 
   val seasonAnalogSql: String =
     "CASE (day(ts) % 4) WHEN 0 THEN 'winter' WHEN 1 THEN 'spring' WHEN 2 THEN 'summer' ELSE 'autumn' END"

@@ -11,6 +11,31 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
+def render(v):
+    """Canonical rendering of a cell, approximating the driver's hash input.
+    Integral floats render without the trailing .0 so an int64 column on one
+    side and a float64 on the other (pandas nullable-int promotion) agree."""
+    import decimal, math
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
+        return repr(v)
+    if v is pd.NaT:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    s = str(v)
+    # DATE columns come back as datetime.date from Spark parquet but as
+    # midnight datetime64 from DuckDB's .df(); the driver treats them as equal
+    # (a04/a11 passed round 1), so strip the midnight time part on both sides.
+    if s.endswith(" 00:00:00"):
+        s = s[: -len(" 00:00:00")]
+    return s
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: decimals -> float strings with fixed scale, ts -> iso
@@ -65,6 +90,23 @@ def main(out_dir, sf_dir):
             bad = got[mismatch] != want[mismatch]
             print(f"VALUE MISMATCH  {name}.{mismatch}: "
                   f"got {got[mismatch][bad].head(3).tolist()} want {want[mismatch][bad].head(3).tolist()}")
+            n_fail += 1
+            continue
+        # strict render check mimicking the driver's hash compare: the driver
+        # hashes rendered values, so a Decimal('1.500000') vs float 1.5 that
+        # is numerically equal still hash-mismatches (this is exactly what the
+        # tolerant check above missed in round 1 — 8 DECIMAL(38,6) queries).
+        hash_risk = None
+        for c in got.columns:
+            gr = got[c].map(render)
+            wr = want[c].map(render)
+            if not (gr == wr).all():
+                bad = gr != wr
+                hash_risk = (c, gr[bad].head(3).tolist(), wr[bad].head(3).tolist())
+                break
+        if hash_risk:
+            c, gv, wv = hash_risk
+            print(f"HASH RISK       {name}.{c}: got {gv} want {wv}")
             n_fail += 1
         else:
             print(f"OK              {name} ({len(got)} rows)")
