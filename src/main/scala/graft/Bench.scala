@@ -37,7 +37,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val headline = SparkEntry.queries.filterNot { case (k, _) => bruteForceTwins(k) }
+    // a20/a21/a23 are benched through their production percentile_approx
+    // variants (same keys); the exact-percentile plans exist only as DuckDB
+    // oracle twins and are exercised by Verify.
+    val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides)
+      .filterNot { case (k, _) => bruteForceTwins(k) }
     // warm the JVM/codegen path once (against the BENCH sf dir, guarded —
     // a failed warm-up must not kill the whole run) so per-query numbers
     // measure the plan, not first-run class loading

@@ -7,10 +7,11 @@ import QueryHelpers._
 
 /** Training-data pipeline queries over the documents/embeddings tables
   * (SURVEY.md §2E): text analysis (t), deduplication (d), similarity
-  * search (s), multimodal plumbing (m). Each is DuckDB-oracle-checked
-  * except the approximate ANN variants (s02/s03), whose recall against the
-  * exact baseline is asserted in SimilaritySpec instead (an approximate
-  * index has no closed-form SQL twin).
+  * search (s), multimodal plumbing (m). Every key is DuckDB-oracle-checked,
+  * including the approximate ANN variants: the LSH planes and IVF codebook
+  * are deterministic hash60 literals, so the bucket assignment — and hence
+  * the full approximate result — is SQL-expressible. SimilaritySpec
+  * additionally asserts their recall against the exact baseline.
   */
 object DQueries {
 
@@ -100,7 +101,8 @@ object DQueries {
     }),
 
     "s02_ann_lsh" -> ((s, dir) => {
-      // Approximate: no SQL twin; recall vs s01 asserted in SimilaritySpec.
+      // Approximate, but fully deterministic: the hyperplanes are hash60
+      // literals, so the DuckDB twin reproduces the exact bucket assignment.
       val emb = embeddings(s, dir)
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .select(col("q_id"), col("rank"), col("nn_id"), rnd(col("cos")).as("cos"))
@@ -108,7 +110,8 @@ object DQueries {
     }),
 
     "s03_ann_ivf" -> ((s, dir) => {
-      // Approximate: no SQL twin; recall vs s01 asserted in SimilaritySpec.
+      // Approximate, but fully deterministic: the codebook anchors are
+      // hash60 literals, so the DuckDB twin reproduces the cell assignment.
       val emb = embeddings(s, dir)
       val codebook = SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), codebook,
@@ -152,7 +155,79 @@ object DQueries {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
   }
 
+  /** DuckDB twin of Hashing.hash60. */
+  private def h60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Twin of SimilarityOps.lshTopK (numTables=16, planes=6, dim=64): the
+    * ±1 hyperplanes are rebuilt from hash60 exactly as
+    * SimilarityOps.planeWeights does, projections fold left-to-right in
+    * DOUBLE (bit-identical to Spark's aggregate()), so bucket ids — and the
+    * candidate set — match the Spark plan exactly. */
+  private val lshOracle: String = {
+    val planeBit = h60Sql(
+      "CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    s"""WITH planes AS (
+       |  SELECT t, p, list_transform(range(0, 64), d ->
+       |    CASE WHEN ($planeBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM range(0, 16) t1(t), range(0, 6) t2(p)),
+       |bk AS (
+       |  SELECT e.vec_id, pl.t AS tbl,
+       |    SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |               i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+       |             THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT)) ELSE 0 END) AS bucket
+       |  FROM embeddings e, planes pl GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS nn_id
+       |  FROM bk qb JOIN bk cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.nn_id, ${cosSql("q.embedding", "n.embedding")} AS cs,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.nn_id) AS rank
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.q_id
+       |  JOIN embeddings n ON n.vec_id = c.nn_id)
+       |SELECT q_id, rank, nn_id, ${rndSql("cs")} AS cos
+       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Twin of SimilarityOps.ivfTopK (nCells=16, nProbe=4, k=5, dim=64): the
+    * codebook is rebuilt from hash60; the argmax cell (min(struct) in Spark)
+    * is ORDER BY acos DESC, cell here — identical tie-breaking. */
+  private val ivfOracle: String = {
+    val anchorBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    s"""WITH cb AS (
+       |  SELECT cell, list_transform(range(0, 64), d ->
+       |    CASE WHEN ($anchorBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+       |  FROM range(0, 16) t1(cell)),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+       |    FROM embeddings e, cb c) WHERE r = 1),
+       |qcells AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT e.vec_id AS q_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS crank
+       |    FROM embeddings e, cb c WHERE e.vec_id < 10) WHERE crank <= 4),
+       |scored AS (
+       |  SELECT qc.q_id, a.vec_id AS nn_id, ${cosSql("q.embedding", "n.embedding")} AS cs,
+       |    row_number() OVER (PARTITION BY qc.q_id
+       |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, a.vec_id) AS rank
+       |  FROM qcells qc
+       |  JOIN assigned a ON qc.cell = a.cell AND a.vec_id <> qc.q_id
+       |  JOIN embeddings q ON q.vec_id = qc.q_id
+       |  JOIN embeddings n ON n.vec_id = a.vec_id)
+       |SELECT q_id, rank, nn_id, ${rndSql("cs")} AS cos
+       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "s02_ann_lsh" -> lshOracle,
+
+    "s03_ann_ivf" -> ivfOracle,
+
     "t01_token_count" ->
       s"""SELECT doc_id, len($toksSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
