@@ -74,7 +74,7 @@ object DQueries {
       val docs = documents(s, dir)
       val sh = DedupOps.shingleSets(docs, col("doc_id"), col("text"), 3)
       val pairs = DedupOps.minhashLshPairs(sh, JaccardThreshold)
-      DedupOps.dedupClusters(docs.select("doc_id"), pairs)
+      DedupOps.dedupClusters(docs.select("doc_id"), pairs, strict = true)
         .select(col("doc_id"), col("rep"), col("keep").cast("int").as("keep"))
         .orderBy("doc_id")
     }),
@@ -319,9 +319,14 @@ object DQueries {
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "m01_media_features" ->
+      // first/last UTF-8 *byte* via hex(encode(...)), not ascii(): ascii()
+      // returns the code point of the first character, which diverges from
+      // the byte for any multibyte text
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  ascii(substr(text, length(text), 1)) AS last_byte
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
+        |       ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) END AS first_byte,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
+        |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

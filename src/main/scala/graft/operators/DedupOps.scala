@@ -111,45 +111,79 @@ object DedupOps {
   }
 
   /** Duplicate-cluster assignment: connected components over near-dup pairs
-    * via iterative min-label propagation — rep(x) := min(rep(x),
-    * min(rep(neighbors))) until fixpoint. Converges in O(cluster diameter)
-    * rounds (near-dup clusters are shallow — pairs are mutually similar), each
-    * round one shuffle join + aggregate; the standard large-graph CC shape.
-    * Returns (doc_id, rep, keep) — keep = the cluster's minimum id survives.
+    * via min-label propagation with path halving — per round,
+    * rep(x) := min(rep(x), min(rep(neighbors)), rep(rep(x))). The rep(rep)
+    * hop doubles how far the minimum label reaches each round, so a
+    * depth-d chain converges in O(log d) rounds instead of O(d); each round
+    * is two shuffle joins + one aggregate, one action. The superseded
+    * round's cache is unpersisted as soon as the new one is materialized, so
+    * executor memory holds at most two label frames regardless of round
+    * count. Returns (doc_id, rep, keep) — keep = the cluster's minimum id
+    * survives.
     *
     * `ids` must cover every document (isolated docs form singleton
-    * clusters); `pairs` carries (doc_a, doc_b). */
-  def dedupClusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * clusters); `pairs` carries (doc_a, doc_b). With `strict`, failing to
+    * converge within maxIter throws instead of warning — oracle-checked
+    * runs use this so a split cluster is a structured failure, not a silent
+    * hash mismatch. */
+  def dedupClusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+                    strict: Boolean = false): DataFrame =
+    dedupClustersWithRounds(ids, pairs, maxIter, strict)._1
+
+  /** [[dedupClusters]] plus the number of propagation rounds executed —
+    * exposed so tests can assert the O(log d) convergence. */
+  def dedupClustersWithRounds(ids: DataFrame, pairs: DataFrame,
+                              maxIter: Int = 20,
+                              strict: Boolean = false): (DataFrame, Int) = {
+    val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the pair set first: the symmetric edge union reads it twice,
     // and upstream pair mining (LSH) is the expensive part
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.persist(MemDisk)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
+      .persist(MemDisk)
+    // `cached` is the persisted frame backing `labels`; kept separate so the
+    // right plan is unpersisted (unpersist on a derived select is a no-op)
+    var cached = ids.select(col("doc_id"), col("doc_id").as("rep")).persist(MemDisk)
+    var labels = cached
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("nbr_id")).agg(min(col("rep")).as("nbr_rep"))
-      // carry the previous rep alongside so convergence is a filter over the
-      // persisted frame, not an extra self-join per round
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_id"), "left")
-        // least() skipping nulls is exactly right here: no neighbor -> keep rep
+      // least() skipping nulls is exactly right here: no neighbor -> keep rep
+      val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_id"), "left")
         .select(col("doc_id"), least(col("rep"), col("nbr_rep")).as("rep"),
           col("rep").as("prev_rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("rep") =!= col("prev_rep")).isEmpty
+      // path halving: follow one extra hop rep -> rep(rep); rep is itself a
+      // doc_id (the component minimum so far), so the self-join always hits
+      val hop = labels.select(col("doc_id").as("r_id"), col("rep").as("r_rep"))
+      val next = prop.join(hop, prop("rep") === hop("r_id"), "left")
+        .select(col("doc_id"), least(col("rep"), col("r_rep")).as("rep"),
+          col("prev_rep"))
+        .persist(MemDisk)
+      // count(), not isEmpty: the single action doubles as the convergence
+      // check AND full materialization of `next`, making it safe to drop the
+      // previous round's cache without recompute cascades
+      converged = next.filter(col("rep") =!= col("prev_rep")).count() == 0
+      val prev = cached
+      cached = next
       labels = next.select("doc_id", "rep")
+      prev.unpersist(false)
       i += 1
     }
-    if (!converged)
-      System.err.println(s"[dedupClusters] WARNING: not converged after $maxIter rounds " +
-        "(a duplicate chain longer than maxIter exists); clusters may be split. " +
-        "Raise maxIter for deep-chain corpora.")
-    // persisted frames are left cached for the query lifetime — lineage of
-    // the returned frame passes through every round
-    labels.withColumn("keep", col("doc_id") === col("rep"))
+    if (!converged) {
+      val msg = s"[dedupClusters] not converged after $maxIter rounds " +
+        "(a duplicate chain deeper than maxIter exists); clusters may be split. " +
+        "Raise maxIter for deep-chain corpora."
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(s"WARNING: $msg")
+    }
+    // the final round's frame is fully cached (count() above), so the edge
+    // caches can go — the returned frame is served from that cache
+    p.unpersist(false)
+    edges.unpersist(false)
+    (labels.withColumn("keep", col("doc_id") === col("rep")), i)
   }
 
   /** 60-bit SimHash per document: explode tokens, hash, per-bit signed vote

@@ -62,6 +62,26 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("dedupClusters: path halving converges a deep chain in O(log d) rounds") {
+    val depth = 16
+    val ids = (0L until depth).toDF("doc_id")
+    val chain = (0L until depth - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, rounds) = DedupOps.dedupClustersWithRounds(ids, chain)
+    val labels = out.orderBy("doc_id").collect().map(_.getLong(1))
+    assert(labels.forall(_ == 0L)) // one component, min id 0
+    // pure 1-hop propagation needs ~depth rounds; halving must beat half that
+    assert(rounds <= depth / 2,
+      s"expected <= ${depth / 2} rounds on a depth-$depth chain, got $rounds")
+  }
+
+  test("dedupClusters: strict mode throws on non-convergence instead of warning") {
+    val ids = (0L until 8L).toDF("doc_id")
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      DedupOps.dedupClusters(ids, chain, maxIter = 1, strict = true)
+    }
+  }
+
   test("simhash: identical docs hamming 0, near-dups small, distinct docs large") {
     val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
