@@ -19,8 +19,12 @@ import graft.operators.{EtlOps, RadiusDedup}
 class DimensionBuild(spark: SparkSession) {
 
   /** GeoNames cities base: filter populated places, coerce, normalize name,
-    * keep-richest dedup per (norm name, admin1)
-    * (clean_cities_geonames.py:77-90, rebuild_and_merge_cities_it.py:108-142). */
+    * region cascade (admin2 province code → admin1 code → "(Unknown)",
+    * clean_cities_geonames.py:19-87), keep-richest dedup per
+    * (norm name, admin1)
+    * (clean_cities_geonames.py:77-90, rebuild_and_merge_cities_it.py:108-142).
+    * The lookups ride as map literals (try_element_at) — pure codegen'd
+    * expressions, no join. */
   def buildCities(geonamesTsv: String): DataFrame = {
     val geoCols = Seq("geonameid", "name", "asciiname", "alternatenames", "lat", "lon",
       "feature_class", "feature_code", "country_code", "cc2", "admin1_code",
@@ -39,16 +43,24 @@ class DimensionBuild(spark: SparkSession) {
       .withColumn("lon", col("lon").try_cast("double"))
       .filter(col("population") > 0)
       .withColumn("norm_name", normalizeName(col("name")))
+      .withColumn("region",
+        coalesce(
+          try_element_at(typedLit(ItalianRegions.provinceToRegion), col("admin2_code")),
+          try_element_at(typedLit(ItalianRegions.admin1ToRegion),
+            lpad(col("admin1_code"), 2, "0")),
+          lit(ItalianRegions.Unknown)))
       .transform(df => EtlOps.keepFirstPerKey(df,
         Seq(col("norm_name"), col("admin1_code")),
         Seq(col("population").desc, col("geonameid").asc)))
       .select(col("geonameid").as("city_id"), col("name").as("city_name"),
-        col("norm_name"), col("asciiname"), col("admin1_code"),
+        col("norm_name"), col("asciiname"), col("admin1_code"), col("region"),
         col("lat"), col("lon"), col("population"))
   }
 
   /** One ISTAT source: sniffed separator, header/cell normalization, fuzzy
-    * column resolution, locale numerics, latest year, long→wide pivot
+    * column resolution, locale numerics, latest *common* year across the
+    * requested metrics (max of the per-metric year-set intersection, overall
+    * max as fallback — clean_istat_commuting.py:108-156), long→wide pivot
     * (istat_utils.py, clean_istat_abitazioni.py). Returns (norm_name key,
     * one column per metric code). */
   def cleanIstat(path: String, territoryCands: Seq[String], metricCands: Seq[String],
@@ -67,7 +79,7 @@ class DimensionBuild(spark: SparkSession) {
       .withColumn("__year", col(year).try_cast("int"))
       .filter(!col(terr).rlike("^IT[A-Z]{0,2}\\d{0,2}$")) // drop macro territories
     EtlOps.pivotWide(
-      EtlOps.latestYearFilter(typed, col("__year")),
+      EtlOps.latestCommonYearFilter(typed, col("__year"), col(metric), metrics),
       Seq(normalizeName(col(terr)).as("norm_name")),
       metric, metrics, max(col("__value")))
   }

@@ -31,13 +31,21 @@ object EtlOps {
     val head = {
       val file =
         if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".csv")).head
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".csv"))
+            .headOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"sniffDelimiter: no .csv file under directory $path"))
         else p
       val in = fs.open(file)
       try {
+        // loop: a single read() may legally short-read, which would silently
+        // degrade the frequency count below
         val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
+        var off = 0
+        var n = 0
+        while (off < buf.length && { n = in.read(buf, off, buf.length - off); n >= 0 })
+          off += n
+        new String(buf, 0, off, "UTF-8")
       } finally in.close()
     }
     candidates.maxBy(c => head.count(_ == c))
@@ -91,6 +99,29 @@ object EtlOps {
   def latestYearFilter(df: DataFrame, yearCol: Column): DataFrame = {
     val maxY = df.agg(max(yearCol).as("__max_year"))
     df.join(broadcast(maxY), yearCol === col("__max_year")).drop("__max_year")
+  }
+
+  /** Multi-metric variant of [[latestYearFilter]]
+    * (clean_istat_commuting.py:108-156): pick the newest year present for
+    * EVERY metric that has any data — max of the intersection of per-metric
+    * year sets — falling back to the overall max year when no common year
+    * exists. The year/metric census is a distinct over two small columns and
+    * two 1-row aggregates; the chosen year broadcast-joins back onto the
+    * fact, which never shuffles. */
+  def latestCommonYearFilter(df: DataFrame, yearCol: Column, metricCol: Column,
+                             metrics: Seq[String]): DataFrame = {
+    val my = df.filter(metricCol.isin(metrics: _*) && yearCol.isNotNull)
+      .select(metricCol.as("__m"), yearCol.as("__y")).distinct()
+    val target = my
+      .crossJoin(broadcast(my.agg(count_distinct(col("__m")).as("__m_total"))))
+      .groupBy(col("__y"), col("__m_total"))
+      .agg(count_distinct(col("__m")).as("__nm"))
+      .agg(
+        max(when(col("__nm") === col("__m_total"), col("__y"))).as("__common_y"),
+        max(col("__y")).as("__any_y"))
+      .select(coalesce(col("__common_y"), col("__any_y")).as("__target_year"))
+    df.join(broadcast(target), yearCol === col("__target_year"))
+      .drop("__target_year")
   }
 
   // --- B7: pivot long->wide (clean_istat_abitazioni.py:35) ------------------

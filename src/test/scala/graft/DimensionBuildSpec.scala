@@ -92,6 +92,58 @@ class DimensionBuildSpec extends SparkSpec {
       ("3169070", "Napoli", 950000L)))
   }
 
+  test("cities base: region cascade admin2 -> admin1 fallback -> (Unknown)") {
+    // tier 1: province code wins even when admin1 disagrees (Napoli row
+    // carries admin1=04/Trentino but NA -> Campania)
+    val regions = cities.select("city_name", "region").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(regions("Napoli") === "Campania")
+    assert(regions("Roma") === "Lazio")
+    assert(regions("Milano") === "Lombardia")
+    // tier 2 + 3: unknown admin2 falls back to admin1 (4 -> zero-padded 04);
+    // both unknown -> "(Unknown)"
+    val geo3 = write("IT3.txt", Seq(
+      Seq("2000001", "Bolzano", "Bolzano", "", "46.49", "11.35", "P", "PPLA", "IT", "", "4",
+        "ZZ", "", "", "107000", "", "262", "Europe/Rome", "2024-01-01"),
+      Seq("2000002", "Atlantide", "Atlantide", "", "40.00", "10.00", "P", "PPL", "IT", "", "99",
+        "", "", "", "1000", "", "0", "Europe/Rome", "2024-01-01")
+    ).map(_.mkString("\t")).mkString("\n"))
+    val got = job.buildCities(geo3).select("city_name", "region").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("Bolzano") === "Trentino-Alto Adige/Südtirol")
+    assert(got("Atlantide") === "(Unknown)")
+  }
+
+  test("ISTAT clean: target year is the newest COMMON year, not the newest overall") {
+    // metric A has {2019, 2021}, metric B only {2019} -> intersection {2019}
+    val src = write("istat_common_year.csv",
+      """Territorio;Codice Metrica;Valore;Anno
+        |Roma;resident_population;2.800.000,0;2019
+        |Roma;resident_population;2.850.000,0;2021
+        |Roma;commuting_population;600.000,0;2019
+        |""".stripMargin)
+    val out = job.cleanIstat(src,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("resident_population", "commuting_population"))
+    val roma = out.filter(col("norm_name") === "roma").collect().head
+    assert(roma.getAs[Double]("resident_population") === 2800000.0) // 2019 value
+    assert(roma.getAs[Double]("commuting_population") === 600000.0)
+  }
+
+  test("ISTAT clean: no common year falls back to the newest overall year") {
+    val src = write("istat_disjoint_years.csv",
+      """Territorio;Codice Metrica;Valore;Anno
+        |Roma;resident_population;2.800.000,0;2011
+        |Roma;commuting_population;600.000,0;2021
+        |""".stripMargin)
+    val out = job.cleanIstat(src,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("resident_population", "commuting_population"))
+    val roma = out.filter(col("norm_name") === "roma").collect().head
+    assert(roma.isNullAt(roma.fieldIndex("resident_population"))) // 2011 dropped
+    assert(roma.getAs[Double]("commuting_population") === 600000.0) // 2021 kept
+  }
+
   test("ISTAT clean: sniffed separator, fuzzy columns, locale numerics, latest year, pivot") {
     val hh = job.cleanIstat(istatHouseholds,
       Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
