@@ -87,6 +87,61 @@ object StreamOps {
     df.groupBy(keys: _*)
       .agg(count(lit(1)).as("arrivals"), sum(spend).as("spend_sum"))
 
+  /** Output row of [[runningTotalsTtl]]. */
+  case class KeyTotals(key: Long, arrivals: Long, spend_sum: Double)
+
+  /** [[runningTotals]] with a state TTL — the SURVEY.md §7.4.2 escape hatch
+    * for the reference's unbounded-state running totals: when a key receives
+    * no events for `ttl` past the watermark, its state is evicted
+    * (flatMapGroupsWithState + EventTimeTimeout), so an unbounded key domain
+    * (e.g. user ids at 100 TB) cannot grow state forever. Totals restart
+    * from zero if an evicted key reappears — the documented trade-off vs the
+    * reference's keep-everything semantics. Requires an upstream
+    * withWatermark on `tsCol` when streaming; in batch mode it degrades to
+    * plain per-key totals (timeouts never fire). */
+  def runningTotalsTtl(df: DataFrame, keyCol: String, valueCol: String,
+                       tsCol: String, ttl: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ttlMillis = scala.concurrent.duration.Duration(ttl).toMillis
+    val streaming = df.isStreaming
+    val spark = df.sparkSession
+    import spark.implicits._
+    // tsCol is selected untouched: a cast would project away the watermark
+    // metadata tag and EventTimeTimeout analysis would reject the plan
+    df.select(col(keyCol).cast("long"), col(valueCol).cast("double"), col(tsCol))
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), KeyTotals](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            // eviction: drop the state silently; the running total simply
+            // stops being updated (matches Prometheus-sink semantics where a
+            // stale series ages out)
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; s += r._2
+              if (r._3 != null && r._3.getTime > maxTs) maxTs = r._3.getTime
+            }
+            state.update((n, s))
+            // TTL anchored to the key's newest event (not the watermark —
+            // which is 0 on the first batch and would evict everything):
+            // the key survives as long as events keep arriving within ttl
+            // of each other on the stream's event-time clock
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(KeyTotals(key, n, s))
+          }
+      }
+      .toDF("key", "arrivals", "spend_sum")
+      .withColumnRenamed("key", keyCol)
+  }
+
   // --- A13: long tumbling windows "rolling" 30d/365d (:303-311) ------------
   def longWindowCount(df: DataFrame, tsCol: String, dur: String,
                       keys: Seq[Column]): DataFrame =

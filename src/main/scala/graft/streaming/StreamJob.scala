@@ -265,8 +265,12 @@ class StreamJob(spark: SparkSession, config: StreamJobConfig,
         Seq(
           "city_id" -> optS(r, "city_id").getOrElse("NA"),
           "city_name" -> optS(r, "g_name_final").orElse(optS(r, "city_name")).getOrElse("NA"),
-          "lat" -> f"${optD(r, "g_lat").getOrElse(0.0)}%.5f",
-          "lon" -> f"${optD(r, "g_lon").getOrElse(0.0)}%.5f"),
+          // Locale.ROOT: the f interpolator is default-locale-dependent and a
+          // comma-decimal JVM would alter the label values (time-series identity)
+          "lat" -> String.format(java.util.Locale.ROOT, "%.5f",
+            Double.box(optD(r, "g_lat").getOrElse(0.0))),
+          "lon" -> String.format(java.util.Locale.ROOT, "%.5f",
+            Double.box(optD(r, "g_lon").getOrElse(0.0)))),
         optD(r, "bookings").getOrElse(0.0))
     }
     push(ms.toSeq)

@@ -130,6 +130,26 @@ class StreamJobSpec extends SparkSpec {
     assert(body.linesIterator.count(_.startsWith("tourism_weather_msgs_per_min")) === 1, body)
   }
 
+  test("kafka source: plan construction either resolves the connector or fails with the clean DATA_SOURCE_NOT_FOUND") {
+    // /opt/spark/jars ships without spark-sql-kafka; this smoke pins the
+    // failure mode so a classpath regression (or a future jar addition)
+    // surfaces here instead of at deploy time. Both outcomes are legal; a
+    // crash with an unrelated error is not.
+    val connectorPresent =
+      try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+      catch { case _: ClassNotFoundException => false }
+    if (connectorPresent) {
+      val df = graft.sources.EventSources.kafka(spark, "smoke.topic")
+      assert(df.isStreaming && df.columns.toSeq == Seq("key", "value", "kafka_ts"))
+    } else {
+      val e = intercept[Exception] {
+        graft.sources.EventSources.kafka(spark, "smoke.topic")
+      }
+      assert(e.getMessage != null && e.getMessage.toLowerCase.contains("kafka"),
+        s"expected a clean data-source-not-found error naming kafka, got: $e")
+    }
+  }
+
   test("prometheus renderer escapes labels and renders bare metrics") {
     import graft.metrics.Prometheus
     val body = Prometheus.render(Seq(

@@ -105,6 +105,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotalsTtl: idle key state evicts past the TTL, totals restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamOps.runningTotalsTtl(
+      mem.toDF().toDF("ts", "user_id", "spend").withWatermark("ts", "0 seconds"),
+      "user_id", "spend", "ts", ttl = "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("ttl_out").start()
+    try {
+      // batch 1: both keys live; watermark after the batch = 10:00
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, 10.0),
+        (ts("2024-01-01 10:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      // batch 2: only key 1; watermark -> 10:30, key 2's timeout (10:00+10m)
+      // is now in the past and fires on the next batch
+      mem.addData((ts("2024-01-01 10:30:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // batch 3: key 2 returns after eviction -> totals restart from zero
+      mem.addData((ts("2024-01-01 10:40:00"), 2L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ttl_out").as[(Long, Long, Double)].collect()
+      // key 1 accumulated across batches (never idle past TTL)
+      assert(rows.filter(_._1 == 1L).map(_._2).max == 2L)
+      // key 2's last emission is a fresh (1, 2.0), not (2, 7.0)
+      val k2 = rows.filter(_._1 == 2L)
+      assert(k2.map(_._2).max == 1L, s"key 2 state must have been evicted: ${k2.toSeq}")
+      assert(k2.map(_._3).max == 5.0) // 5.0 from batch 1, then restart at 2.0
+    } finally q.stop()
+  }
+
+  test("runningTotalsTtl: batch mode degrades to plain per-key totals") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (ts("2024-01-01 11:00:00"), 1L, 5.0),
+      (ts("2024-01-01 12:00:00"), 2L, 1.0)).toDF("ts", "user_id", "spend")
+    val out = StreamOps.runningTotalsTtl(df, "user_id", "spend", "ts", "10 minutes")
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 15.0), (2L, 1L, 1.0)))
+  }
+
   test("update-mode running totals over a stream (A12, unbounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
