@@ -38,8 +38,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // a20/a21/a23 are benched through their production percentile_approx
-    // variants (same keys); the exact-percentile plans exist only as DuckDB
-    // oracle twins and are exercised by Verify.
+    // variants; the exact-percentile plans exist only as DuckDB oracle twins
+    // and are exercised by Verify. NOTE the plan switch happened in r02 —
+    // r01 benched the exact plans under the same keys, so r01→r02 deltas on
+    // these keys measure the plan swap, not a same-plan speedup. The
+    // plan_notes field in the output JSON records this for trend readers.
     val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides)
       .filterNot { case (k, _) => bruteForceTwins(k) }
     // warm the JVM/codegen path once (against the BENCH sf dir, guarded —
@@ -68,7 +71,13 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    // plan provenance for trend readers: these keys changed plans between
+    // rounds, so round-over-round deltas on them measure the swap
+    val planNotes = """{"a20_percentiles":"percentile_approx since r02 (r01: exact)",""" +
+      """"a21_percentile_rejoin":"percentile_approx since r02 (r01: exact)",""" +
+      """"a23_season_score":"percentile_approx since r02 (r01: exact)",""" +
+      """"d06_dedup_clusters":"single-join augmented-edge CC rounds since r03 (r02: 3-join path halving, r01: 1-hop propagation)"}"""
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,11 +43,19 @@ class DimensionBuild(spark: SparkSession) {
       .withColumn("lon", col("lon").try_cast("double"))
       .filter(col("population") > 0)
       .withColumn("norm_name", normalizeName(col("name")))
+      // zfill semantics, not lpad: pad only when shorter than 2 (Spark's
+      // lpad TRUNCATES longer codes — a 3-char admin1 would silently map to
+      // a wrong region instead of falling through to Unknown). Normalized
+      // once here so the region lookup, the dedup key, and the output column
+      // all see the same value (the reference pads before dedup, so mixed
+      // '4'/'04' inputs must dedup together).
+      .withColumn("admin1_code",
+        when(length(col("admin1_code")) < 2, lpad(col("admin1_code"), 2, "0"))
+          .otherwise(col("admin1_code")))
       .withColumn("region",
         coalesce(
           try_element_at(typedLit(ItalianRegions.provinceToRegion), col("admin2_code")),
-          try_element_at(typedLit(ItalianRegions.admin1ToRegion),
-            lpad(col("admin1_code"), 2, "0")),
+          try_element_at(typedLit(ItalianRegions.admin1ToRegion), col("admin1_code")),
           lit(ItalianRegions.Unknown)))
       .transform(df => EtlOps.keepFirstPerKey(df,
         Seq(col("norm_name"), col("admin1_code")),

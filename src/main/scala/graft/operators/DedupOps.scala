@@ -114,9 +114,24 @@ object DedupOps {
     * via min-label propagation with path halving — per round,
     * rep(x) := min(rep(x), min(rep(neighbors)), rep(rep(x))). The rep(rep)
     * hop doubles how far the minimum label reaches each round, so a
-    * depth-d chain converges in O(log d) rounds instead of O(d); each round
-    * is two shuffle joins + one aggregate, one action. The superseded
-    * round's cache is unpersisted as soon as the new one is materialized, so
+    * depth-d chain converges in O(log d) rounds instead of O(d).
+    *
+    * The hop is NOT a separate self-join: the per-round graph is the static
+    * symmetric edge set augmented with the current pointer edges
+    * (x ↔ rep(x)) and a self-loop (x → x), so one shuffle join + one
+    * min-aggregate per round computes min(rep(x), rep(neighbors),
+    * rep(rep(x)), rep(children)) all at once — the alternating-algorithm
+    * shape from the MapReduce CC literature. The self-loop keeps isolated
+    * docs and removes the per-round left join; the x → rep(x) direction
+    * additionally lets a cluster's rep hear its children's labels, which
+    * only accelerates convergence.
+    *
+    * Convergence is detected without a changed-rows self-join: labels are
+    * monotonically non-increasing (the min always includes rep(x) via the
+    * self-loop), so the exact DECIMAL(38,0) sum of reps strictly decreases
+    * on any change — a 1-row aggregate doubles as the convergence check and
+    * the materializing action for the round's cache. The superseded round's
+    * cache is unpersisted as soon as the new one is materialized, so
     * executor memory holds at most two label frames regardless of round
     * count. Returns (doc_id, rep, keep) — keep = the cluster's minimum id
     * survives.
@@ -146,29 +161,34 @@ object DedupOps {
     // right plan is unpersisted (unpersist on a derived select is a no-op)
     var cached = ids.select(col("doc_id"), col("doc_id").as("rep")).persist(MemDisk)
     var labels = cached
+    // exact decimal sum — long sum could silently overflow at 100 TB id
+    // domains; null only for an empty ids frame
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = repSum(cached)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst").as("nbr_id")).agg(min(col("rep")).as("nbr_rep"))
-      // least() skipping nulls is exactly right here: no neighbor -> keep rep
-      val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_id"), "left")
-        .select(col("doc_id"), least(col("rep"), col("nbr_rep")).as("rep"),
-          col("rep").as("prev_rep"))
-      // path halving: follow one extra hop rep -> rep(rep); rep is itself a
-      // doc_id (the component minimum so far), so the self-join always hits
-      val hop = labels.select(col("doc_id").as("r_id"), col("rep").as("r_rep"))
-      val next = prop.join(hop, prop("rep") === hop("r_id"), "left")
-        .select(col("doc_id"), least(col("rep"), col("r_rep")).as("rep"),
-          col("prev_rep"))
+      // pointer edges regenerate each round from the cached labels; reps are
+      // themselves doc_ids, so every src resolves in the join below
+      val ptr = labels.filter(col("doc_id") =!= col("rep"))
+      val aug = edges
+        .union(labels.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+        .union(ptr.select(col("doc_id").as("src"), col("rep").as("dst")))
+        .union(ptr.select(col("rep").as("src"), col("doc_id").as("dst")))
+      val next = aug.join(labels, aug("src") === labels("doc_id"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("rep")).as("rep"))
         .persist(MemDisk)
-      // count(), not isEmpty: the single action doubles as the convergence
-      // check AND full materialization of `next`, making it safe to drop the
-      // previous round's cache without recompute cascades
-      converged = next.filter(col("rep") =!= col("prev_rep")).count() == 0
+      // the 1-row sum is the convergence check AND full materialization of
+      // `next`, making it safe to drop the previous round's cache without
+      // recompute cascades
+      val s = repSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       val prev = cached
       cached = next
-      labels = next.select("doc_id", "rep")
+      labels = next
       prev.unpersist(false)
       i += 1
     }
@@ -179,7 +199,7 @@ object DedupOps {
       if (strict) throw new IllegalStateException(msg)
       System.err.println(s"WARNING: $msg")
     }
-    // the final round's frame is fully cached (count() above), so the edge
+    // the final round's frame is fully cached (repSum above), so the edge
     // caches can go — the returned frame is served from that cache
     p.unpersist(false)
     edges.unpersist(false)

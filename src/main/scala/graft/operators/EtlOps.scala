@@ -104,21 +104,24 @@ object EtlOps {
   /** Multi-metric variant of [[latestYearFilter]]
     * (clean_istat_commuting.py:108-156): pick the newest year present for
     * EVERY metric that has any data — max of the intersection of per-metric
-    * year sets — falling back to the overall max year when no common year
-    * exists. The year/metric census is a distinct over two small columns and
-    * two 1-row aggregates; the chosen year broadcast-joins back onto the
-    * fact, which never shuffles. */
+    * year sets — falling back to the max year seen ANYWHERE in the file
+    * (all rows, requested metric or not — all_years_seen in the reference)
+    * when no common year exists. The year/metric census is a distinct over
+    * two small columns and two 1-row aggregates; the chosen year
+    * broadcast-joins back onto the fact, which never shuffles. */
   def latestCommonYearFilter(df: DataFrame, yearCol: Column, metricCol: Column,
                              metrics: Seq[String]): DataFrame = {
     val my = df.filter(metricCol.isin(metrics: _*) && yearCol.isNotNull)
       .select(metricCol.as("__m"), yearCol.as("__y")).distinct()
+    // fallback census over every row BEFORE the metric filter: the file's
+    // newest year may belong only to a non-requested metric
+    val anyYear = df.filter(yearCol.isNotNull).agg(max(yearCol).as("__any_y"))
     val target = my
       .crossJoin(broadcast(my.agg(count_distinct(col("__m")).as("__m_total"))))
       .groupBy(col("__y"), col("__m_total"))
       .agg(count_distinct(col("__m")).as("__nm"))
-      .agg(
-        max(when(col("__nm") === col("__m_total"), col("__y"))).as("__common_y"),
-        max(col("__y")).as("__any_y"))
+      .agg(max(when(col("__nm") === col("__m_total"), col("__y"))).as("__common_y"))
+      .crossJoin(broadcast(anyYear))
       .select(coalesce(col("__common_y"), col("__any_y")).as("__target_year"))
     df.join(broadcast(target), yearCol === col("__target_year"))
       .drop("__target_year")

@@ -88,7 +88,7 @@ object StreamOps {
       .agg(count(lit(1)).as("arrivals"), sum(spend).as("spend_sum"))
 
   /** Output row of [[runningTotalsTtl]]. */
-  case class KeyTotals(key: Long, arrivals: Long, spend_sum: Double)
+  case class KeyTotals(key: String, arrivals: Long, spend_sum: Double)
 
   /** [[runningTotals]] with a state TTL — the SURVEY.md §7.4.2 escape hatch
     * for the reference's unbounded-state running totals: when a key receives
@@ -106,10 +106,15 @@ object StreamOps {
     val streaming = df.isStreaming
     val spark = df.sparkSession
     import spark.implicits._
+    // the key is grouped through its string form (injective for the numeric /
+    // string / temporal keys this accepts) and cast back to the input type on
+    // output — a non-numeric key (e.g. a string city id) must keep its
+    // identity, not silently null-collapse through a long cast
+    val keyType = df.schema(keyCol).dataType
     // tsCol is selected untouched: a cast would project away the watermark
     // metadata tag and EventTimeTimeout analysis would reject the plan
-    df.select(col(keyCol).cast("long"), col(valueCol).cast("double"), col(tsCol))
-      .as[(Long, Double, java.sql.Timestamp)]
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("double"), col(tsCol))
+      .as[(String, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), KeyTotals](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
@@ -139,7 +144,7 @@ object StreamOps {
           }
       }
       .toDF("key", "arrivals", "spend_sum")
-      .withColumnRenamed("key", keyCol)
+      .select(col("key").cast(keyType).as(keyCol), col("arrivals"), col("spend_sum"))
   }
 
   // --- A13: long tumbling windows "rolling" 30d/365d (:303-311) ------------

@@ -114,6 +114,29 @@ class DimensionBuildSpec extends SparkSpec {
     assert(got("Atlantide") === "(Unknown)")
   }
 
+  test("cities base: 3+-char admin1 maps to (Unknown), mixed '4'/'04' dedup together") {
+    val geo4 = write("IT4.txt", Seq(
+      // 3-char admin1, unknown admin2: zfill must NOT truncate '123' to '12'
+      // (which is Lazio) — it falls through to (Unknown)
+      Seq("3000001", "Lunga", "Lunga", "", "42.00", "12.00", "P", "PPL", "IT", "", "123",
+        "ZZ", "", "", "5000", "", "10", "Europe/Rome", "2024-01-01"),
+      // same normalized name under raw '4' and pre-padded '04': the reference
+      // pads before dedup, so these are ONE key — keep-richest survives
+      Seq("3000002", "Bolzano", "Bolzano", "", "46.49", "11.35", "P", "PPLA", "IT", "", "4",
+        "ZZ", "", "", "107000", "", "262", "Europe/Rome", "2024-01-01"),
+      Seq("3000003", "Bolzano", "Bolzano", "", "46.49", "11.36", "P", "PPL", "IT", "", "04",
+        "ZZ", "", "", "9000", "", "262", "Europe/Rome", "2024-01-01")
+    ).map(_.mkString("\t")).mkString("\n"))
+    val got = job.buildCities(geo4).collect()
+    val lunga = got.find(_.getAs[String]("city_name") == "Lunga").get
+    assert(lunga.getAs[String]("region") === "(Unknown)")
+    assert(lunga.getAs[String]("admin1_code") === "123") // untouched, not lpad-mangled
+    val bolzano = got.filter(_.getAs[String]("city_name") == "Bolzano")
+    assert(bolzano.length === 1, "mixed '4'/'04' admin1 must dedup as one key")
+    assert(bolzano.head.getAs[String]("city_id") === "3000002") // richer row wins
+    assert(bolzano.head.getAs[String]("admin1_code") === "04") // normalized output
+  }
+
   test("ISTAT clean: target year is the newest COMMON year, not the newest overall") {
     // metric A has {2019, 2021}, metric B only {2019} -> intersection {2019}
     val src = write("istat_common_year.csv",
@@ -142,6 +165,25 @@ class DimensionBuildSpec extends SparkSpec {
     val roma = out.filter(col("norm_name") === "roma").collect().head
     assert(roma.isNullAt(roma.fieldIndex("resident_population"))) // 2011 dropped
     assert(roma.getAs[Double]("commuting_population") === 600000.0) // 2021 kept
+  }
+
+  test("ISTAT clean: fallback year census spans ALL metrics, not just requested ones") {
+    // requested metrics have disjoint years {2011} / {2015}; the file's
+    // newest year (2021) belongs only to a non-requested metric. The
+    // reference's all_years_seen census still picks 2021 (dropping both
+    // requested metrics' rows), so ours must too.
+    val src = write("istat_fallback_any_metric.csv",
+      """Territorio;Codice Metrica;Valore;Anno
+        |Roma;resident_population;2.800.000,0;2011
+        |Roma;commuting_population;600.000,0;2015
+        |Roma;tourist_arrivals;1,0;2021
+        |""".stripMargin)
+    val out = job.cleanIstat(src,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("resident_population", "commuting_population"))
+    val roma = out.filter(col("norm_name") === "roma").collect().head
+    assert(roma.isNullAt(roma.fieldIndex("resident_population")))
+    assert(roma.isNullAt(roma.fieldIndex("commuting_population")))
   }
 
   test("ISTAT clean: sniffed separator, fuzzy columns, locale numerics, latest year, pivot") {

@@ -145,6 +145,17 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 15.0), (2L, 1L, 1.0)))
   }
 
+  test("runningTotalsTtl: string keys keep their identity (no long-cast collapse)") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), "roma", 10.0),
+      (ts("2024-01-01 11:00:00"), "roma", 5.0),
+      (ts("2024-01-01 12:00:00"), "milano", 1.0)).toDF("ts", "city_id", "spend")
+    val out = StreamOps.runningTotalsTtl(df, "city_id", "spend", "ts", "10 minutes")
+    assert(out.schema("city_id").dataType.typeName === "string")
+    val rows = out.orderBy("city_id").as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(("milano", 1L, 1.0), ("roma", 2L, 15.0)))
+  }
+
   test("update-mode running totals over a stream (A12, unbounded state)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]

@@ -21,7 +21,9 @@ def render(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 2**53:
+        # isfinite guard: int(inf) raises OverflowError and would crash the
+        # whole checker run instead of reporting a mismatch for that query
+        if math.isfinite(v) and v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return repr(v)
     if v is pd.NaT:
