@@ -43,7 +43,8 @@ object Bench {
     // r01 benched the exact plans under the same keys, so r01→r02 deltas on
     // these keys measure the plan swap, not a same-plan speedup. The
     // plan_notes field in the output JSON records this for trend readers.
-    val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides)
+    val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides ++
+      graft.entry.DQueries.benchOverrides)
       .filterNot { case (k, _) => bruteForceTwins(k) }
     // warm the JVM/codegen path once (against the BENCH sf dir, guarded —
     // a failed warm-up must not kill the whole run) so per-query numbers
@@ -76,7 +77,8 @@ object Bench {
     val planNotes = """{"a20_percentiles":"percentile_approx since r02 (r01: exact)",""" +
       """"a21_percentile_rejoin":"percentile_approx since r02 (r01: exact)",""" +
       """"a23_season_score":"percentile_approx since r02 (r01: exact)",""" +
-      """"d06_dedup_clusters":"single-join augmented-edge CC rounds since r03 (r02: 3-join path halving, r01: 1-hop propagation)"}"""
+      """"d06_dedup_clusters":"single-join augmented-edge CC rounds since r03 (r02: 3-join path halving, r01: 1-hop propagation)",""" +
+      """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03"}"""
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -289,6 +289,38 @@ object AQueries {
       StreamOps.notNullFilter(ev, Seq("g"))
         .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
         .orderBy("user_id")
+    }),
+
+    "a28_asof_join" -> ((s, dir) => {
+      // Keyed as-of join: each purchase picks up the newest view (<= its ts)
+      // by the same user — the "latest quote before booking" shape. Single
+      // sort-merge pass per user, no inequality-join explosion.
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+      graft.operators.TemporalOps.asofJoin(
+          purchases, views, key = Seq("user_id"), tsCol = "ts",
+          payload = Seq("event_id", "value"), tieBreak = col("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("view_event_id"),
+          rnd(col("asof_value")).as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    "a29_sessionize" -> ((s, dir) => {
+      // Per-user session windows (6h inactivity gap): Spark's session_window
+      // merges events closer than the gap; end = last event + gap. The same
+      // call runs over a watermarked stream (state-store session merge).
+      graft.operators.TemporalOps.sessionize(
+          events(s, dir), "ts", "6 hours", Seq(col("user_id")),
+          Seq(count(lit(1)).as("n_events"),
+            decOut(sum(dec(col("value")))).as("value_sum")))
+        .select(
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          unix_timestamp(col("session_window.end")).as("s_end"),
+          col("user_id"), col("n_events"), col("value_sum"))
+        .orderBy("user_id", "s_start")
     })
   )
 
@@ -549,6 +581,38 @@ object AQueries {
 
     "a26_null_filter" ->
       """SELECT user_id, COUNT(*) AS cnt FROM events
-        |WHERE event_type <> 'error' GROUP BY 1 ORDER BY 1""".stripMargin
+        |WHERE event_type <> 'error' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's native ASOF JOIN; same-ts ties pre-deduped to the max
+    // event_id (ASOF leaves the tie unspecified; TemporalOps.asofJoin
+    // resolves it by tieBreak = max event_id)
+    "a28_asof_join" ->
+      s"""WITH vd AS (
+         |  SELECT user_id, ts, event_id, value FROM (
+         |    SELECT user_id, ts, event_id, value,
+         |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_type = 'view') WHERE rn = 1)
+         |SELECT p.event_id, p.user_id, vd.event_id AS view_event_id,
+         |  ${rndSql("vd.value")} AS view_value
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    // gap-islands twin of session_window: a new session starts when the
+    // event-time gap reaches the 6h timeout; end = last event + gap
+    "a29_sessionize" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 21600
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+         |  CAST(floor(epoch(max(ts))) AS BIGINT) + 21600 AS s_end,
+         |  user_id, COUNT(*) AS n_events, ${decSumSql("value")} AS value_sum
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.entry
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, Multimodal, SimilarityOps, TextOps}
 import QueryHelpers._
 
 /** Training-data pipeline queries over the documents/embeddings tables
@@ -123,12 +123,70 @@ object DQueries {
     "m01_media_features" -> ((s, dir) => {
       val media = Multimodal.attachBinary(documents(s, dir))
       Multimodal.extractFeatures(media).orderBy("doc_id")
+    }),
+
+    "t05_hash_sample" -> ((s, dir) => {
+      // Deterministic stratified sampling on the portable hash60 — the
+      // same subset is reproducible by any engine (no rand()).
+      CurationOps.stratifiedHashSample(documents(s, dir), col("doc_id"),
+          col("lang"), rates = Map("en" -> 0.3, "zh" -> 1.0),
+          defaultRate = 0.6)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "t06_quality_topq" -> ((s, dir) => {
+      // Oracle path: exact per-stratum rank. The production plan
+      // (percentile_approx threshold + broadcast join, no per-stratum
+      // sort) is benched instead — see benchOverrides.
+      CurationOps.qualityTopQuantile(documents(s, dir), col("doc_id"),
+          col("lang"), rnd(TextOps.qualityScore(col("text"))), q = 0.5,
+          exact = true)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("score").as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "t07_chunking" -> ((s, dir) => {
+      CurationOps.chunkDocuments(documents(s, dir), col("doc_id"),
+          col("text"), chunkTokens = 16)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "t08_stopword_strip" -> ((s, dir) => {
+      CurationOps.stripStopwords(documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Production-plan twin benched in place of t06's exact-rank oracle
+    * variant: approximate per-stratum threshold via the mergeable
+    * percentile_approx sketch + broadcast join — no per-stratum sort, the
+    * plan that survives a skewed billion-row stratum. */
+  val benchOverrides: Map[String, Q] = Map(
+    "t06_quality_topq" -> ((s, dir) => {
+      CurationOps.qualityTopQuantile(documents(s, dir), col("doc_id"),
+          col("lang"), rnd(TextOps.qualityScore(col("text"))), q = 0.5,
+          exact = false)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("score").as("quality"))
     })
   )
 
   // ---- oracle SQL ----------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** DuckDB twin of TextOps.qualityScore (shared by t02 and t06). */
+  private val qualitySqlExpr: String = {
+    val swr = s"(len(list_filter($toksSql, t -> list_contains(['the','a','of','and','to','in'], t))) * 1.0 / len($toksSql))"
+    val avgLen = s"(len(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($toksSql))"
+    val punct = s"((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / greatest(length(text), 1))"
+    s"0.35 * least(length(text) * 1.0 / 500.0, 1.0) + 0.25 * (1.0 - abs($swr - 0.4)) " +
+      s"+ 0.2 * least($avgLen / 8.0, 1.0) + 0.2 * (1.0 - least($punct * 4.0, 1.0))"
+  }
 
   /** Word-3-shingle sets CTE (DuckDB twin of TextOps.wordShingles k=3). */
   private val shingleCte =
@@ -233,14 +291,8 @@ object DQueries {
          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t02_quality_score" -> {
-      val swr = s"(len(list_filter($toksSql, t -> list_contains(['the','a','of','and','to','in'], t))) * 1.0 / len($toksSql))"
-      val avgLen = s"(len(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len($toksSql))"
-      val punct = s"((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / greatest(length(text), 1))"
-      val q = s"0.35 * least(length(text) * 1.0 / 500.0, 1.0) + 0.25 * (1.0 - abs($swr - 0.4)) " +
-        s"+ 0.2 * least($avgLen / 8.0, 1.0) + 0.2 * (1.0 - least($punct * 4.0, 1.0))"
-      s"""SELECT doc_id, ${rndSql(q)} AS quality FROM documents ORDER BY doc_id"""
-    },
+    "t02_quality_score" ->
+      s"""SELECT doc_id, ${rndSql(qualitySqlExpr)} AS quality FROM documents ORDER BY doc_id""",
 
     "t03_lang_id" -> {
       def hits(ms: String) = s"len(list_filter($toksSql, t -> list_contains([$ms], t)))"
@@ -327,6 +379,50 @@ object DQueries {
         |       ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT) END AS first_byte,
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.stratifiedHashSample (hash60 bucket < rate * 1e6)
+    "t05_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (${h60Sql("'sample_' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |  < (CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'zh' THEN 1.0
+         |          ELSE 0.6 END) * 1000000
+         |ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.qualityTopQuantile(exact): rank on the 4dp-rounded
+    // quality (deterministic in both engines), doc_id tie-break, keep
+    // rank <= ceil(n * q)
+    "t06_quality_topq" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, ${rndSql(qualitySqlExpr)} AS quality FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, quality,
+         |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM q)
+         |SELECT doc_id, lang, quality FROM r
+         |WHERE rn <= ceil(n * 0.5) ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.chunkDocuments (16-token chunks, ragged tail)
+    "t07_chunking" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS chunk_id, w
+         |  FROM d WHERE len(w) > 0)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(list_slice(w, CAST(chunk_id * 16 + 1 AS INT), CAST(chunk_id * 16 + 16 AS INT)), ' ') AS chunk_text,
+         |  len(list_slice(w, CAST(chunk_id * 16 + 1 AS INT), CAST(chunk_id * 16 + 16 AS INT))) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // twin of CurationOps.stripStopwords (DefaultStopwords list)
+    "t08_stopword_strip" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |k AS (
+         |  SELECT doc_id, w,
+         |    list_filter(w, t -> NOT list_contains(['the','a','of','and','to','in'], t)) AS kept
+         |  FROM d)
+         |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+         |  len(w) - len(kept) AS n_removed
+         |FROM k ORDER BY doc_id""".stripMargin
   )
 }

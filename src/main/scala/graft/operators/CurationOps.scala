@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Training-data curation operators: deterministic stratified sampling,
+  * per-stratum quality-quantile filtering, fixed-size token chunking
+  * (sequence-packing prep), stopword stripping. All pure built-in `Column`
+  * composition — codegen'd, shuffle-free where possible, and every decision
+  * is reproducible bit-for-bit by an external engine (sampling rides on the
+  * portable [[Hashing.hash60]], not Spark's `rand()`).
+  *
+  * These extend the reference surface — see SURVEY.md §2E.
+  */
+object CurationOps {
+
+  /** Resolution of the sampling hash bucket: rates are effectively
+    * quantized to 1e-6. */
+  private val SampleBuckets = 1000000L
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `hash60("sample_" || id) mod 1e6  <  rate(stratum) * 1e6`.
+    *
+    * Unlike `DataFrame.sample`/`rand()`, membership is a pure function of
+    * the row id — re-runs, retries, and other engines (the DuckDB oracle)
+    * select the identical subset, and upstream/downstream joins on the
+    * sample are stable. Per-stratum rates are the standard curation knob
+    * (e.g. downsample English, keep all low-resource languages). A plain
+    * codegen'd filter: no shuffle, no state, scans at parquet speed. */
+  def stratifiedHashSample(df: DataFrame, idCol: Column, strataCol: Column,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    val bucket = pmod(
+      Hashing.hash60(concat(lit("sample_"), idCol.cast("string"))),
+      lit(SampleBuckets))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < (rate * lit(SampleBuckets.toDouble)))
+  }
+
+  /** Keep the top-`q` share of rows per stratum by `score` (descending,
+    * ties broken by `idCol` so the kept set is deterministic): a row
+    * survives iff its rank ≤ ceil(q * stratum size).
+    *
+    * `exact = true` ranks with one `row_number` window — one shuffle on the
+    * stratum plus a per-stratum sort; this is the oracle-checkable path.
+    * The production path (`exact = false`) never sorts a stratum: it
+    * computes an approximate per-stratum score threshold with the mergeable
+    * `percentile_approx` sketch (map-side combinable) and broadcast-joins
+    * the tiny threshold table back — linear scan, no skew-prone sort, the
+    * plan that survives a billion-row English stratum. Both paths emit the
+    * same (id, stratum, score) schema. */
+  def qualityTopQuantile(df: DataFrame, idCol: Column, strataCol: Column,
+                         score: Column, q: Double,
+                         exact: Boolean = true): DataFrame = {
+    val scored = df.select(idCol.as("id"), strataCol.as("stratum"),
+      score.as("score"))
+    if (exact) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("stratum"))
+        .orderBy(col("score").desc, col("id").asc)
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+        .filter(col("__rn") <= ceil(col("__n") * lit(q)))
+        .drop("__rn", "__n")
+    } else {
+      val thresholds = scored.groupBy(col("stratum").as("__s"))
+        .agg(percentile_approx(col("score"), lit(1.0 - q), lit(10000))
+          .as("__thresh"))
+      scored.join(broadcast(thresholds), col("stratum") === col("__s"))
+        .filter(col("score") >= col("__thresh"))
+        .drop("__s", "__thresh")
+    }
+  }
+
+  /** Fixed-size token chunking for sequence packing: split each document
+    * into consecutive `chunkTokens`-token chunks (last chunk ragged).
+    * Output: (id, chunk_id, chunk_text, n_tokens).
+    *
+    * The token array is materialized in its own projection BEFORE the
+    * explode — Spark re-evaluates non-trivial HOF/explode arguments per
+    * output row, so splitting inline would re-tokenize the document once
+    * per chunk. A narrow explode, no shuffle; at 100 TB this is the
+    * pre-tokenizer pass that feeds packing, and it scans at parquet
+    * speed. */
+  def chunkDocuments(df: DataFrame, idCol: Column, textCol: Column,
+                     chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    df.select(idCol.as("id"), TextOps.tokens(textCol).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // ceil(n/k) chunks, ragged tail: sequence is inclusive on both ends
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          floor((col("__n") - lit(1)) / lit(chunkTokens)).cast("long"))))
+      .select(col("id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("chunk_id") * chunkTokens + 1).cast("int"),
+            lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__toks"), (col("chunk_id") * chunkTokens + 1).cast("int"),
+          lit(chunkTokens))).as("n_tokens"))
+  }
+
+  /** Strip stopword tokens from the text, reporting how many were removed:
+    * (id, clean_text, n_removed). The token array is materialized once (see
+    * [[chunkDocuments]] on HOF argument re-evaluation); the filter lambda is
+    * an `array_contains` against a literal array — fully codegen'd, no
+    * shuffle. */
+  def stripStopwords(df: DataFrame, idCol: Column, textCol: Column,
+                     stopwords: Seq[String] = TextOps.DefaultStopwords): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    df.select(idCol.as("id"), TextOps.tokens(textCol).as("__toks"))
+      .withColumn("__kept", filter(col("__toks"), t => !array_contains(sw, t)))
+      .select(col("id"),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).as("n_removed"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark has no built-in for — keyed as-of join — plus a
+  * thin session-window wrapper. Both are batch/streaming-agnostic shapes a
+  * tourism-analytics pipeline needs (attach the latest prior quote/weather
+  * reading to a booking; sessionize per-visitor event streams).
+  *
+  * These extend the reference surface (its pandas pipelines do single-node
+  * merge_asof-style work implicitly via sorted frames) — see SURVEY.md §2E.
+  */
+object TemporalOps {
+
+  /** Keyed as-of join: for every left row, attach the payload of the newest
+    * right row with the same key and `right.ts <= left.ts` (strictly earlier
+    * with `inclusive = false`); null payload when no such row exists
+    * (left-outer semantics).
+    *
+    * NOT an inequality join: both sides are unioned with a side marker and
+    * sorted once per key by (ts, side, tieBreak); a running
+    * `last(payload_struct, ignoreNulls)` carries the newest right payload
+    * forward onto each left row. One shuffle on the key, one per-partition
+    * sort, zero candidate explosion — at 100 TB this is a single sort-merge
+    * pass, versus the O(|left| × |right-per-key|) blowup of the naive
+    * `l.key = r.key AND r.ts <= l.ts` join followed by a per-row argmax.
+    * The payload rides in a struct so a legitimately-NULL payload column on
+    * the matched row is preserved (the struct itself is never null on right
+    * rows, so ignoreNulls only skips left rows).
+    *
+    * `tieBreak` orders right rows that share (key, ts): the maximum wins,
+    * making the result deterministic (DuckDB's ASOF JOIN leaves the
+    * same-timestamp tie unspecified — the oracle twin pre-dedups on the
+    * same rule).
+    *
+    * Skew caveat: one key's rows must sort within a single task; for a
+    * monster key, pre-split by coarse time bucket, as-of join per bucket,
+    * and patch bucket boundaries with a second pass over the per-bucket
+    * last rows. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               tsCol: String, payload: Seq[String], tieBreak: Column,
+               inclusive: Boolean = true): DataFrame = {
+    // inclusive: right rows at the same ts sort BEFORE left rows (visible);
+    // strict: after (invisible to same-ts left rows)
+    val (rightMark, leftMark) = if (inclusive) (0, 1) else (1, 0)
+    val keyCols = key.map(col)
+    val payloadType = right.select(payload.map(col): _*).schema
+    val leftRowType = left.schema
+    val lSide = left.select(
+      keyCols ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(leftMark).as("__side"),
+        lit(null).cast("long").as("__tie"),
+        lit(null).cast(payloadType).as("__p"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("__row")): _*)
+    val rSide = right.select(
+      keyCols ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(rightMark).as("__side"),
+        tieBreak.cast("long").as("__tie"),
+        struct(payload.map(col): _*).as("__p"),
+        lit(null).cast(leftRowType).as("__row")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftMark && col("__row").isNotNull)
+      .select(left.columns.map(c => col(s"__row.$c").as(c)).toIndexedSeq ++
+        payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
+  }
+
+  /** Session windows: group by `session_window(ts, gap)` plus `keys`.
+    * Spark merges events closer than `gap`; a session spans
+    * [first event ts, last event ts + gap). Works identically over a batch
+    * frame and a watermarked stream (the session-window state store merges
+    * across micro-batches) — the same call sits in both paths. */
+  def sessionize(df: DataFrame, tsCol: String, gap: String, keys: Seq[Column],
+                 aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CurationOps
+
+/** Unit coverage for the curation operators (stratified sampling, quantile
+  * filtering, chunking, stopword stripping); sf-scale behavior is covered
+  * by the t05-t08 oracle rows. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 100L)
+    .map(i => (i, if (i % 2 == 0) "en" else "zh", s"doc number $i text"))
+    .toDF("doc_id", "lang", "text")
+
+  test("stratifiedHashSample: rate bounds and determinism") {
+    val none = CurationOps.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.0, "zh" -> 0.0), defaultRate = 0.0)
+    assert(none.count() === 0)
+    val all = CurationOps.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0), defaultRate = 1.0)
+    assert(all.count() === 100)
+    // per-stratum rates apply independently; membership is a pure function
+    // of the id, so two runs select the identical subset
+    def run() = CurationOps.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+        Map("en" -> 0.0), defaultRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(s1 === (1L until 100L by 2).toSet) // en gone, all zh kept
+    assert(s1 === run())
+  }
+
+  test("qualityTopQuantile exact: keeps ceil(q*n) best per stratum, id tie-break") {
+    val scored = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.8), (3L, "en", 0.1),
+      (4L, "zh", 0.5), (5L, "zh", 0.5), (6L, "zh", 0.4)
+    ).toDF("doc_id", "lang", "q")
+    val kept = CurationOps.qualityTopQuantile(scored, col("doc_id"), col("lang"),
+        col("q"), q = 0.5, exact = true)
+      .select("id").as[Long].collect().toSet
+    // en: ceil(3*0.5)=2 -> {1,2}; zh: tie at 0.5 broken by id -> {4}... n=3 -> 2 kept {4,5}
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("qualityTopQuantile approx: covers the exact top set within one boundary row") {
+    val scored = (0L until 40L).map(i => (i, "en", i.toDouble / 40.0))
+      .toDF("doc_id", "lang", "q")
+    val exact = CurationOps.qualityTopQuantile(scored, col("doc_id"), col("lang"),
+      col("q"), 0.25, exact = true).select("id").as[Long].collect().toSet
+    val approx = CurationOps.qualityTopQuantile(scored, col("doc_id"), col("lang"),
+      col("q"), 0.25, exact = false).select("id").as[Long].collect().toSet
+    // percentile_approx returns an element of the data, so the threshold can
+    // sit one rank below the exact cut — the approx set must contain every
+    // exactly-kept row and at most one extra boundary row
+    assert(exact.subsetOf(approx))
+    assert(approx.size - exact.size <= 1, s"approx=$approx exact=$exact")
+  }
+
+  test("chunkDocuments: ceil(n/k) chunks, ragged tail, token-exact slices") {
+    val d = Seq((1L, (1 to 35).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.chunkDocuments(d, col("doc_id"), col("text"), 16)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getString(2)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      (1L, 0L, 16), (1L, 1L, 16), (1L, 2L, 3), (2L, 0L, 1)))
+    assert(out(2)._4 === "t33 t34 t35")
+    assert(out(0)._4.startsWith("t1 t2 ") && out(0)._4.endsWith(" t16"))
+  }
+
+  test("stripStopwords: removes default stopwords, counts removals") {
+    val d = Seq((1L, "the quick fox and the dog"), (2L, "no stop words here"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.stripStopwords(d, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(
+      (1L, "quick fox dog", 3),
+      (2L, "no stop words here", 0)))
+  }
+}

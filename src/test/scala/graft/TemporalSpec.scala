@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.TemporalOps
+
+/** Unit coverage for the temporal operators (as-of join, session windows)
+  * on planted fixtures; sf-scale behavior is covered by the a28/a29 oracle
+  * rows. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05")),
+    (2L, "A", ts("2024-01-01 10:00:30")),
+    (3L, "B", ts("2024-01-01 10:00:10")),
+    (4L, "C", ts("2024-01-01 10:00:10")) // no quotes at all for C
+  ).toDF("trade_id", "sym", "ts")
+
+  private lazy val quotes = Seq(
+    (10L, "A", ts("2024-01-01 10:00:00"), 1.0),
+    (11L, "A", ts("2024-01-01 10:00:20"), 2.0),
+    (12L, "B", ts("2024-01-01 10:00:10"), 5.0), // same-ts as trade 3
+    (13L, "B", ts("2024-01-01 10:00:10"), 6.0), // same (sym, ts): max id wins
+    (14L, "A", ts("2024-01-01 10:00:40"), 9.0) // later than every trade
+  ).toDF("quote_id", "sym", "ts", "px")
+
+  test("asofJoin: newest right row at or before each left ts, per key") {
+    val out = TemporalOps.asofJoin(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("quote_id", "px"), tieBreak = col("quote_id"))
+      .orderBy("trade_id")
+      .select("trade_id", "asof_quote_id", "asof_px")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out.toSeq === Seq(
+      (1L, Some(10L), Some(1.0)), // 10:00 quote, not the 10:20 one
+      (2L, Some(11L), Some(2.0)),
+      (3L, Some(13L), Some(6.0)), // inclusive same-ts; tie -> max quote_id
+      (4L, None, None))) // no quote for C -> left-outer nulls
+  }
+
+  test("asofJoin strict: same-ts right rows are invisible") {
+    val out = TemporalOps.asofJoin(trades, quotes, Seq("sym"), "ts",
+        payload = Seq("quote_id"), tieBreak = col("quote_id"),
+        inclusive = false)
+      .filter(col("trade_id") === 3L).collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_quote_id"))) // B has only same-ts quotes
+  }
+
+  test("asofJoin: null payload on the matched row is preserved, not skipped") {
+    val q2 = Seq((20L, "A", ts("2024-01-01 10:00:20"), Option.empty[Double]))
+      .toDF("quote_id", "sym", "ts", "px")
+      .unionByName(quotes.filter(col("quote_id") === 10L))
+    val out = TemporalOps.asofJoin(
+        trades.filter(col("trade_id") === 2L), q2, Seq("sym"), "ts",
+        payload = Seq("quote_id", "px"), tieBreak = col("quote_id"))
+      .collect().head
+    // the matched row IS the null-px quote 20 — the struct carrier must not
+    // fall back to the older non-null quote 10
+    assert(out.getAs[Long]("asof_quote_id") === 20L)
+    assert(out.isNullAt(out.fieldIndex("asof_px")))
+  }
+
+  test("sessionize batch: gap merges and splits, end = last event + gap") {
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1.0),
+      ("u1", ts("2024-01-01 10:10:00"), 2.0), // within 30m -> same session
+      ("u1", ts("2024-01-01 11:00:00"), 4.0), // 50m gap -> new session
+      ("u2", ts("2024-01-01 10:00:00"), 8.0)
+    ).toDF("user_id", "ts", "v")
+    val out = TemporalOps.sessionize(ev, "ts", "30 minutes", Seq(col("user_id")),
+        Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("st"),
+        unix_timestamp(col("session_window.end")).as("en"),
+        col("n"), col("s"))
+      .orderBy("user_id", "st")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val base = ts("2024-01-01 10:00:00").getTime / 1000
+    assert(out.toSeq === Seq(
+      ("u1", base, base + 600 + 1800, 2L, 3.0), // end = last event (10:10) + gap
+      ("u1", base + 3600, base + 3600 + 1800, 1L, 4.0),
+      ("u2", base, base + 1800, 1L, 8.0)))
+  }
+
+  test("sessionize streaming: the same call runs over a watermarked stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val agg = TemporalOps.sessionize(
+      mem.toDF().toDF("user_id", "ts", "v").withWatermark("ts", "0 seconds"),
+      "ts", "30 minutes", Seq(col("user_id")),
+      Seq(count(lit(1)).as("n")))
+    // session-window streaming aggregation emits in append mode: a session
+    // row is final once the watermark passes its end
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(("u1", ts("2024-01-01 10:00:00"), 1.0),
+        ("u1", ts("2024-01-01 10:10:00"), 2.0),
+        ("u1", ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable() // watermark after batch: 12:00
+      mem.addData(("u2", ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable() // emits u1 [10:00, 10:40) (end <= 12:00)
+      mem.addData(("u2", ts("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable() // watermark 13:00 -> emits u1 [12:00, 12:30)
+      val rows = spark.table("sess_out")
+        .select(col("user_id"), col("n")).as[(String, Long)].collect().toSeq
+      // finalized: both u1 sessions (the merged 10:00/10:10 pair, the 12:00
+      // singleton) and u2's 13:00 singleton (closed by the no-data batch
+      // after the watermark reached 15:00); u2's 15:00 session is still open
+      assert(rows.sorted === Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
+    } finally q.stop()
+  }
+}
