@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for hostile key distributions at cluster scale. AQE's
+  * skew-join split handles moderate skew automatically; these are the
+  * explicit tools for when one key carries an unsplittable share of the
+  * data (the billion-row `lang = 'en'` stratum, the one mega-city in a
+  * tourism feed) or when a join must avoid its exchange entirely.
+  */
+object JoinOps {
+
+  /** Skew-salted equi-join: the left (large, skewed) side spreads each key
+    * over `factor` salt shards — derived deterministically from `saltBy`,
+    * NOT rand(), so retried tasks salt identically — and the right side is
+    * replicated `factor` times with a matching shard column; the join runs
+    * on (keys..., salt). A key that hashed to one monster partition now
+    * occupies `factor` partitions at the cost of a `factor`× replication of
+    * the right side — the standard trade when the right side is small-ish
+    * but too big (or too join-reused) to broadcast outright.
+    *
+    * Results are identical to the unsalted inner/left join (verified in
+    * JoinSpec); `saltBy` should be a high-cardinality left column (a row
+    * id) so shards balance. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame,
+                     keys: Seq[(String, String)], saltBy: Column,
+                     factor: Int, joinType: String = "inner"): DataFrame = {
+    require(factor > 0, s"salt factor must be positive: $factor")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"salting only preserves inner/left semantics: $joinType")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(factor)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    val cond = keys.map { case (lk, rk) => l(lk) === r(rk) }
+      .reduce(_ && _) && (l("__salt") === r("__salt"))
+    l.join(r, cond, joinType)
+      .drop(r("__salt")).drop(l("__salt"))
+  }
+
+  /** Write `df` as a bucketed, sorted table: rows are hash-distributed into
+    * `numBuckets` files per partition by `bucketCols` and sorted within each
+    * bucket. Two tables bucketed the same way join with NO exchange and NO
+    * sort — the scan itself satisfies the join's distribution and ordering
+    * requirements. At 100 TB this converts every recurring fact-fact join
+    * on the bucket key from a full shuffle into a local zip of file splits;
+    * the shuffle is paid once at write time. JoinSpec asserts the
+    * exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

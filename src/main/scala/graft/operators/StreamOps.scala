@@ -179,6 +179,29 @@ object StreamOps {
   def multiKeyLeftJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
     l.join(r, on, "left")
 
+  // --- E: stream-stream interval join (beyond reference — the reference
+  // only joins stream-to-static; correlating two live streams, e.g.
+  // bookings to weather readings within a time window, needs this) ----------
+  /** Keyed interval join of two streams: rows pair when keys match and
+    * |left.ts − right.ts| ≤ `within`. The time bound is what makes this
+    * viable on unbounded streams — with BOTH sides watermarked, Spark
+    * evicts join state older than watermark − within, so state is bounded
+    * by the interval, not the stream history. Works identically on batch
+    * frames (plain range-condition join). Callers disambiguate shared
+    * column names before joining (`withColumnRenamed`); `keys` maps
+    * leftCol → rightCol. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         keys: Seq[(String, String)],
+                         leftTs: String, rightTs: String,
+                         within: String,
+                         joinType: String = "inner"): DataFrame = {
+    val interval = expr(s"INTERVAL $within")
+    val cond = keys.map { case (lk, rk) => left(lk) === right(rk) }.reduce(_ && _) &&
+      right(rightTs) >= left(leftTs) - interval &&
+      right(rightTs) <= left(leftTs) + interval
+    left.join(right, cond, joinType)
+  }
+
   // --- A19: per-(window,key) seasonal stats (:424-448) ---------------------
   /** Guarded rate: cancel_rate = cancelled/total only when total > 0. */
   def guardedRate(num: Column, den: Column): Column =

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.JoinOps
+
+/** Scale-join strategies: salted equi-join result parity and shard spread;
+  * bucketed tables joining with no exchange in the physical plan. */
+class JoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = (0L until 2000L)
+    .map(i => (i, if (i < 1800) "HOT" else s"k${i % 50}", i.toDouble))
+    .toDF("row_id", "key", "v")
+  private lazy val dim = (Seq("HOT") ++ (0 until 50).map(i => s"k$i"))
+    .zipWithIndex.map { case (k, i) => (k, s"payload_$i") }
+    .toDF("dkey", "payload")
+
+  test("saltedEquiJoin: identical rows to the unsalted join, inner and left") {
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(dim, skewed("key") === dim("dkey"), jt)
+        .select("row_id", "payload").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      val salted = JoinOps.saltedEquiJoin(skewed, dim, Seq("key" -> "dkey"),
+          saltBy = col("row_id"), factor = 8, joinType = jt)
+        .select("row_id", "payload").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(salted === plain, s"join type $jt")
+    }
+  }
+
+  test("saltedEquiJoin: the hot key spreads over multiple salt shards") {
+    val l = skewed.withColumn("__salt",
+      pmod(xxhash64(col("row_id")), lit(8)).cast("int"))
+    val shards = l.filter(col("key") === "HOT")
+      .select("__salt").distinct().count()
+    assert(shards >= 6, s"1800 hot rows must land on most of 8 shards, got $shards")
+  }
+
+  test("bucketed tables join with no exchange in the plan") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (0L until 1000L).map(i => (i % 100, i.toDouble))
+        .toDF("city_id", "spend")
+      val dims = (0L until 100L).map(i => (i, s"city_$i")).toDF("city_id", "name")
+      JoinOps.writeBucketed(facts, "graft_test_facts", Seq("city_id"), 4)
+      JoinOps.writeBucketed(dims, "graft_test_dims", Seq("city_id"), 4)
+      val joined = spark.table("graft_test_facts")
+        .join(spark.table("graft_test_dims"), "city_id")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$physical")
+      assert(joined.count() === 1000L)
+      // parity with the shuffle plan
+      val expected = facts.join(dims, "city_id").agg(sum("spend")).first().getDouble(0)
+      assert(joined.agg(sum("spend")).first().getDouble(0) === expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_test_dims")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

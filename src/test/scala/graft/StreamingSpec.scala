@@ -145,6 +145,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 15.0), (2L, 1L, 1.0)))
   }
 
+  test("streamIntervalJoin: two live streams pair within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val bookings = MemoryStream[(Timestamp, String, Double)]
+    val weather = MemoryStream[(Timestamp, String, Double)]
+    val joined = StreamOps.streamIntervalJoin(
+      bookings.toDF().toDF("b_ts", "city", "spend").withWatermark("b_ts", "0 seconds"),
+      weather.toDF().toDF("w_ts", "w_city", "temp").withWatermark("w_ts", "0 seconds"),
+      keys = Seq("city" -> "w_city"), leftTs = "b_ts", rightTs = "w_ts",
+      within = "10 minutes")
+    val q = joined.select("city", "spend", "temp")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      weather.addData((ts("2024-01-01 10:00:00"), "roma", 18.0),
+        (ts("2024-01-01 09:00:00"), "roma", 11.0)) // outside the 10m bound
+      bookings.addData((ts("2024-01-01 10:05:00"), "roma", 120.0),
+        (ts("2024-01-01 10:05:00"), "milano", 80.0)) // no weather for milano
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").as[(String, Double, Double)].collect().toSet
+      assert(rows === Set(("roma", 120.0, 18.0)))
+    } finally q.stop()
+  }
+
   test("runningTotalsTtl: string keys keep their identity (no long-cast collapse)") {
     val df = Seq(
       (ts("2024-01-01 10:00:00"), "roma", 10.0),
