@@ -129,11 +129,17 @@ object DedupOps {
     * Convergence is detected without a changed-rows self-join: labels are
     * monotonically non-increasing (the min always includes rep(x) via the
     * self-loop), so the exact DECIMAL(38,0) sum of reps strictly decreases
-    * on any change — a 1-row aggregate doubles as the convergence check and
-    * the materializing action for the round's cache. The superseded round's
-    * cache is unpersisted as soon as the new one is materialized, so
-    * executor memory holds at most two label frames regardless of round
-    * count. Returns (doc_id, rep, keep) — keep = the cluster's minimum id
+    * on any change — a 1-row aggregate doubles as the convergence check.
+    *
+    * Each round is materialized with an EAGER localCheckpoint, which
+    * truncates the logical plan to the checkpointed blocks. This is not
+    * optional: the round plan references the previous labels four times
+    * (self-loops, two pointer unions, the join), so without truncation the
+    * logical tree grows 4^rounds — analysis cost and plan rendering explode
+    * exponentially even though execution would be cached. Superseded
+    * rounds' blocks are reclaimed by the context cleaner once their round
+    * frame goes out of scope (at most the last two rounds are referenced).
+    * Returns (doc_id, rep, keep) — keep = the cluster's minimum id
     * survives.
     *
     * `ids` must cover every document (isolated docs form singleton
@@ -157,21 +163,21 @@ object DedupOps {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MemDisk)
-    // `cached` is the persisted frame backing `labels`; kept separate so the
-    // right plan is unpersisted (unpersist on a derived select is a no-op)
-    var cached = ids.select(col("doc_id"), col("doc_id").as("rep")).persist(MemDisk)
-    var labels = cached
+    // eager localCheckpoint: materializes round 0 AND re-roots the plan at
+    // the checkpointed blocks (see scaladoc — mandatory lineage truncation)
+    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint(true)
     // exact decimal sum — long sum could silently overflow at 100 TB id
     // domains; null only for an empty ids frame
     def repSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = repSum(cached)
+    var prevSum = repSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // pointer edges regenerate each round from the cached labels; reps are
-      // themselves doc_ids, so every src resolves in the join below
+      // pointer edges regenerate each round from the checkpointed labels;
+      // reps are themselves doc_ids, so every src resolves in the join below
       val ptr = labels.filter(col("doc_id") =!= col("rep"))
       val aug = edges
         .union(labels.select(col("doc_id").as("src"), col("doc_id").as("dst")))
@@ -179,17 +185,11 @@ object DedupOps {
         .union(ptr.select(col("rep").as("src"), col("doc_id").as("dst")))
       val next = aug.join(labels, aug("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id")).agg(min(col("rep")).as("rep"))
-        .persist(MemDisk)
-      // the 1-row sum is the convergence check AND full materialization of
-      // `next`, making it safe to drop the previous round's cache without
-      // recompute cascades
+        .localCheckpoint(true)
       val s = repSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      val prev = cached
-      cached = next
       labels = next
-      prev.unpersist(false)
       i += 1
     }
     if (!converged) {
@@ -199,8 +199,8 @@ object DedupOps {
       if (strict) throw new IllegalStateException(msg)
       System.err.println(s"WARNING: $msg")
     }
-    // the final round's frame is fully cached (repSum above), so the edge
-    // caches can go — the returned frame is served from that cache
+    // the final round's frame is checkpointed, so the edge caches can go —
+    // the returned frame is served from the checkpoint blocks
     p.unpersist(false)
     edges.unpersist(false)
     (labels.withColumn("keep", col("doc_id") === col("rep")), i)
