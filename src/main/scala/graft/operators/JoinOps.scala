@@ -38,6 +38,31 @@ object JoinOps {
       .drop(r("__salt")).drop(l("__salt"))
   }
 
+  /** Bucketized range join: pair each left row with every right interval
+    * containing its value (`lo <= v <= hi`). The naive inequality join
+    * plans as a broadcast-nested-loop — O(|left|·|right|) comparisons, a
+    * non-starter at scale. Here both sides discretize onto buckets of
+    * `bucketWidth`: each interval explodes to the buckets it covers, the
+    * point keys to its one bucket, and an equi-join on the bucket does the
+    * candidate generation (shuffle-partitionable, AQE-coalescible) with the
+    * exact range predicate as a post-filter. Cost scales with
+    * |left| + Σ(interval width / bucketWidth) + matches: pick bucketWidth
+    * near the median interval width so intervals explode to O(1) buckets
+    * each. Results are identical to the naive join (JoinSpec). */
+  def bucketedRangeJoin(left: DataFrame, valueCol: Column,
+                        right: DataFrame, loCol: Column, hiCol: Column,
+                        bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val l = left.withColumn("__bucket",
+      floor(valueCol / bucketWidth).cast("long"))
+    val r = right.withColumn("__bucket",
+      explode(sequence(floor(loCol / bucketWidth).cast("long"),
+        floor(hiCol / bucketWidth).cast("long"))))
+    l.join(r, l("__bucket") === r("__bucket") &&
+        loCol <= valueCol && valueCol <= hiCol)
+      .drop(l("__bucket")).drop(r("__bucket"))
+  }
+
   /** Write `df` as a bucketed, sorted table: rows are hash-distributed into
     * `numBuckets` files per partition by `bucketCols` and sorted within each
     * bucket. Two tables bucketed the same way join with NO exchange and NO

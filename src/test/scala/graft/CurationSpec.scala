@@ -68,6 +68,20 @@ class CurationSpec extends SparkSpec {
     assert(out(0)._4.startsWith("t1 t2 ") && out(0)._4.endsWith(" t16"))
   }
 
+  test("chunkDocuments round-trip: concatenated chunks rebuild every document") {
+    val rnd = new scala.util.Random(13)
+    val d = (1 to 30).map(i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(70))).map(j => s"w$j").mkString(" ")))
+    val rebuilt = CurationOps.chunkDocuments(d.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 7)
+      .groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("whole"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    d.foreach { case (id, text) => assert(rebuilt(id) === text, s"doc $id") }
+  }
+
   test("stripStopwords: removes default stopwords, counts removals") {
     val d = Seq((1L, "the quick fox and the dog"), (2L, "no stop words here"))
       .toDF("doc_id", "text")

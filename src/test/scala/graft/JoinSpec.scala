@@ -36,6 +36,24 @@ class JoinSpec extends SparkSpec {
     assert(shards >= 6, s"1800 hot rows must land on most of 8 shards, got $shards")
   }
 
+  test("bucketedRangeJoin matches the naive inequality join on random intervals") {
+    for (seed <- Seq(2, 9)) {
+      val rnd = new scala.util.Random(seed)
+      val points = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 100))
+        .toDF("pid", "v")
+      val ranges = (1 to 80).map { i =>
+        val lo = rnd.nextDouble() * 95
+        (1000L + i, lo, lo + rnd.nextDouble() * 10) // width 0-10
+      }.toDF("rid", "lo", "hi")
+      val naive = points.join(ranges, col("lo") <= col("v") && col("v") <= col("hi"))
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bucketed = graft.operators.JoinOps.bucketedRangeJoin(
+          points, col("v"), ranges, col("lo"), col("hi"), bucketWidth = 5.0)
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed === naive, s"seed $seed")
+    }
+  }
+
   test("bucketed tables join with no exchange in the plan") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
