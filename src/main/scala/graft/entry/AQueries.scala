@@ -34,10 +34,18 @@ object AQueries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "45 seconds")
     val qn = s"${prefix}_out_${streamQueryId.incrementAndGet()}"
-    val q = transform(stream).writeStream.outputMode(outputMode)
-      .format("memory").queryName(qn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful-shuffle width is a per-query knob: each state partition pays
+    // per-batch store-commit overhead, so 32 stores dominate a gate-sized
+    // stream. 8 here; a production stream sizes this to its executor count
+    // (results are partition-count-independent).
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transform(stream).writeStream.outputMode(outputMode)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(qn)
   }
 
