@@ -259,6 +259,26 @@ class DimensionBuildSpec extends SparkSpec {
     assert(hotels2.collect().head.getAs[String]("city_id") === "1000001")
   }
 
+  test("DimensionBuildJob end-to-end: raw fixtures through every stage to sinks") {
+    val out = Files.createTempDirectory("dimjob").toString
+    val enriched = graft.jobs.DimensionBuildJob.run(spark,
+      geonames, istatHouseholds, istatHomes, osmHotels, airports, out)
+    assert(enriched.count() === 3)
+    // CSV sinks exist and carry the fixed column order
+    def headerOf(dir: String): String = {
+      val f = Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+        .filter(_.endsWith(".csv")).min
+      scala.io.Source.fromFile(f).getLines().next()
+    }
+    assert(headerOf(s"$out/cities_enriched").startsWith("city_id,city_name,norm_name,admin1_code,region"))
+    assert(headerOf(s"$out/airports_it") === "airport_code,ident,name,type,lat,lon,city_name")
+    assert(headerOf(s"$out/city_quality").endsWith("missing_count"))
+    // YAML: schema header + one entry per surviving hotel
+    val yaml = Files.readString(java.nio.file.Paths.get(s"$out/hotels.yaml"))
+    assert(yaml.startsWith("schema_version: 1\nhotels:\n"))
+    assert(yaml.split("\n").count(_.matches("""  - .*""")) === 3) // Tevere deduped
+  }
+
   test("airports: IT + IATA filters, duplicate IATA resolved by type rank") {
     val got = job.buildAirports(airports).collect()
       .map(r => (r.getAs[String]("airport_code"), r.getAs[String]("ident"))).toSet
