@@ -158,6 +158,17 @@ object DQueries {
       CurationOps.stripStopwords(documents(s, dir), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
         .orderBy("doc_id")
+    }),
+
+    "t09_tfidf_topk" -> ((s, dir) => {
+      // logIdf = false: ratio-idf weighting, bit-reproducible across
+      // engines — a distinct (pinned) scoring semantics; see
+      // TextOps.tfidfTopK on where it can rank differently from log idf
+      TextOps.tfidfTopK(documents(s, dir), col("doc_id"), col("text"), k = 3,
+          logIdf = false)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          rnd6(col("score")).as("score"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -413,6 +424,26 @@ object DQueries {
          |  array_to_string(list_slice(w, CAST(chunk_id * 16 + 1 AS INT), CAST(chunk_id * 16 + 16 AS INT)), ' ') AS chunk_text,
          |  len(list_slice(w, CAST(chunk_id * 16 + 1 AS INT), CAST(chunk_id * 16 + 16 AS INT))) AS n_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // twin of TextOps.tfidfTopK(logIdf = false): raw-ratio idf makes every
+    // arithmetic step a correctly-rounded IEEE op on integer-derived
+    // doubles — scores and therefore ranks match bit-for-bit
+    "t09_tfidf_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, ${rnd6Sql("score")} AS score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // twin of CurationOps.stripStopwords (DefaultStopwords list)
     "t08_stopword_strip" ->

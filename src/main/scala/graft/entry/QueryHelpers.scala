@@ -44,6 +44,7 @@ object QueryHelpers {
 
   def rndSql(e: String): String = s"round(($e) * 10000) / 10000"
   def rnd3Sql(e: String): String = s"round(($e) * 1000) / 1000"
+  def rnd6Sql(e: String): String = s"round(($e) * 1000000) / 1000000"
   def wStartSql(tsExpr: String, seconds: Long): String =
     s"CAST(floor(epoch($tsExpr) / $seconds) * $seconds AS BIGINT)"
   def minuteSql(tsExpr: String): String =

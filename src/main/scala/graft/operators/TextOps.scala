@@ -86,6 +86,40 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Top-`k` terms per document by tf·idf: explode tokens → per-(doc, term)
+    * counts → document frequency per term → idf-weighted score → per-doc
+    * window rank. Two shuffles (term for df, doc for the rank window); the
+    * corpus size rides as a broadcast 1-row aggregate. Ties break on the
+    * term so the kept set is deterministic.
+    *
+    * `logIdf = true` (default) scores with the standard smoothed
+    * `ln((N+1)/(df+1)) + 1`. `logIdf = false` scores with the raw ratio
+    * `(N+1)/(df+1)`: every arithmetic step is then a correctly-rounded
+    * IEEE operation on integer-derived doubles, so scores — and therefore
+    * ranks — reproduce bit-for-bit in any engine (libm `ln` implementations
+    * may differ in the last ulp). Note the two weightings are different
+    * scoring semantics, not just formats: where tf trades off against df,
+    * their rankings can diverge (ln is monotone in idf, not in tf·idf).
+    * The oracle-gated query pins the ratio variant; the default stays
+    * standard tf·idf. Output: (id, rank, term, score). */
+  def tfidfTopK(df: DataFrame, idCol: Column, textCol: Column, k: Int,
+                logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(count_distinct(col("id")).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val ratio = (col("n") + lit(1.0)) / (col("df") + lit(1.0))
+    val idf = if (logIdf) log(ratio) + lit(1.0) else ratio
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * idf)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "term", "score")
+  }
+
   /** Distinct word k-shingles from an ALREADY-MATERIALIZED token array
     * column. Guarded: fewer than k tokens -> empty set (sequence(1, 0) would
     * count DOWN in Spark, not produce an empty array).

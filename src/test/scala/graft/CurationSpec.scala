@@ -82,6 +82,28 @@ class CurationSpec extends SparkSpec {
     d.foreach { case (id, text) => assert(rebuilt(id) === text, s"doc $id") }
   }
 
+  test("tfidfTopK: rare terms outrank ubiquitous ones, deterministic ties") {
+    import graft.operators.TextOps
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "apple durian")).toDF("doc_id", "text")
+    // ratio idf: apple (4/4)=1, banana/cherry/durian (4/2)=2
+    val ratio = TextOps.tfidfTopK(d, col("doc_id"), col("text"), k = 2,
+        logIdf = false)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(ratio.toSeq === Seq(
+      (1L, 1, "apple", 2.0), (1L, 2, "banana", 2.0), // tie -> term order
+      (2L, 1, "cherry", 2.0), (2L, 2, "apple", 1.0),
+      (3L, 1, "durian", 2.0), (3L, 2, "apple", 1.0)))
+    // log idf agrees on these docs (no tf-vs-df trade-off inversions here)
+    val log = TextOps.tfidfTopK(d, col("doc_id"), col("text"), k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(log.toSeq === ratio.map(t => (t._1, t._2, t._3)).toSeq)
+  }
+
   test("stripStopwords: removes default stopwords, counts removals") {
     val d = Seq((1L, "the quick fox and the dog"), (2L, "no stop words here"))
       .toDF("doc_id", "text")
