@@ -63,6 +63,18 @@ class TemporalSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_px")))
   }
 
+  test("asofJoin: empty right side yields all-null payloads, empty left yields no rows") {
+    val noQuotes = quotes.filter(lit(false))
+    val out = TemporalOps.asofJoin(trades, noQuotes, Seq("sym"), "ts",
+        payload = Seq("quote_id", "px"), tieBreak = col("quote_id"))
+      .collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("asof_quote_id"))))
+    val none = TemporalOps.asofJoin(trades.filter(lit(false)), quotes,
+      Seq("sym"), "ts", payload = Seq("px"), tieBreak = col("quote_id"))
+    assert(none.count() === 0)
+  }
+
   test("sessionize batch: gap merges and splits, end = last event + gap") {
     val ev = Seq(
       ("u1", ts("2024-01-01 10:00:00"), 1.0),
