@@ -62,7 +62,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop per-query persists so one query's cache doesn't pressure the
+      // next; the clear is outside the timed window
+      spark.catalog.clearCache()
+      (name, elapsed, ok)
     }
     // Locale.ROOT formatting: the f interpolator is default-locale-dependent
     // and a comma-decimal locale would emit invalid JSON
