@@ -57,7 +57,8 @@ object DimensionBuildJob {
     // document); rows ordered by surrogate id for a stable file
     val hotels = job.buildHotels(osmHotelsCsv, cities)
     val rows = hotels.orderBy("hotel_id").collect().map { r =>
-      hotels.columns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
+      hotels.columns.map(c =>
+        c -> Option(r.getAs[Any](c)).map(String.valueOf).orNull).toMap
     }.toSeq
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(

@@ -70,7 +70,10 @@ object CurationOps {
       val thresholds = scored.groupBy(col("stratum").as("__s"))
         .agg(percentile_approx(col("score"), lit(1.0 - q), lit(10000))
           .as("__thresh"))
-      scored.join(broadcast(thresholds), col("stratum") === col("__s"))
+      // null-safe join: a null stratum is a legitimate group (the exact
+      // path's window treats it as one partition); a plain equi-join would
+      // silently drop those rows and the two paths would disagree
+      scored.join(broadcast(thresholds), col("stratum") <=> col("__s"))
         .filter(col("score") >= col("__thresh"))
         .drop("__s", "__thresh")
     }

@@ -136,11 +136,12 @@ object DedupOps {
     * optional: the round plan references the previous labels four times
     * (self-loops, two pointer unions, the join), so without truncation the
     * logical tree grows 4^rounds — analysis cost and plan rendering explode
-    * exponentially even though execution would be cached. Superseded
-    * rounds' blocks are reclaimed by the context cleaner once their round
-    * frame goes out of scope (at most the last two rounds are referenced).
-    * Returns (doc_id, rep, keep) — keep = the cluster's minimum id
-    * survives.
+    * exponentially even though execution would be cached. A superseded
+    * round's checkpoint blocks are unpersisted explicitly as soon as the
+    * next round materializes, so executor memory holds at most two label
+    * frames regardless of round count (no reliance on the context
+    * cleaner's GC timing). Returns (doc_id, rep, keep) — keep = the
+    * cluster's minimum id survives.
     *
     * `ids` must cover every document (isolated docs form singleton
     * clusters); `pairs` carries (doc_a, doc_b). With `strict`, failing to
@@ -167,6 +168,14 @@ object DedupOps {
     // the checkpointed blocks (see scaladoc — mandatory lineage truncation)
     var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint(true)
+    // the checkpointed blocks backing a round — unpersisted explicitly once
+    // the round is superseded, so memory holds at most two label frames
+    // instead of waiting on the context cleaner
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
     // exact decimal sum — long sum could silently overflow at 100 TB id
     // domains; null only for an empty ids frame
     def repSum(df: DataFrame): java.math.BigDecimal =
@@ -189,7 +198,9 @@ object DedupOps {
       val s = repSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      val stale = backingRdd(labels)
       labels = next
+      stale.foreach(_.unpersist(false))
       i += 1
     }
     if (!converged) {

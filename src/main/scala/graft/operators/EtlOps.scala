@@ -227,13 +227,26 @@ object EtlOps {
 
   /** YAML payload with schema_version header — driver-side renderer for
     * dimension-table exports (small data by construction; rows are passed in
-    * already collected/ordered). */
+    * already collected/ordered). Scalars that are not plainly safe (hotel
+    * names carry ':', '#', quotes, …) are emitted double-quoted with YAML
+    * escapes, so the file parses regardless of the data. */
   def yamlRender(key: String, schemaVersion: Int,
                  rows: Seq[Map[String, String]]): String = {
+    def scalar(v: String): String =
+      if (v != null && v.matches("[A-Za-z0-9_./\\-]+")) v
+      else if (v == null) "null"
+      else "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val sb = new StringBuilder(s"schema_version: $schemaVersion\n$key:\n")
     rows.foreach { r =>
       r.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
-        sb.append(if (i == 0) s"  - $k: $v\n" else s"    $k: $v\n")
+        sb.append(if (i == 0) s"  - $k: ${scalar(v)}\n" else s"    $k: ${scalar(v)}\n")
       }
     }
     sb.toString

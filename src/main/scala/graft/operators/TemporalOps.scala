@@ -48,18 +48,26 @@ object TemporalOps {
     val keyCols = key.map(col)
     val payloadType = right.select(payload.map(col): _*).schema
     val leftRowType = left.schema
+    // tie-break keeps its NATIVE type (a long cast would null out string
+    // ids and silently break the determinism guarantee)
+    val tieType = right.select(tieBreak.as("__tie")).schema.head.dataType
+    // equi-join semantics: a null key matches nothing. Window.partitionBy
+    // would group null keys into one partition and match them to each
+    // other, so null-key right rows are dropped up front; null-key left
+    // rows keep flowing and come out with a null payload (left-outer).
+    val rightKeyed = key.foldLeft(right)((d, k) => d.filter(col(k).isNotNull))
     val lSide = left.select(
       keyCols ++ Seq(
         col(tsCol).as("__ts"),
         lit(leftMark).as("__side"),
-        lit(null).cast("long").as("__tie"),
+        lit(null).cast(tieType).as("__tie"),
         lit(null).cast(payloadType).as("__p"),
         struct(left.columns.map(col).toIndexedSeq: _*).as("__row")): _*)
-    val rSide = right.select(
+    val rSide = rightKeyed.select(
       keyCols ++ Seq(
         col(tsCol).as("__ts"),
         lit(rightMark).as("__side"),
-        tieBreak.cast("long").as("__tie"),
+        tieBreak.as("__tie"),
         struct(payload.map(col): _*).as("__p"),
         lit(null).cast(leftRowType).as("__row")): _*)
     val w = Window.partitionBy(keyCols: _*)

@@ -107,7 +107,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("term").agg(count_distinct(col("id")).as("df"))
+    // tf is one row per (doc, term), so df(term) = row count per term —
+    // derived from the aggregated frame, NOT by re-exploding the corpus
+    // (which would scan and shuffle the raw tokens a second time)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val ratio = (col("n") + lit(1.0)) / (col("df") + lit(1.0))
     val idf = if (logIdf) log(ratio) + lit(1.0) else ratio

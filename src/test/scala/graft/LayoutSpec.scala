@@ -37,4 +37,15 @@ class LayoutSpec extends SparkSpec {
       assert(spark.read.parquet(path).inputFiles.length === 3)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("partitioned write: filesPerPartition spreads a skewed value over tasks") {
+    val path = Files.createTempDirectory("layout_skew").toString
+    val docs = (0L until 400L).map(i => (i, "en", s"text $i")).toDF("doc_id", "lang", "text")
+    DataLayout.writePartitioned(docs, path, Seq("lang"), filesPerPartition = 4)
+    val files = spark.read.parquet(path).inputFiles
+    // range boundaries are sample-based, so the split is approximate — the
+    // guarantee is spread (>1 task), bounded by filesPerPartition
+    assert(files.length >= 2 && files.length <= 4, files.mkString(","))
+    assert(spark.read.parquet(path).count() === 400)
+  }
 }
