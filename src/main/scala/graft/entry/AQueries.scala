@@ -316,6 +316,22 @@ object AQueries {
         .orderBy("event_id")
     }),
 
+    "a30_interval_join" -> ((s, dir) => {
+      // E20 through the gate in batch mode: purchases pair with views of
+      // the same user within ±10 minutes (the streaming path with state
+      // eviction is covered in StreamingSpec).
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+      StreamOps.streamIntervalJoin(p, v, keys = Seq("user_id" -> "v_user"),
+          leftTs = "ts", rightTs = "v_ts", within = "10 minutes")
+        .select(col("p_id"), col("v_id"), col("user_id"))
+        .orderBy("p_id", "v_id")
+    }),
+
     "a29_sessionize" -> ((s, dir) => {
       // Per-user session windows (6h inactivity gap): Spark's session_window
       // merges events closer than the gap; end = last event + gap. The same
@@ -605,6 +621,15 @@ object AQueries {
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          |ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
          |ORDER BY p.event_id""".stripMargin,
+
+    "a30_interval_join" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND v.ts <= p.ts + INTERVAL 10 MINUTE
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY p_id, v_id""".stripMargin,
 
     // gap-islands twin of session_window: a new session starts when the
     // event-time gap reaches the 6h timeout; end = last event + gap

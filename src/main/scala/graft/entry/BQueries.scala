@@ -333,6 +333,18 @@ object BQueries {
           .getField("k").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")
+    }),
+
+    "b30_salted_join" -> ((s, dir) => {
+      // E21 through the gate: the salted plan must produce EXACTLY the
+      // plain join's rows — oracle is the unsalted SQL join.
+      graft.operators.JoinOps.saltedEquiJoin(
+          lineitem(s, dir), supplier(s, dir),
+          keys = Seq("l_suppkey" -> "s_suppkey"),
+          saltBy = col("l_orderkey") * lit(8) + col("l_linenumber"),
+          factor = 8)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy("s_nationkey")
     })
   )
 
@@ -509,7 +521,13 @@ object BQueries {
 
     "b29_profile" ->
       """SELECT TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the UNSALTED join — salting must be invisible in the result
+    "b30_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Haversine SQL with the same operation tree as Exprs.haversineKm /

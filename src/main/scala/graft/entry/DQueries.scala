@@ -125,6 +125,20 @@ object DQueries {
       Multimodal.extractFeatures(media).orderBy("doc_id")
     }),
 
+    "s04_range_join" -> ((s, dir) => {
+      // E23 through the gate: events.value against 25 overlapping intervals
+      // derived from the nation table; bucketized candidates must equal the
+      // naive inequality join.
+      val iv = nation(s, dir).select(col("n_nationkey"),
+        (col("n_nationkey") * lit(15.0)).as("lo"),
+        (col("n_nationkey") * lit(15.0) + lit(25.0)).as("hi"))
+      graft.operators.JoinOps.bucketedRangeJoin(
+          events(s, dir), col("value"), iv, col("lo"), col("hi"),
+          bucketWidth = 20.0)
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy("n_nationkey")
+    }),
+
     "t05_hash_sample" -> ((s, dir) => {
       // Deterministic stratified sampling on the portable hash60 — the
       // same subset is reproducible by any engine (no rand()).
@@ -391,6 +405,15 @@ object DQueries {
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the naive inequality join — bucketization must be invisible
+    "s04_range_join" ->
+      """SELECT iv.n_nationkey, COUNT(*) AS n
+        |FROM events e
+        |JOIN (SELECT n_nationkey, n_nationkey * 15.0 AS lo,
+        |             n_nationkey * 15.0 + 25.0 AS hi FROM nation) iv
+        |  ON iv.lo <= e.value AND e.value <= iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // twin of CurationOps.stratifiedHashSample (hash60 bucket < rate * 1e6)
     "t05_hash_sample" ->
