@@ -335,6 +335,28 @@ object BQueries {
         .orderBy("k")
     }),
 
+    "b31_bucketed_join" -> ((s, dir) => {
+      // E22 through the gate: both sides written bucketed on the join key
+      // (external tables under tmp), then joined — the join itself runs
+      // with no exchange (asserted at plan level in JoinSpec); the oracle
+      // proves the layout is invisible in the result. The timed cost
+      // honestly includes the one-off bucketed writes (the
+      // write-once-shuffle-never trade).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      graft.operators.JoinOps.writeBucketed(
+        lineitem(s, dir).select("l_suppkey", "l_quantity"),
+        "graft_bkt_lineitem", Seq("l_suppkey"), 8, Some(s"$tmp/li"))
+      graft.operators.JoinOps.writeBucketed(
+        supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        "graft_bkt_supplier", Seq("s_suppkey"), 8, Some(s"$tmp/sup"))
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), decOut(sum(dec(col("l_quantity")))).as("qty"))
+        .orderBy("s_nationkey")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -522,6 +544,12 @@ object BQueries {
     "b29_profile" ->
       """SELECT TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the plain join — the bucketed layout must be invisible in the result
+    "b31_bucketed_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
+         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the UNSALTED join — salting must be invisible in the result
     "b30_salted_join" ->

@@ -72,10 +72,13 @@ object JoinOps {
     * the shuffle is paid once at write time. JoinSpec asserts the
     * exchange-free plan. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path -> external table (data outside the session warehouse);
+    // the catalog entry itself is session-scoped
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }
