@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy hitters: the frequent items in one bounded-memory
+  * aggregation pass, as a typed Spark [[Aggregator]] (mergeable — map-side
+  * partial aggregation applies, so the full term stream is NEVER shuffled;
+  * only ≤ `k`-entry summaries move).
+  *
+  * Guarantees (standard MG): every item with true frequency > n/(k+1) is
+  * present in the output, and each reported count underestimates the true
+  * count by at most n/(k+1). Counts are NOT exact and the reported set for
+  * borderline items depends on merge order — this operator is inherently
+  * not oracle-hashable (documented; the guarantees are property-tested in
+  * HeavyHitterSpec instead). Exact counting of a skewed term domain at
+  * 100 TB means shuffling every token; this is the bounded-memory
+  * alternative when the tail doesn't matter.
+  */
+object HeavyHitters {
+
+  /** MG summary combine: sum counters, then decrement all by the
+    * (k+1)-largest until ≤ k survive — the standard mergeable reduction
+    * (Agarwal et al., "Mergeable Summaries"). */
+  private[graft] def shrink(m: Map[String, Long], k: Int): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      // decrement by the (k+1)-th largest count; drops at least one entry
+      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      m.flatMap { case (t, c) =>
+        val nc = c - cut
+        if (nc > 0) Some(t -> nc) else None
+      }
+    }
+
+  private final class MgAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      shrink(b.updated(t, b.getOrElse(t, 0L) + 1L), k)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }, k)
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
+
+  /** Heavy hitters of a string column: (item, est_count) rows, largest
+    * first, at most `k` rows. One aggregation pass; summaries merge
+    * map-side. */
+  def heavyHitters(df: DataFrame, c: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(c.cast("string")).as[String]
+    val summary = ds.select(new MgAgg(k).toColumn).head()
+    summary.toSeq.toDF("item", "est_count")
+      .orderBy(col("est_count").desc, col("item"))
+  }
+}
