@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotFold
+
+/** Engine extensions, installed with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
+  * session builder (GraftSession, Verify, Bench, SparkSpec) — the public
+  * `SparkSessionExtensions` route, so no catalyst-internal registry access.
+  *
+  * Registers the native expressions; call sites use
+  * `functions.call_function("graft_dot", a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotFold].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
+        DotFold(children.head, children(1))
+      }))
+  }
+}

@@ -7,9 +7,12 @@ import graft.functions.Hashing
 
 /** Similarity search over embedding columns (Array[Float]).
   *
-  * Cosine is computed with built-in higher-order functions (zip_with +
-  * aggregate) in DOUBLE with strict left-to-right summation — deterministic
-  * and reproducible by the oracle engine; no UDF, stays in codegen.
+  * Cosine is a strict left-to-right double fold — deterministic and
+  * reproducible by the oracle engine. The fold runs through the native
+  * codegen'd [[graft.functions.DotFold]] expression (registered as
+  * `graft_dot` by [[graft.GraftExtensions]]); [[dotHof]] is the
+  * bit-identical built-in higher-order-function twin that defines the
+  * portable semantics (and is what the DuckDB oracle SQL mirrors).
   *
   * Scale paths: brute-force top-k is the correctness baseline (O(n·q), fine
   * when the query set is small and broadcastable); random-hyperplane LSH
@@ -19,8 +22,15 @@ import graft.functions.Hashing
   */
 object SimilarityOps {
 
-  /** dot(a, b) over float arrays, accumulated in double left-to-right. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) over float/double arrays, accumulated in double
+    * left-to-right — the native codegen'd path (see [[dotHof]]). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The engine-portable HOF twin of [[dot]]: same element order, same
+    * IEEE ops, bit-identical output (asserted in DotFoldSpec). Kept as the
+    * semantic definition; `CodegenFallback` + an allocated zip array make
+    * it the slower form, so operators call [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -70,9 +80,7 @@ object SimilarityOps {
     val tables = (0 until numTables).map { t =>
       val bits = (0 until planes).map { p =>
         val w = array(planeWeights(t, p, dim).map(lit).toIndexedSeq: _*)
-        val proj = aggregate(
-          zip_with(col("embedding"), w, (x, wi) => x.cast("double") * wi),
-          lit(0.0), (acc, x) => acc + x)
+        val proj = dot(col("embedding"), w)
         when(proj > 0, 1L << p).otherwise(0L)
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
