@@ -174,6 +174,16 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t10_heavy_hitters" -> ((s, dir) => {
+      // E26 through the gate: MG-sketch candidate pruning must be invisible
+      // — the two-pass plan's output equals the plain GROUP BY/HAVING twin.
+      val toks = documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      graft.functions.HeavyHitters.exactHeavyHitters(toks, col("term"),
+          minShare = 0.005)
+        .orderBy("term")
+    }),
+
     "t09_tfidf_topk" -> ((s, dir) => {
       // logIdf = false: ratio-idf weighting, bit-reproducible across
       // engines — a distinct (pinned) scoring semantics; see
@@ -467,6 +477,17 @@ object DQueries {
          |  FROM scored)
          |SELECT doc_id, rank, term, ${rnd6Sql("score")} AS score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // twin of HeavyHitters.exactHeavyHitters(minShare=0.005): the sketch
+    // pass only prunes, so the SQL twin is the full GROUP BY with a share
+    // HAVING — both engines compare cnt against the same IEEE double
+    // product n * 0.005
+    "t10_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents)
+         |SELECT term, COUNT(*) AS cnt FROM toks
+         |GROUP BY term
+         |HAVING COUNT(*) > (SELECT COUNT(*) FROM toks) * 0.005
+         |ORDER BY term""".stripMargin,
 
     // twin of CurationOps.stripStopwords (DefaultStopwords list)
     "t08_stopword_strip" ->

@@ -50,6 +50,24 @@ object HeavyHitters {
       Encoders.kryo[Map[String, Long]]
   }
 
+  /** MG summary + total element count in one pass (the count makes the
+    * share threshold of [[exactHeavyHitters]] free — no second scan). */
+  private final class MgCountAgg(k: Int)
+      extends Aggregator[String, (Map[String, Long], Long), (Map[String, Long], Long)] {
+    override def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+    override def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) =
+      (shrink(b._1.updated(t, b._1.getOrElse(t, 0L) + 1L), k), b._2 + 1L)
+    override def merge(a: (Map[String, Long], Long), b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+      (shrink(b._1.foldLeft(a._1) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }, k), a._2 + b._2)
+    override def finish(r: (Map[String, Long], Long)): (Map[String, Long], Long) = r
+    override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+    override def outputEncoder: Encoder[(Map[String, Long], Long)] =
+      Encoders.kryo[(Map[String, Long], Long)]
+  }
+
   /** Heavy hitters of a string column: (item, est_count) rows, largest
     * first, at most `k` rows. One aggregation pass; summaries merge
     * map-side. */
@@ -61,5 +79,35 @@ object HeavyHitters {
     val summary = ds.select(new MgAgg(k).toColumn).head()
     summary.toSeq.toDF("item", "est_count")
       .orderBy(col("est_count").desc, col("item"))
+  }
+
+  /** EXACT heavy hitters — every item with frequency > `minShare` of the
+    * stream, with exact counts — via the standard two-pass sketch-then-
+    * verify plan: pass 1 builds an MG summary with k = ceil(1/minShare)
+    * counters (its keys are a guaranteed SUPERSET of all qualifying items,
+    * since n/(k+1) ≤ minShare·n) plus the exact element count; pass 2
+    * recounts ONLY the ≤ k candidates (broadcast `isin` filter → tiny hash
+    * agg) and keeps those above the threshold.
+    *
+    * Unlike [[heavyHitters]] the output is deterministic and engine-
+    * portable — the sketch only PRUNES, the reported rows and counts equal
+    * the plain `GROUP BY ... HAVING count > n·minShare` answer, which is
+    * what lets this be oracle-gated (t10). At 100 TB this is 2 scans and a
+    * k-row shuffle instead of shuffling every distinct term of the full
+    * GROUP BY. The driver-side candidate list is bounded by k. */
+  def exactHeavyHitters(df: DataFrame, c: Column, minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare < 1, s"minShare in (0,1): $minShare")
+    val k = math.ceil(1.0 / minShare).toInt
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(c.cast("string")).as[String]
+    val (summary, n) = ds.select(new MgCountAgg(k).toColumn).head()
+    val cands = summary.keys.toSeq
+    if (cands.isEmpty)
+      return df.select(c.cast("string").as("term"), lit(0L).as("cnt")).limit(0)
+    df.select(c.cast("string").as("term"))
+      .filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n.toDouble * minShare))
   }
 }

@@ -29,6 +29,32 @@ class HeavyHitterSpec extends SparkSpec {
     }
   }
 
+  test("exactHeavyHitters equals the plain GROUP BY/HAVING answer (differential)") {
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish: term i with weight ~ 1/(i+1); 5000 draws over 300 terms
+    val rows = Seq.fill(5000) {
+      val u = rnd.nextDouble()
+      s"term_${math.min(299, (math.exp(u * math.log(300.0)) - 1).toInt)}"
+    }
+    for (share <- Seq(0.005, 0.02, 0.2); parts <- Seq(1, 13)) {
+      val df = rows.toDF("term").repartition(parts)
+      val got = graft.functions.HeavyHitters
+        .exactHeavyHitters(df, col("term"), share)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = rows.size
+      val expected = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c > n.toDouble * share }.toMap
+      assert(got == expected, s"share=$share parts=$parts")
+    }
+  }
+
+  test("exactHeavyHitters: no qualifying item yields an empty frame with the right schema") {
+    val df = (0 until 1000).map(i => s"u_$i").toDF("term")
+    val out = graft.functions.HeavyHitters.exactHeavyHitters(df, col("term"), 0.01)
+    assert(out.columns.toSeq == Seq("term", "cnt"))
+    assert(out.count() == 0)
+  }
+
   test("shrink: decrement drops at least one entry and never overcounts") {
     val m = Map("a" -> 10L, "b" -> 5L, "c" -> 3L, "d" -> 1L)
     val s = HeavyHitters.shrink(m, 2)
