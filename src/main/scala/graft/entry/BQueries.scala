@@ -357,6 +357,19 @@ object BQueries {
         .orderBy("s_nationkey")
     }),
 
+    "b32_bloom_join" -> ((s, dir) => {
+      // E27 through the gate: the big side is pre-pruned by a Bloom filter
+      // built from the filtered orders' keys; false positives die in the
+      // join, so the result must equal the plain (unpruned) SQL join.
+      val hot = orders(s, dir).filter(col("o_totalprice") > 450000.0)
+      graft.operators.JoinOps.bloomPrunedJoin(
+          lineitem(s, dir), col("l_orderkey"),
+          hot, col("o_orderkey"), expectedItems = 4000, fpp = 0.01)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), decOut(sum(dec(col("l_quantity")))).as("qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -549,6 +562,13 @@ object BQueries {
     "b31_bucketed_join" ->
       s"""SELECT s_nationkey, COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the UNPRUNED join — bloom pruning must be invisible in the result
+    "b32_bloom_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_totalprice > 450000.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the UNSALTED join — salting must be invisible in the result

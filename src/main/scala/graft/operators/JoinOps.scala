@@ -63,6 +63,37 @@ object JoinOps {
       .drop(l("__bucket")).drop(r("__bucket"))
   }
 
+  /** Bloom-pruned join: build a compact Bloom filter over the (already
+    * filtered) small side's join keys, broadcast it, and drop big-side rows
+    * that cannot match BEFORE the join's exchange — the manual form of
+    * Spark's runtime-filter injection, for when the planner doesn't fire it
+    * (non-equi post-conditions, reused frames, disabled AQE) or when the
+    * pruned frame feeds further operators. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling only the ~|dim|
+    * matching slice + false positives (rate `fpp`).
+    *
+    * False positives survive the filter but are eliminated by the actual
+    * join, so the result is IDENTICAL to the plain join — which is exactly
+    * how the gate checks it (b32: SQL twin is the unpruned join). The probe
+    * is a two-hash `mightContain` against a broadcast sketch; it runs as a
+    * (non-codegen) UDF, justified because it replaces a full shuffle of the
+    * big side and Catalyst's own BloomFilterMightContain is not public API.
+    * Keys are compared as longs (cast both sides). */
+  def bloomPrunedJoin(big: DataFrame, bigKey: Column,
+                      small: DataFrame, smallKey: Column,
+                      expectedItems: Long, fpp: Double = 0.01,
+                      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi").contains(joinType),
+      s"bloom pruning only preserves inner/left_semi semantics: $joinType")
+    val bf = small.select(smallKey.cast("long").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bfB.value.mightContainLong(k))
+    big.filter(mightContain(bigKey.cast("long")))
+      .join(small, bigKey === smallKey, joinType)
+  }
+
   /** Write `df` as a bucketed, sorted table: rows are hash-distributed into
     * `numBuckets` files per partition by `bucketCols` and sorted within each
     * bucket. Two tables bucketed the same way join with NO exchange and NO

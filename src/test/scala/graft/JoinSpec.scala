@@ -36,6 +36,30 @@ class JoinSpec extends SparkSpec {
     assert(shards >= 6, s"1800 hot rows must land on most of 8 shards, got $shards")
   }
 
+  test("bloomPrunedJoin: identical rows to the plain join, and actually prunes") {
+    val big = (0L until 5000L).map(i => (i, i % 500, s"v$i")).toDF("row_id", "fk", "pay")
+    val small = (0L until 500L).filter(_ % 25 == 0).map(k => (k, s"d$k")).toDF("pk", "dp")
+    val plain = big.join(small, col("fk") === col("pk"))
+      .select("row_id", "dp").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val pruned = JoinOps.bloomPrunedJoin(big, col("fk"), small, col("pk"),
+        expectedItems = 100, fpp = 0.01)
+      .select("row_id", "dp").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned === plain)
+    // the pre-join filter must reject (almost) all non-matching fk values:
+    // 20 of 500 fks match; with fpp=0.01 the surviving count is far below big
+    val bf = small.select(col("pk").cast("long").as("__k"))
+      .stat.bloomFilter("__k", 100, 0.01)
+    val survivors = big.collect().count(r => bf.mightContainLong(r.getLong(1)))
+    assert(survivors < 1000, s"bloom should prune most of 5000 rows, kept $survivors")
+    // null keys: dropped by both plans
+    val withNull = big.withColumn("fk",
+      when(col("row_id") === 0, lit(null)).otherwise(col("fk")))
+    val p2 = JoinOps.bloomPrunedJoin(withNull, col("fk"), small, col("pk"),
+      expectedItems = 100, fpp = 0.01).count()
+    val p3 = withNull.join(small, col("fk") === col("pk")).count()
+    assert(p2 == p3)
+  }
+
   test("bucketedRangeJoin matches the naive inequality join on random intervals") {
     for (seed <- Seq(2, 9)) {
       val rnd = new scala.util.Random(seed)
