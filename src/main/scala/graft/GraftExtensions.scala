@@ -10,11 +10,13 @@ import graft.functions.DotFold
   * session builder (GraftSession, Verify, Bench, SparkSpec) — the public
   * `SparkSessionExtensions` route, so no catalyst-internal registry access.
   *
-  * Registers the native expressions; call sites use
-  * `functions.call_function("graft_dot", a, b)`.
+  * Registers the native expressions (call sites use
+  * `functions.call_function("graft_dot", a, b)`) and the optimizer rule
+  * that canonicalizes hand-written HOF dot folds into the native form.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.DotFoldRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotFold].getName, "graft_dot"),
