@@ -174,6 +174,26 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t11_seq_packing" -> ((s, dir) => {
+      // E28 through the gate: greedy per-shard sequence packing over the
+      // t07 chunks — cumsum window partitioned by portable-hash shard.
+      val chunks = CurationOps.chunkDocuments(documents(s, dir),
+        col("doc_id"), col("text"), chunkTokens = 16)
+      CurationOps.packChunks(chunks, col("id"), col("chunk_id"),
+          col("n_tokens"), budgetTokens = 64, nShards = 8)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("shard"),
+          col("pack_id"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "t12_repetition" -> ((s, dir) => {
+      // E29 through the gate: duplicate-trigram share per document; the
+      // ratio is exact-integer division, bit-reproducible without rounding.
+      TextOps.repetition(documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .select(col("id").as("doc_id"), col("n_grams"), col("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "t10_heavy_hitters" -> ((s, dir) => {
       // E26 through the gate: MG-sketch candidate pruning must be invisible
       // — the two-pass plan's output equals the plain GROUP BY/HAVING twin.
@@ -477,6 +497,45 @@ object DQueries {
          |  FROM scored)
          |SELECT doc_id, rank, term, ${rnd6Sql("score")} AS score
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // twin of CurationOps.packChunks over the t07 chunks: same hash60
+    // shard, same cumsum window (unique (doc_id, chunk_id) sort keys make
+    // RANGE/ROWS frames identical), same floor((cum-n)/64.0) pack rule
+    "t11_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS chunk_id, w
+         |  FROM d WHERE len(w) > 0),
+         |ch AS (
+         |  SELECT doc_id, chunk_id,
+         |    len(list_slice(w, CAST(chunk_id * 16 + 1 AS INT), CAST(chunk_id * 16 + 16 AS INT))) AS n_tokens
+         |  FROM c),
+         |sh AS (
+         |  SELECT doc_id, chunk_id, n_tokens,
+         |    CAST(${h60Sql("'pack_' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |  FROM ch),
+         |p AS (
+         |  SELECT doc_id, chunk_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id) AS cum
+         |  FROM sh)
+         |SELECT doc_id, chunk_id, shard,
+         |  CAST(floor((cum - n_tokens) / 64.0) AS BIGINT) AS pack_id
+         |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // twin of TextOps.repetition(k=3): all trigrams (duplicates kept) via
+    // the shingleCte construction minus list_distinct
+    "t12_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN [] ELSE
+         |      list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    END AS grams
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents))
+         |SELECT doc_id, len(grams) AS n_grams,
+         |  CASE WHEN len(grams) > 0
+         |       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+         |       ELSE 0.0 END AS dup_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // twin of HeavyHitters.exactHeavyHitters(minShare=0.005): the sketch
     // pass only prunes, so the SQL twin is the full GROUP BY with a share

@@ -107,6 +107,34 @@ object CurationOps {
           lit(chunkTokens))).as("n_tokens"))
   }
 
+  /** Sequence packing (training-batch prep): assign every chunk to a pack
+    * of ≤ `budgetTokens` tokens (a chunk that would cross the budget opens
+    * the next pack — chunks are never split). Packing is greedy over the
+    * deterministic (id, chunk_id) order WITHIN a hash-assigned shard:
+    * a single global order would mean one partition doing all the work, so
+    * the cumulative-sum window partitions by `nShards` portable-hash shards
+    * — each shard packs independently and in parallel, which is exactly how
+    * a 100 TB corpus is packed in practice (pack ids are (shard, pack_id)
+    * pairs). One shuffle (the window), no iteration. Deterministic and
+    * engine-portable: shard = hash60 mod nShards, cumsum over unique sort
+    * keys. */
+  def packChunks(chunks: DataFrame, idCol: Column, chunkIdCol: Column,
+                 nTokensCol: Column, budgetTokens: Int, nShards: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(Hashing.hash60(concat(lit("pack_"), idCol.cast("string"))),
+      lit(nShards)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(idCol, chunkIdCol)
+    chunks
+      .withColumn("shard", shard)
+      .withColumn("__cum", sum(nTokensCol).over(w))
+      // tokens BEFORE this chunk decide its pack: floor(preceding / budget)
+      .withColumn("pack_id",
+        floor((col("__cum") - nTokensCol) / lit(budgetTokens.toDouble)).cast("long"))
+      .drop("__cum")
+  }
+
   /** Strip stopword tokens from the text, reporting how many were removed:
     * (id, clean_text, n_removed). The token array is materialized once (see
     * [[chunkDocuments]] on HOF argument re-evaluation); the filter lambda is

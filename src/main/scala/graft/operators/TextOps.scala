@@ -133,10 +133,33 @@ object TextOps {
     * transform lambda, turning shingling O(tokens²·|text|) (measured 5× the
     * whole pipeline cost). */
   def shinglesOfTokens(w: Column, k: Int): Column =
+    array_distinct(allShinglesOfTokens(w, k))
+
+  /** All k-grams in document order, duplicates kept — [[shinglesOfTokens]]
+    * without the distinct; the total/distinct pair drives [[repetition]].
+    * Same caller contract: `w` must be a materialized token-array column. */
+  def allShinglesOfTokens(w: Column, k: Int): Column =
     when(size(w) < k, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), size(w) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))))
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*)))
+
+  /** Gopher-style intra-document repetition: the share of word `k`-grams
+    * that duplicate an earlier k-gram of the same document —
+    * `1 - distinct/total`, 0.0 for documents shorter than k tokens. A
+    * standard quality-filter signal (boilerplate and looping text score
+    * high). Narrow per-row expressions, no shuffle; the ratio is a
+    * division of small exact integers, so it is bit-reproducible by the
+    * oracle engine without rounding. Returns (id, n_grams, dup_ratio). */
+  def repetition(df: DataFrame, idCol: Column, textCol: Column,
+                 k: Int = 3): DataFrame =
+    df.select(idCol.as("id"), tokens(textCol).as("__toks"))
+      .select(col("id"), allShinglesOfTokens(col("__toks"), k).as("__grams"))
+      .select(col("id"),
+        size(col("__grams")).as("n_grams"),
+        when(size(col("__grams")) > 0,
+          lit(1.0) - size(array_distinct(col("__grams"))).cast("double")
+            / size(col("__grams")))
+          .otherwise(lit(0.0)).as("dup_ratio"))
 
   /** Single-expression convenience form — only for small inputs/tests; see
     * the [[shinglesOfTokens]] performance note. */

@@ -82,6 +82,52 @@ class CurationSpec extends SparkSpec {
     d.foreach { case (id, text) => assert(rebuilt(id) === text, s"doc $id") }
   }
 
+  test("packChunks: packs respect the budget, chunks never split, order is greedy") {
+    // chunk sizes: doc i has i%5+1 "chunks" of n_tokens 10,20,30
+    val chunks = (0L until 60L).flatMap(i =>
+      (0L to i % 3).map(c => (i, c, ((c + 1) * 10).toInt)))
+      .toDF("id", "chunk_id", "n_tokens")
+    val packed = CurationOps.packChunks(chunks, col("id"), col("chunk_id"),
+      col("n_tokens"), budgetTokens = 50, nShards = 4)
+    val rows = packed.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Long]("chunk_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pack_id")))
+    // every chunk assigned exactly once
+    assert(rows.length == chunks.count())
+    // within a (shard, pack), token total stays <= budget + one chunk's
+    // overhang is impossible here since every chunk <= budget: totals <= 50
+    // is NOT guaranteed by greedy fill (a pack closes when the cumsum
+    // crosses it), but the defining invariant is: a chunk's pack equals
+    // floor(preceding_tokens_in_shard / budget) over the (id, chunk_id) order
+    rows.groupBy(_._4).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(r => (r._1, r._2)).foreach { r =>
+        assert(r._5 == cum / 50, s"pack mismatch at $r (cum=$cum)")
+        cum += r._3
+      }
+    }
+    // deterministic under repartitioning
+    val packed2 = CurationOps.packChunks(chunks.repartition(7), col("id"),
+      col("chunk_id"), col("n_tokens"), budgetTokens = 50, nShards = 4)
+    assert(packed2.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(4))).toSet ==
+      rows.map(r => (r._1, r._2, r._4, r._5)).toSet)
+  }
+
+  test("repetition: duplicate-trigram share, short docs score 0") {
+    val df = Seq(
+      (1L, "a b c d e"),          // 3 distinct trigrams, no dups
+      (2L, "x y x y x y x y"),    // 6 trigrams, 2 distinct
+      (3L, "one two"),            // shorter than 3 tokens
+      (4L, "")                    // empty
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetition(df, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3, 0.0)))
+    assert(got(2L) == ((6, 1.0 - 2.0 / 6.0)))
+    assert(got(3L) == ((0, 0.0)))
+    assert(got(4L) == ((0, 0.0)))
+  }
+
   test("tfidfTopK: rare terms outrank ubiquitous ones, deterministic ties") {
     import graft.operators.TextOps
     val d = Seq(
