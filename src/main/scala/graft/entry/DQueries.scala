@@ -79,6 +79,15 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d07_decontam" -> ((s, dir) => {
+      // E30 through the gate: docs sharing any 5-gram with the doc_id<20
+      // "benchmark" slice — semi-join on portable 60-bit gram hashes.
+      val docs = documents(s, dir)
+      DedupOps.decontaminate(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 20), col("text"), k = 5)
+        .orderBy("doc_id")
+    }),
+
     "d04_simhash" -> ((s, dir) => {
       // maxHamming 3 with 4x15-bit chunk candidates: pigeonhole makes the
       // chunked plan's recall exact, so it matches the brute-force oracle.
@@ -394,6 +403,19 @@ object DQueries {
          |SELECT s AS doc_id, min(d) AS rep,
          |  CAST(s = min(d) AS INT) AS keep
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    // twin of DedupOps.decontaminate(k=5): same distinct-5-gram hash60
+    // keys, IN-subquery instead of the semi-join
+    "d07_decontam" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram
+         |  FROM d),
+         |gh AS (SELECT doc_id, ${h60Sql("gram")} AS gram_h FROM g),
+         |b AS (SELECT DISTINCT gram_h FROM gh WHERE doc_id < 20)
+         |SELECT DISTINCT doc_id FROM gh WHERE gram_h IN (SELECT gram_h FROM b)
+         |ORDER BY doc_id""".stripMargin,
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),

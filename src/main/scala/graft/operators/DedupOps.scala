@@ -20,6 +20,30 @@ object DedupOps {
   /** Exact dedup by content fingerprint: per fingerprint keep the minimum id
     * and report group size. Single hash aggregate — the 100 TB-scale exact
     * dedup is exactly this shape (shuffle on fingerprint). */
+  /** Decontamination: corpus documents sharing ANY word `k`-gram with the
+    * benchmark set (the standard test-set-overlap rule for training data).
+    * Both sides explode to distinct k-gram hashes — the 60-bit portable
+    * hash, so at scale the semi-join shuffles 8-byte keys instead of
+    * k-word strings, and the oracle can reproduce every key — and a
+    * left-semi join flags the overlapping doc ids. Linear in corpus +
+    * benchmark gram counts; the benchmark side is typically small enough
+    * that the semi-join broadcasts. Returns the distinct contaminated
+    * `doc_id`s. */
+  def decontaminate(corpus: DataFrame, idCol: Column, textCol: Column,
+                    bench: DataFrame, benchTextCol: Column, k: Int): DataFrame = {
+    val cg = corpus
+      .select(idCol.as("doc_id"), TextOps.tokens(textCol).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesOfTokens(col("__toks"), k)).as("__g"))
+      .select(col("doc_id"), Hashing.hash60(col("__g")).as("gram_h"))
+    val bg = bench
+      .select(TextOps.tokens(benchTextCol).as("__toks"))
+      .select(explode(TextOps.shinglesOfTokens(col("__toks"), k)).as("__g"))
+      .select(Hashing.hash60(col("__g")).as("gram_h"))
+      .distinct()
+    cg.join(bg, Seq("gram_h"), "left_semi").select("doc_id").distinct()
+  }
+
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
     df.groupBy(TextOps.fingerprint(text).as("fingerprint"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))

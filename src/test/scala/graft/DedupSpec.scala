@@ -82,6 +82,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: flags exactly the docs sharing a k-gram, k is a hard boundary") {
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon noise"), // shares a 5-gram
+      (2L, "x alpha beta gamma delta y z"),         // only a 4-gram overlap
+      (3L, "completely different words here now ok"),
+      (4L, "pad pad alpha beta gamma delta epsilon")// 5-gram not at the start
+    ).toDF("doc_id", "text")
+    val flagged = graft.operators.DedupOps.decontaminate(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 4L))
+  }
+
   test("simhash: identical docs hamming 0, near-dups small, distinct docs large") {
     val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
