@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotFold
+import graft.functions.{DotFold, Hash60}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
         DotFold(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_hash60 expects 1 argument, got ${children.size}")
+        Hash60(children.head)
       }))
   }
 }

@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
 object Hashing {
 
   /** 60-bit positive hash: first 15 hex digits of md5 as a BIGINT.
-    * DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT). */
-  def hash60(c: Column): Column =
+    * DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
+    * Runs through the native [[Hash60]] expression (registered by
+    * `GraftExtensions`): same digest, no hex-string round-trip —
+    * [[hash60Composed]] is the built-in-only twin it must bit-match. */
+  def hash60(c: Column): Column = call_function("graft_hash60", c)
+
+  /** The built-in composed form of [[hash60]] — kept as the portable
+    * semantic definition (Hash60Spec asserts bit equality). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Driver-side scalar twin of [[hash60]] — for precomputing constant
