@@ -37,6 +37,34 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshPairs matches brute-force jaccard pairs on random near-dup corpora") {
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 200).map(i => s"w$i")
+      val bases = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))))
+      }
+      // plant near-dups: copy with 0-2 token substitutions (J >= ~0.85)
+      val dups = bases.take(12).map { case (i, toks) =>
+        val t = toks.toArray
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.size))
+        }
+        (100L + i, t.toSeq)
+      }
+      val df = (bases ++ dups).map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sh = DedupOps.shingleSets(df, col("doc_id"), col("text"), 3)
+      def pairSet(f: org.apache.spark.sql.DataFrame) =
+        f.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairSet(DedupOps.jaccardPairsBrute(sh, 0.8))
+      val lsh = pairSet(DedupOps.minhashLshPairs(sh, 0.8))
+      assert(brute.nonEmpty, s"seed $seed produced no near-dup pairs — fixture broken")
+      assert(lsh == brute, s"seed $seed")
+    }
+  }
+
   test("dedupClusters matches union-find on random graphs") {
     for (seed <- Seq(3, 11)) {
       val rnd = new scala.util.Random(seed)
