@@ -68,6 +68,15 @@ object HeavyHitters {
       Encoders.kryo[(Map[String, Long], Long)]
   }
 
+  /** The MG summary as a typed aggregation column — usable in batch AND
+    * streaming aggregations (the state the stream engine keeps per group is
+    * the ≤ k-entry summary itself, merged incrementally per micro-batch;
+    * asserted in HeavyHitterSpec). */
+  def sketchAgg(k: Int): org.apache.spark.sql.TypedColumn[String, Map[String, Long]] = {
+    require(k > 0, s"k must be positive: $k")
+    new MgAgg(k).toColumn
+  }
+
   /** Heavy hitters of a string column: (item, est_count) rows, largest
     * first, at most `k` rows. One aggregation pass; summaries merge
     * map-side. */

@@ -55,6 +55,40 @@ class HeavyHitterSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("sketchAgg merges incrementally across streaming micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val k = 10
+    val agg = mem.toDS().groupByKey(_ => 0)
+      .agg(graft.functions.HeavyHitters.sketchAgg(k).name("mg"))
+      // kryo-encoded maps land as opaque binary in a sink; render to text
+      .map { case (_, m) =>
+        m.toSeq.sorted.map { case (t, c) => s"$t:$c" }.mkString(",")
+      }
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: 60 hot + 20 tail; batch 2: 40 hot + 30 warm — state is the
+      // <=k summary, merged per micro-batch
+      mem.addData(Seq.fill(60)("hot") ++ (0 until 20).map(i => s"t$i"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(40)("hot") ++ Seq.fill(30)("warm"): _*)
+      q.processAllAvailable()
+      // the memory sink holds one updated row per batch; only the batch-2
+      // row can contain "warm" (no warm data existed in batch 1)
+      val m = spark.table("hh_stream").collect()
+        .map(_.getString(0).split(",").filter(_.nonEmpty)
+          .map { kv => val Array(t, c) = kv.split(":"); t -> c.toLong }.toMap)
+        .find(_.contains("warm")).get
+      val n = 60 + 20 + 40 + 30
+      assert(m.size <= k)
+      assert(m.contains("hot") && m("hot") <= 100 && 100 - m("hot") <= n / (k + 1))
+      assert(m.contains("warm") && m("warm") <= 30 && 30 - m("warm") <= n / (k + 1))
+    } finally q.stop()
+  }
+
   test("shrink: decrement drops at least one entry and never overcounts") {
     val m = Map("a" -> 10L, "b" -> 5L, "c" -> 3L, "d" -> 1L)
     val s = HeavyHitters.shrink(m, 2)
