@@ -370,6 +370,19 @@ object BQueries {
         .orderBy("o_orderstatus")
     }),
 
+    "b33_zorder" -> ((s, dir) => {
+      // E31 through the gate: the 32-bit Morton key itself (quantize →
+      // magic-mask spread → interleave) over the b26 synthesized coords —
+      // pure integer/float built-ins, bit-reproducible cross-engine.
+      val lat = pmod(col("c_custkey"), lit(120)) / 2.0 - 30.0
+      val lon = pmod(col("c_custkey"), lit(200)) / 2.0 - 50.0
+      customer(s, dir)
+        .select(col("c_custkey"),
+          graft.sources.DataLayout.zOrder2(lat, -30.0, 30.0, lon, -50.0, 50.0)
+            .as("z"))
+        .orderBy("c_custkey")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -563,6 +576,24 @@ object BQueries {
       s"""SELECT s_nationkey, COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // twin of DataLayout.zOrder2: same quantization arithmetic, same
+    // magic-mask spread chain, same interleave
+    "b33_zorder" -> {
+      def quant(e: String, lo: String, range: String) =
+        s"least(65535, greatest(0, CAST(floor(($e - $lo) / $range * 65536.0) AS BIGINT)))"
+      s"""WITH base AS (
+         |  SELECT c_custkey,
+         |    ${quant("((c_custkey % 120) / 2.0 - 30.0)", "-30.0", "60.0")} AS qx,
+         |    ${quant("((c_custkey % 200) / 2.0 - 50.0)", "-50.0", "100.0")} AS qy
+         |  FROM customer),
+         |s0 AS (SELECT c_custkey, qx & 65535 AS ax, qy & 65535 AS ay FROM base),
+         |s1 AS (SELECT c_custkey, (ax | (ax << 8)) & 16711935 AS bx, (ay | (ay << 8)) & 16711935 AS yb FROM s0),
+         |s2 AS (SELECT c_custkey, (bx | (bx << 4)) & 252645135 AS cx, (yb | (yb << 4)) & 252645135 AS cy FROM s1),
+         |s3 AS (SELECT c_custkey, (cx | (cx << 2)) & 858993459 AS dx, (cy | (cy << 2)) & 858993459 AS dy FROM s2),
+         |s4 AS (SELECT c_custkey, (dx | (dx << 1)) & 1431655765 AS ex, (dy | (dy << 1)) & 1431655765 AS ey FROM s3)
+         |SELECT c_custkey, ex | (ey << 1) AS z FROM s4 ORDER BY c_custkey""".stripMargin
+    },
 
     // the UNPRUNED join — bloom pruning must be invisible in the result
     "b32_bloom_join" ->

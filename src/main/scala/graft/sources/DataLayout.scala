@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Write-side data layout for scan-heavy tables: Hive-style partition
   * directories for coarse pruning, in-file ordering for parquet row-group
@@ -48,5 +48,45 @@ object DataLayout {
     sorted.drop("__slice").write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
+
+  /** 32-bit Morton (Z-order) key of two bounded coordinates: each is
+    * quantized to 16 bits over its [lo, hi) range, bit-spread with the
+    * classic magic-mask chain, and interleaved. Sorting a table by this key
+    * clusters BOTH dimensions, so parquet row-group min/max stats prune 2-D
+    * range predicates (lat AND lon) that a single-column sort can only
+    * prune on one axis — the Delta `ZORDER BY` technique as a plain column
+    * expression. Pure integer/float built-ins: codegen'd, engine-portable
+    * (b33's DuckDB twin reproduces it bit-for-bit). */
+  def zOrder2(x: Column, xLo: Double, xHi: Double,
+              y: Column, yLo: Double, yHi: Double): Column = {
+    require(xHi > xLo && yHi > yLo, s"empty range: [$xLo,$xHi) [$yLo,$yHi)")
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      F.least(F.lit(65535L), F.greatest(F.lit(0L),
+        F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(65536.0)).cast("long")))
+    def spread(v: Column): Column = {
+      val a = v.bitwiseAND(F.lit(65535L))
+      val b = a.bitwiseOR(F.shiftleft(a, 8)).bitwiseAND(F.lit(16711935L))
+      val c = b.bitwiseOR(F.shiftleft(b, 4)).bitwiseAND(F.lit(252645135L))
+      val d = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(858993459L))
+      d.bitwiseOR(F.shiftleft(d, 1)).bitwiseAND(F.lit(1431655765L))
+    }
+    spread(quant(x, xLo, xHi))
+      .bitwiseOR(F.shiftleft(spread(quant(y, yLo, yHi)), 1))
+  }
+
+  /** Write `df` as parquet sorted by the [[zOrder2]] key of the two
+    * coordinate columns — one range shuffle on the key, then in-file order
+    * gives every row group a tight 2-D bounding box. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    x: Column, xLo: Double, xHi: Double,
+                    y: Column, yLo: Double, yHi: Double,
+                    numFiles: Int = 1): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    df.withColumn("__z", zOrder2(x, xLo, xHi, y, yLo, yHi))
+      .repartitionByRange(numFiles, F.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 }

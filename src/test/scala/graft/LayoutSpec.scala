@@ -38,6 +38,42 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("zOrder2: exact interleave on known bit patterns") {
+    // identity quantization over [0, 65536): quant(v) == v
+    def z(x: Double, y: Double): Long =
+      Seq((x, y)).toDF("x", "y").repartition(1)
+        .select(DataLayout.zOrder2(col("x"), 0, 65536, col("y"), 0, 65536))
+        .head().getLong(0)
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)       // x bits land in even positions
+    assert(z(0, 1) == 2L)       // y bits land in odd positions
+    assert(z(3, 1) == 7L)       // 0b11 interleaved with 0b01
+    assert(z(65535, 65535) == 0xFFFFFFFFL)
+    assert(z(-5, 70000) == (0xAAAAAAAAL))  // clamps to (0, 65535)
+  }
+
+  test("zOrder2 sort clusters both dimensions (tighter per-chunk bounding boxes)") {
+    val pts = for (i <- 0 until 64; j <- 0 until 64)
+      yield (i.toDouble, j.toDouble)
+    val df = pts.toDF("x", "y")
+    val sorted = df
+      .withColumn("z", DataLayout.zOrder2(col("x"), 0, 64, col("y"), 0, 64))
+      .orderBy("z").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // 16 chunks of 256 rows: each Morton chunk should be a compact 2-D
+    // region — bounding-box area far below the full 64x64 domain
+    val areas = sorted.grouped(256).map { chunk =>
+      val (xs, ys) = chunk.unzip
+      (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+    }.toSeq
+    assert(areas.forall(_ <= 64 * 64 / 8.0),
+      s"chunks not clustered: areas=$areas")
+    // a single-column sort cannot do this on the other axis: sorting by x
+    // leaves every 256-row chunk spanning the full y range
+    val bySingle = sorted.sortBy(_._1).grouped(256).map(_.map(_._2)).map(ys =>
+      ys.max - ys.min + 1).toSeq
+    assert(bySingle.forall(_ == 64.0))
+  }
+
   test("partitioned write: filesPerPartition spreads a skewed value over tasks") {
     val path = Files.createTempDirectory("layout_skew").toString
     val docs = (0L until 400L).map(i => (i, "en", s"text $i")).toDF("doc_id", "lang", "text")
