@@ -129,6 +129,15 @@ object DQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "s05_quantize" -> ((s, dir) => {
+      // E32 through the gate: symmetric int8 quantization, exploded to
+      // scalar rows. scale and q are single correctly-rounded IEEE ops on
+      // exact inputs — hash-comparable unrounded.
+      SimilarityOps.quantizeInt8(embeddings(s, dir), col("vec_id"),
+          col("embedding"))
+        .orderBy("vec_id", "pos")
+    }),
+
     "m01_media_features" -> ((s, dir) => {
       val media = Multimodal.attachBinary(documents(s, dir))
       Multimodal.extractFeatures(media).orderBy("doc_id")
@@ -446,6 +455,19 @@ object DQueries {
          |  FROM embeddings q, embeddings n
          |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // twin of SimilarityOps.quantizeInt8: same scale division, same
+    // round-half-away-from-zero (Spark HALF_UP == DuckDB round on doubles)
+    "s05_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, i AS pos, scale,
+        |  CASE WHEN scale = 0.0 THEN 0
+        |       ELSE CAST(round(CAST(embedding[i + 1] AS DOUBLE) / scale) AS BIGINT) END AS q
+        |FROM s, range(0, 64) t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "m01_media_features" ->
       // first/last UTF-8 *byte* via hex(encode(...)), not ascii(): ascii()

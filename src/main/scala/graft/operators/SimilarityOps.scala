@@ -64,6 +64,25 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard 4×
+    * storage/bandwidth compression for embedding tables at rest: per-vector
+    * scale = max|v|/127, q_i = round(v_i / scale) ∈ [-127, 127]. Zero
+    * vectors quantize to all-zero with scale 0. Emitted exploded as
+    * (vec_id, pos, scale, q) scalar rows so the result is hash-comparable
+    * by any engine; narrow per-row expressions, no shuffle. Dequantization
+    * error is bounded by scale/2 per component (asserted in
+    * SimilaritySpec). */
+  def quantizeInt8(corpus: DataFrame, idCol: Column, embCol: Column): DataFrame = {
+    val scale = array_max(transform(embCol, x => abs(x.cast("double")))) / lit(127.0)
+    corpus
+      .select(idCol.as("vec_id"), embCol.as("__e"), scale.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(transform(col("__e"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(round(x.cast("double") / col("scale")).cast("long")))))
+      .select(col("vec_id"), col("pos"), col("scale"), col("col").as("q"))
+  }
+
   /** Deterministic ±1 hyperplane, precomputed driver-side from the portable
     * hash (buckets reproducible anywhere) and shipped as an array LITERAL —
     * the runtime plan does zero hashing, only the multiply-add fold. */

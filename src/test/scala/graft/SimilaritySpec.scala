@@ -34,6 +34,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: range, zero-vector guard, dequant error <= scale/2") {
+    val q = SimilarityOps.quantizeInt8(emb.limit(50), col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(q.nonEmpty && q.forall { case (_, _, _, v) => v >= -127 && v <= 127 })
+    // dequantized component within scale/2 of the original
+    val orig = emb.limit(50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    q.foreach { case (id, pos, scale, v) =>
+      val x = orig(id)(pos).toDouble
+      assert(math.abs(v * scale - x) <= scale / 2 + 1e-12,
+        s"vec $id pos $pos: dequant ${v * scale} vs $x (scale $scale)")
+    }
+    // zero vector -> scale 0, all q 0
+    import spark.implicits._
+    val z = SimilarityOps.quantizeInt8(
+      Seq((99L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding")).collect()
+    assert(z.length == 4 && z.forall(r => r.getDouble(2) == 0.0 && r.getLong(3) == 0L))
+  }
+
   test("LSH top-k recall floor") {
     val exact = pairs(SimilarityOps.bruteForceTopK(emb, queries, 5))
     val appr = pairs(SimilarityOps.lshTopK(emb, queries, 5))
