@@ -159,6 +159,61 @@ object SimilarityOps {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
 
+  /** Lloyd's k-means over the embedding column, seeded by the
+    * deterministic [[farthestInit]] anchors: each iteration is one
+    * [[ivfAssign]] (argmax-cosine, broadcast codebook) plus a centroid
+    * recompute — `posexplode` → per-(cell, pos) mean → rebuild anchor
+    * arrays. One shuffle per iteration (the (cell,pos) agg; the assign side
+    * is a broadcast crossJoin + map-side min), codebook stays k·dim rows
+    * (always broadcastable). Empty cells drop out (standard Lloyd's).
+    * Returns (codebook, assignment).
+    *
+    * NOT oracle-gated, deliberately: the centroid means sum floats in
+    * partition order, so the result is only reproducible up to float-sum
+    * associativity — KMeansSpec gates it instead (planted-cluster recovery
+    * + non-increasing inertia), mirroring the E26 one-pass justification. */
+  /** Deterministic farthest-point (greedy k-center) seeding: start from the
+    * min-id vector, then repeatedly take the vector least similar to every
+    * chosen anchor. nCells-1 scans, each a codegen'd max-cosine against
+    * driver-literal anchors — the standard fix for the collapsed-cluster
+    * degeneracy of data-blind random inits. */
+  private def farthestInit(corpus: DataFrame, nCells: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val first = corpus.orderBy(col("vec_id")).select("embedding")
+      .as[Array[Float]].head()
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Float]](first)
+    while (chosen.size < nCells) {
+      val maxCos = chosen.toSeq
+        .map(a => cosine(col("embedding"),
+          array(a.map(x => lit(x.toDouble)).toIndexedSeq: _*)))
+        .reduce(greatest(_, _))
+      chosen += corpus.select(col("vec_id"), col("embedding"), maxCos.as("mc"))
+        .orderBy(col("mc").asc, col("vec_id").asc)
+        .select("embedding").as[Array[Float]].head()
+    }
+    chosen.toSeq.zipWithIndex.map { case (a, i) => (i, a) }.toDF("cell", "anchor")
+  }
+
+  def kmeansFit(corpus: DataFrame, nCells: Int, iters: Int,
+                dim: Int = 64): (DataFrame, DataFrame) = {
+    require(iters > 0, s"iters must be positive: $iters")
+    var codebook = farthestInit(corpus, nCells)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, codebook)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("anchor"))
+      // k·dim values; eager checkpoint truncates the per-iteration lineage
+      // (see the iterative-plan rule in SCALING.md) and keeps the broadcast
+      // side tiny and precomputed
+      codebook = means.localCheckpoint(true)
+    }
+    (codebook, ivfAssign(corpus, codebook))
+  }
+
   /** IVF probe: search only the nProbe nearest cells' inverted lists.
     * Exact cosine within the probed subset, per-query top-k. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
