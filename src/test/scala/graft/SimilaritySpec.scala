@@ -70,4 +70,13 @@ class SimilaritySpec extends SparkSpec {
     info(s"ivf recall@5 = $recall")
     assert(recall >= 0.3, s"IVF recall@5 $recall below floor")
   }
+
+  test("trained (k-means) codebook plugs into ivfTopK and meets the recall floor") {
+    val (codebook, _) = SimilarityOps.kmeansFit(emb, nCells = 16, iters = 2)
+    val exact = pairs(SimilarityOps.bruteForceTopK(emb, queries, 5))
+    val appr = pairs(SimilarityOps.ivfTopK(emb, queries, codebook, 5, nProbe = 4))
+    val recall = (exact & appr).size.toDouble / exact.size
+    info(s"trained-ivf recall@5 = $recall")
+    assert(recall >= 0.3, s"trained-IVF recall@5 $recall below floor")
+  }
 }
