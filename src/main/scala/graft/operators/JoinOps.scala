@@ -78,19 +78,23 @@ object JoinOps {
     * is a two-hash `mightContain` against a broadcast sketch; it runs as a
     * (non-codegen) UDF, justified because it replaces a full shuffle of the
     * big side and Catalyst's own BloomFilterMightContain is not public API.
-    * Keys are compared as longs (cast both sides). */
+    * The filter is built over `xxhash64(key)` — type-agnostic (a long CAST
+    * would null out string keys and silently drop their matches), and an
+    * xxhash64 collision is just one more false positive for the join to
+    * discard (null keys may survive the probe — xxhash64 skips nulls — but
+    * the null-rejecting join condition drops them regardless). */
   def bloomPrunedJoin(big: DataFrame, bigKey: Column,
                       small: DataFrame, smallKey: Column,
                       expectedItems: Long, fpp: Double = 0.01,
                       joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_semi").contains(joinType),
       s"bloom pruning only preserves inner/left_semi semantics: $joinType")
-    val bf = small.select(smallKey.cast("long").as("__k"))
+    val bf = small.select(xxhash64(smallKey).as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
     val bfB = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bfB.value.mightContainLong(k))
-    big.filter(mightContain(bigKey.cast("long")))
+    big.filter(mightContain(xxhash64(bigKey)))
       .join(small, bigKey === smallKey, joinType)
   }
 

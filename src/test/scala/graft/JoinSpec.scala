@@ -58,6 +58,14 @@ class JoinSpec extends SparkSpec {
       expectedItems = 100, fpp = 0.01).count()
     val p3 = withNull.join(small, col("fk") === col("pk")).count()
     assert(p2 == p3)
+    // string keys: the probe hashes, never casts — a long CAST would null
+    // out every key and silently drop all matches
+    val bigS = big.withColumn("fk", concat(lit("k"), col("fk")))
+    val smallS = small.withColumn("pk", concat(lit("k"), col("pk")))
+    val plainS = bigS.join(smallS, col("fk") === col("pk")).count()
+    val prunedS = JoinOps.bloomPrunedJoin(bigS, col("fk"), smallS, col("pk"),
+      expectedItems = 100, fpp = 0.01).count()
+    assert(plainS > 0 && prunedS == plainS)
   }
 
   test("bucketedRangeJoin matches the naive inequality join on random intervals") {
