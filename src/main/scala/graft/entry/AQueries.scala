@@ -332,6 +332,19 @@ object AQueries {
         .orderBy("p_id", "v_id")
     }),
 
+    "a31_change_suppress" -> ((s, dir) => {
+      // E34 through the gate in batch mode: per-user event-type feeds
+      // compact to their transition points. The streaming twin
+      // (ChangeSuppress, flatMapGroupsWithState with one-row state +
+      // event-time TTL) is covered in StreamingSpec.
+      graft.operators.TemporalOps.suppressUnchanged(events(s, dir),
+          key = Seq("user_id"), tsCol = "ts", tieBreak = col("event_id"),
+          valueCol = col("event_type"))
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     "a29_sessionize" -> ((s, dir) => {
       // Per-user session windows (6h inactivity gap): Spark's session_window
       // merges events closer than the gap; end = last event + gap. The same
@@ -630,6 +643,18 @@ object AQueries {
         | AND v.ts <= p.ts + INTERVAL 10 MINUTE
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |ORDER BY p_id, v_id""".stripMargin,
+
+    // lag twin of suppressUnchanged: first row per user, or value differs
+    // from the previous row in (ts, event_id) order
+    "a31_change_suppress" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+        |FROM o WHERE rn = 1 OR pv IS DISTINCT FROM event_type
+        |ORDER BY event_id""".stripMargin,
 
     // gap-islands twin of session_window: a new session starts when the
     // event-time gap reaches the 6h timeout; end = last event + gap

@@ -80,6 +80,29 @@ object TemporalOps {
         payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
   }
 
+  /** Consecutive-change suppression: per key, ordered by (`tsCol`,
+    * `tieBreak`), keep only the rows whose `valueCol` differs from the
+    * previous row's value (the first row per key always survives). The
+    * metrics-pipeline "report on change" compaction: a sensor/status feed
+    * that mostly repeats itself compresses to its transition points.
+    *
+    * One shuffle on the key + a per-key sort — the same cost envelope as
+    * any keyed window. Comparison is null-safe (`<=>` on a carrier struct):
+    * null→value and value→null transitions are changes; the carrier struct
+    * distinguishes "no previous row" from "previous value was null".
+    * Streaming twin: [[graft.streaming.ChangeSuppress]] keeps the last
+    * value per key in flatMapGroupsWithState state instead of a sort.
+    */
+  def suppressUnchanged(df: DataFrame, key: Seq[String], tsCol: String,
+                        tieBreak: Column, valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+    val prev = lag(struct(valueCol.as("v")), 1).over(w)
+    df.withColumn("__prev", prev)
+      .filter(col("__prev").isNull || !(valueCol <=> col("__prev.v")))
+      .drop("__prev")
+  }
+
   /** Session windows: group by `session_window(ts, gap)` plus `keys`.
     * Spark merges events closer than `gap`; a session spans
     * [first event ts, last event ts + gap). Works identically over a batch

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.StreamOps
+import graft.streaming.ChangeSuppress
 
 /** True Structured-Streaming semantics: watermark + late-data drop and the
   * timestamp-repair rules, via MemoryStream (no broker needed).
@@ -194,6 +195,60 @@ class StreamingSpec extends SparkSpec {
       val arr = spark.table("tot_out").as[(String, Long, Double)].collect()
       assert(arr.filter(_._1 == "A").map(_._2).max == 3L)
       assert(arr.filter(_._1 == "A").map(_._3).max == 16.0)
+    } finally q.stop()
+  }
+
+  test("ChangeSuppress: one-row state suppresses repeats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeSuppress.Event]
+    val suppressed = ChangeSuppress.suppress(
+      mem.toDS().withWatermark("ts", "10 seconds").as[ChangeSuppress.Event])
+    val q = suppressed.writeStream.outputMode("append")
+      .format("memory").queryName("chsup_out").start()
+    try {
+      // batch 1: key 1 flips on/on/off -> emit on(10:00:00), off(10:00:20)
+      mem.addData(
+        ChangeSuppress.Event(1L, ts("2024-01-01 10:00:00"), "on"),
+        ChangeSuppress.Event(1L, ts("2024-01-01 10:00:10"), "on"),
+        ChangeSuppress.Event(1L, ts("2024-01-01 10:00:20"), "off"))
+      q.processAllAvailable()
+      // batch 2: "off" repeats from batch-1 STATE -> suppressed; then "on"
+      mem.addData(
+        ChangeSuppress.Event(1L, ts("2024-01-01 10:01:00"), "off"),
+        ChangeSuppress.Event(1L, ts("2024-01-01 10:01:30"), "on"),
+        ChangeSuppress.Event(2L, ts("2024-01-01 10:01:00"), "on"))
+      q.processAllAvailable()
+      val out = spark.table("chsup_out").as[ChangeSuppress.Event].collect()
+        .map(e => (e.key, e.ts.toString.substring(11, 19), e.value)).toSet
+      assert(out === Set(
+        (1L, "10:00:00", "on"), (1L, "10:00:20", "off"),
+        (1L, "10:01:30", "on"), (2L, "10:01:00", "on")))
+    } finally q.stop()
+  }
+
+  test("ChangeSuppress: evicted key re-emits as a first observation after the TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeSuppress.Event]
+    val suppressed = ChangeSuppress.suppress(
+      mem.toDS().withWatermark("ts", "1 second").as[ChangeSuppress.Event],
+      ttlMillis = 60 * 1000L)
+    val q = suppressed.writeStream.outputMode("append")
+      .format("memory").queryName("chsup_ttl_out").start()
+    try {
+      mem.addData(ChangeSuppress.Event(1L, ts("2024-01-01 10:00:00"), "on"))
+      q.processAllAvailable()
+      // push the watermark far past key 1's (ts + ttl) so its state times out
+      mem.addData(ChangeSuppress.Event(9L, ts("2024-01-01 11:00:00"), "x"))
+      q.processAllAvailable()
+      mem.addData(ChangeSuppress.Event(9L, ts("2024-01-01 11:00:05"), "x"))
+      q.processAllAvailable() // timeout fires in the batch after the advance
+      // same value "on" again — state was evicted, so it emits as first-seen
+      mem.addData(ChangeSuppress.Event(1L, ts("2024-01-01 11:00:10"), "on"))
+      q.processAllAvailable()
+      val key1 = spark.table("chsup_ttl_out").as[ChangeSuppress.Event]
+        .collect().filter(_.key == 1L).map(_.ts.toString.substring(11, 19)).toSet
+      assert(key1 === Set("10:00:00", "11:00:10"),
+        s"evicted key must re-emit its unchanged value: $key1")
     } finally q.stop()
   }
 }

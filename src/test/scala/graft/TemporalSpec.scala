@@ -125,4 +125,44 @@ class TemporalSpec extends SparkSpec {
       assert(rows.sorted === Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
     } finally q.stop()
   }
+
+  test("suppressUnchanged: keeps first row and transitions only, per key") {
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00"), "on"),
+      (2L, "u1", ts("2024-01-01 10:01:00"), "on"), // repeat -> dropped
+      (3L, "u1", ts("2024-01-01 10:02:00"), "off"), // transition
+      (4L, "u1", ts("2024-01-01 10:03:00"), "on"), // back again: a change
+      (5L, "u2", ts("2024-01-01 10:00:30"), "on") // other key: independent
+    ).toDF("event_id", "user_id", "ts", "st")
+    val kept = TemporalOps.suppressUnchanged(ev, Seq("user_id"), "ts",
+        col("event_id"), col("st"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("suppressUnchanged: null-safe — null→value and value→null are changes, null→null is not") {
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00"), Option.empty[String]),
+      (2L, "u1", ts("2024-01-01 10:01:00"), Option.empty[String]), // null repeat
+      (3L, "u1", ts("2024-01-01 10:02:00"), Some("x")), // null -> x
+      (4L, "u1", ts("2024-01-01 10:03:00"), Option.empty[String]) // x -> null
+    ).toDF("event_id", "user_id", "ts", "st")
+    val kept = TemporalOps.suppressUnchanged(ev, Seq("user_id"), "ts",
+        col("event_id"), col("st"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("suppressUnchanged: same-ts rows order by the tie-break") {
+    val ev = Seq(
+      (2L, "u1", ts("2024-01-01 10:00:00"), "b"), // tie: id 1 comes first
+      (1L, "u1", ts("2024-01-01 10:00:00"), "a"),
+      (3L, "u1", ts("2024-01-01 10:01:00"), "b") // change vs id 2's "b"? no — prev is id 2
+    ).toDF("event_id", "user_id", "ts", "st")
+    val kept = TemporalOps.suppressUnchanged(ev, Seq("user_id"), "ts",
+        col("event_id"), col("st"))
+      .select("event_id").as[Long].collect().toSet
+    // order is 1(a), 2(b), 3(b): 3 repeats 2's value -> dropped
+    assert(kept === Set(1L, 2L))
+  }
 }
