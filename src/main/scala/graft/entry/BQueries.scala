@@ -383,6 +383,26 @@ object BQueries {
         .orderBy("c_custkey")
     }),
 
+    "b34_cdc_upsert" -> ((s, dir) => {
+      // E35 through the gate: a synthetic changelog derived from orders
+      // (every 7th orderkey targets a NEW key -> insert; every 13th is a
+      // delete tombstone; the rest overwrite) merges into the customer
+      // snapshot — compaction window + one full-outer join on the key.
+      val base = customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      val changelog = orders(s, dir).select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        concat(lit("n_"), col("o_orderkey").cast("string")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+      graft.operators.CdcOps.mergeChangelog(base, changelog,
+          key = "c_custkey", seq = "seq", op = "op")
+        .select(col("c_custkey"), col("c_name"),
+          rnd(col("c_acctbal")).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -601,6 +621,27 @@ object BQueries {
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |WHERE o.o_totalprice > 450000.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // twin of CdcOps.mergeChangelog: same changelog derivation, compaction
+    // via row_number, full-outer merge with delete tombstones
+    "b34_cdc_upsert" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    'n_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_totalprice AS c_acctbal
+        |  FROM orders),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op ASC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+        |  CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+        |  round((CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END) * 10000) / 10000 AS c_acctbal
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
 
     // the UNSALTED join — salting must be invisible in the result
     "b30_salted_join" ->

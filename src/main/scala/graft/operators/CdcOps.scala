@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators: changelog compaction (latest entry per
+  * key) and snapshot merge (apply upserts/deletes to a base table) — the
+  * MERGE INTO half of a lakehouse ingestion pipeline, expressed as plain
+  * shuffles so it runs on any table format.
+  *
+  * These extend the reference surface (its batch scripts rebuild dimensions
+  * from scratch each run; a 100 TB fact table can only be maintained
+  * incrementally) — see SURVEY.md §2E.
+  */
+object CdcOps {
+
+  /** Compact a changelog to its newest entry per key: `row_number` over
+    * (`key` ordered by `seq` desc, ties by `op` asc — 'D' < 'I' < 'U', so a
+    * same-seq delete beats an upsert deterministically), keep rank 1. One hash exchange on the key and a
+    * per-key sort of only that key's entries — the B9/B15 keep-one shape.
+    * At scale the changelog is the small delta, not the snapshot: this
+    * never touches base-table data. */
+  def compactChangelog(changelog: DataFrame, key: String, seq: String,
+                       op: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seq).desc, col(op).asc)
+    changelog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Merge a changelog into a base snapshot, latest-wins:
+    *
+    *  - key only in base                   → base row survives unchanged;
+    *  - key's newest changelog op is I/U   → changelog payload (insert or
+    *    overwrite — upsert semantics, so I vs U need not be distinguished);
+    *  - key's newest changelog op is 'D'   → row deleted (tombstone).
+    *
+    * The changelog must carry the base payload columns (same names). Plan:
+    * compaction window + ONE full-outer shuffle join on the key — the base
+    * scans once, nothing sorts globally. Payloads ride in structs so a
+    * legitimately-null payload column on an upsert row overwrites (a
+    * per-column `coalesce` would silently resurrect the old value).
+    * Deletes for absent keys are no-ops. Idempotent: re-applying the same
+    * changelog yields the same snapshot. */
+  def mergeChangelog(base: DataFrame, changelog: DataFrame, key: String,
+                     seq: String, op: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toIndexedSeq
+    val latest = compactChangelog(changelog, key, seq, op)
+      .select(col(key).as("__k"), col(op).as("__op"),
+        struct(payload.map(col): _*).as("__new"))
+    base.select(col(key), struct(payload.map(col): _*).as("__old"))
+      .join(latest, col(key) === col("__k"), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(coalesce(col(key), col("__k")).as(key) +:
+        payload.map(p => when(col("__k").isNotNull, col(s"__new.$p"))
+          .otherwise(col(s"__old.$p")).as(p)): _*)
+  }
+}

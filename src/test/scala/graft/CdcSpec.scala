@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CdcOps
+
+/** Unit coverage for the CDC changelog merge (E35) on planted fixtures;
+  * sf-scale behavior is covered by the b34 oracle row. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, Some("alice"), Some(10.0)),
+    (2L, Some("bob"), Some(20.0)),
+    (3L, Some("carol"), Some(30.0))
+  ).toDF("k", "name", "bal")
+
+  private def merge(ch: org.apache.spark.sql.DataFrame) =
+    CdcOps.mergeChangelog(base, ch, "k", "seq", "op")
+      .orderBy("k")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+
+  test("mergeChangelog: upsert overwrites, insert adds, delete removes, untouched survives") {
+    val ch = Seq(
+      (1L, 10L, "U", Some("alice2"), Some(11.0)), // overwrite key 1
+      (4L, 11L, "I", Some("dave"), Some(40.0)), // brand-new key
+      (2L, 12L, "D", Option.empty[String], Option.empty[Double]) // tombstone key 2
+    ).toDF("k", "seq", "op", "name", "bal")
+    assert(merge(ch) === Seq(
+      (1L, Some("alice2"), Some(11.0)),
+      (3L, Some("carol"), Some(30.0)),
+      (4L, Some("dave"), Some(40.0))))
+  }
+
+  test("mergeChangelog: latest seq wins within a key; delete of an absent key is a no-op") {
+    val ch = Seq(
+      (1L, 1L, "U", Some("old"), Some(1.0)),
+      (1L, 9L, "U", Some("new"), Some(9.0)), // newer seq must win
+      (99L, 5L, "D", Option.empty[String], Option.empty[Double]) // absent key
+    ).toDF("k", "seq", "op", "name", "bal")
+    assert(merge(ch) === Seq(
+      (1L, Some("new"), Some(9.0)),
+      (2L, Some("bob"), Some(20.0)),
+      (3L, Some("carol"), Some(30.0))))
+  }
+
+  test("mergeChangelog: a null payload column on an upsert overwrites (no coalesce resurrection)") {
+    val ch = Seq((1L, 10L, "U", Option.empty[String], Some(11.0)))
+      .toDF("k", "seq", "op", "name", "bal")
+    assert(merge(ch).head === ((1L, None, Some(11.0))))
+  }
+
+  test("mergeChangelog: same-seq tie resolves to D deterministically") {
+    val ch = Seq(
+      (2L, 7L, "U", Some("zombie"), Some(1.0)),
+      (2L, 7L, "D", Option.empty[String], Option.empty[Double])
+    ).toDF("k", "seq", "op", "name", "bal")
+    assert(merge(ch).map(_._1) === Seq(1L, 3L)) // key 2 is gone
+  }
+
+  test("mergeChangelog: idempotent — re-applying the same changelog is a fixpoint") {
+    val ch = Seq(
+      (1L, 10L, "U", Some("alice2"), Some(11.0)),
+      (2L, 12L, "D", Option.empty[String], Option.empty[Double]),
+      (4L, 11L, "I", Some("dave"), Some(40.0))
+    ).toDF("k", "seq", "op", "name", "bal")
+    val once = CdcOps.mergeChangelog(base, ch, "k", "seq", "op")
+    val twice = CdcOps.mergeChangelog(once, ch, "k", "seq", "op")
+      .orderBy("k").as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(twice === merge(ch))
+  }
+}
