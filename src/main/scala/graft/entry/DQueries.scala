@@ -212,6 +212,24 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t13_pii_redact" -> ((s, dir) => {
+      // E36 through the gate: the corpus has no natural PII, so each doc is
+      // deterministically augmented (both sides run the same concat) with
+      // an email, a phone, and an IP derived from doc_id; the operator must
+      // mask all three and count them.
+      val pii = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +39 3"),
+          lpad(col("doc_id").cast("string"), 8, "0"),
+          lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0."), pmod(col("doc_id") * 7, lit(256)).cast("string")).as("text"))
+      TextOps.redactPii(pii, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("red_text"),
+          col("n_email"), col("n_ip"), col("n_phone"))
+        .orderBy("doc_id")
+    }),
+
     "t10_heavy_hitters" -> ((s, dir) => {
       // E26 through the gate: MG-sketch candidate pruning must be invisible
       // — the two-pass plan's output equals the plain GROUP BY/HAVING twin.
@@ -580,6 +598,33 @@ object DQueries {
          |       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
          |       ELSE 0.0 END AS dup_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // twin of TextOps.redactPii over the same deterministic augmentation:
+    // staged regexp_replace with 'g' (Spark replaces all by default), each
+    // count against the previous stage's text; RE2 and Java agree on these
+    // restricted patterns
+    "t13_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+\\d[\\d ()-]{6,14}\\d"
+      s"""WITH pii AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com or +39 3' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.0.' || CAST(doc_id * 7 % 256 AS VARCHAR) AS t0
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT doc_id, len(regexp_extract_all(t0, '$email')) AS n_email,
+         |    regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1
+         |  FROM pii),
+         |s2 AS (
+         |  SELECT doc_id, n_email, len(regexp_extract_all(t1, '$ip')) AS n_ip,
+         |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+         |  FROM s1)
+         |SELECT doc_id, regexp_replace(t2, '$phone', '<PHONE>', 'g') AS red_text,
+         |  n_email, n_ip, len(regexp_extract_all(t2, '$phone')) AS n_phone
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    },
 
     // twin of HeavyHitters.exactHeavyHitters(minShare=0.005): the sketch
     // pass only prunes, so the SQL twin is the full GROUP BY with a share

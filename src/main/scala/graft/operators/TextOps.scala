@@ -161,6 +161,37 @@ object TextOps {
             / size(col("__grams")))
           .otherwise(lit(0.0)).as("dup_ratio"))
 
+  /** PII patterns: deliberately restricted to a regex dialect shared by
+    * Java (Spark) and RE2 (DuckDB, Go tooling) — no backreferences, no
+    * lookaround — so redaction is reproducible by any engine scanning the
+    * corpus. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d ()-]{6,14}\\d"
+
+  /** PII redaction: mask emails, IPv4 addresses, and international-format
+    * phone numbers with typed placeholders, and count each. Masking is
+    * staged — emails first, then IPs, then phones — with each count taken
+    * against the previous stage's text, so the semantics are well-defined
+    * when patterns could overlap (a digit run inside an email never
+    * double-counts as a phone). Pure `regexp_replace`/`regexp_count`
+    * per-row expressions: no shuffle, scans at parquet speed, and each
+    * stage materializes in its own projection so the regex runs once per
+    * row (aliases with multiple refs don't collapse). Returns
+    * (id, red_text, n_email, n_ip, n_phone). */
+  def redactPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), textCol.as("__t0"))
+      .select(col("id"),
+        regexp_count(col("__t0"), lit(EmailRe)).as("n_email"),
+        regexp_replace(col("__t0"), EmailRe, "<EMAIL>").as("__t1"))
+      .select(col("id"), col("n_email"),
+        regexp_count(col("__t1"), lit(Ipv4Re)).as("n_ip"),
+        regexp_replace(col("__t1"), Ipv4Re, "<IP>").as("__t2"))
+      .select(col("id"), col("n_email"), col("n_ip"),
+        regexp_count(col("__t2"), lit(PhoneRe)).as("n_phone"),
+        regexp_replace(col("__t2"), PhoneRe, "<PHONE>").as("red_text"))
+      .select("id", "red_text", "n_email", "n_ip", "n_phone")
+
   /** Single-expression convenience form — only for small inputs/tests; see
     * the [[shinglesOfTokens]] performance note. */
   def wordShingles(text: Column, k: Int): Column = shinglesOfTokens(tokens(text), k)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.CurationOps
+import graft.operators.{CurationOps, TextOps}
 
 /** Unit coverage for the curation operators (stratified sampling, quantile
   * filtering, chunking, stopword stripping); sf-scale behavior is covered
@@ -159,5 +159,29 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, "quick fox dog", 3),
       (2L, "no stop words here", 0)))
+  }
+
+  test("redactPii: masks emails, IPs, and phones with per-kind counts") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org and x@y.io, host 192.168.0.1, call +39 333 123 4567 now"),
+      (2L, "clean text with no pii at all"),
+      (3L, "version 1.2.3.4 of the lib") // dotted quad: redacts as IP by design
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs, col("doc_id"), col("text"))
+      .orderBy("id")
+      .as[(Long, String, Int, Int, Int)].collect().toSeq
+    assert(out(0) === ((1L,
+      "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> now", 2, 1, 1)))
+    assert(out(1) === ((2L, "clean text with no pii at all", 0, 0, 0)))
+    assert(out(2)._2 === "version <IP> of the lib")
+  }
+
+  test("redactPii: digits inside an email never double-count as phone or IP") {
+    val docs = Seq((1L, "ping +1234567890@sms.gateway.com ok")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs, col("doc_id"), col("text"))
+      .as[(Long, String, Int, Int, Int)].collect().head
+    // the email is masked first ('+' is legal in the local part, so the
+    // whole token is one email), leaving nothing for the phone stage
+    assert(out === ((1L, "ping <EMAIL> ok", 1, 0, 0)))
   }
 }
