@@ -88,6 +88,16 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d08_line_dedup" -> ((s, dir) => {
+      // E37 through the gate: lines (10-token windows over the single-line
+      // corpus) occurring in >= 2 distinct docs are boilerplate — stripped
+      // everywhere, surviving text reassembled in order.
+      DedupOps.boilerplateStrip(documents(s, dir), col("doc_id"), col("text"),
+          lineWords = 10, minDocs = 2)
+        .select(col("id").as("doc_id"), col("clean_text"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     "d04_simhash" -> ((s, dir) => {
       // maxHamming 3 with 4x15-bit chunk candidates: pigeonhole makes the
       // chunked plan's recall exact, so it matches the brute-force oracle.
@@ -430,6 +440,34 @@ object DQueries {
          |SELECT s AS doc_id, min(d) AS rep,
          |  CAST(s = min(d) AS INT) AS keep
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    // twin of DedupOps.boilerplateStrip(lineWords=10, minDocs=2): same
+    // 10-token line windows (t07 slice construction), document frequency on
+    // the same hash60 keys, ordered string_agg reassembly (string_agg
+    // skips the NULLed boilerplate lines; COALESCE covers all-boiler docs)
+    "d08_line_dedup" -> {
+      val lineHash = h60Sql("line_text")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |ln AS (
+         |  SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS line_id, w
+         |  FROM d WHERE len(w) > 0),
+         |lt AS (
+         |  SELECT doc_id, line_id,
+         |    array_to_string(list_slice(w, CAST(line_id * 10 + 1 AS INT), CAST(line_id * 10 + 10 AS INT)), ' ') AS line_text
+         |  FROM ln),
+         |bo AS (
+         |  SELECT h AS bh FROM (
+         |    SELECT $lineHash AS h, COUNT(DISTINCT doc_id) AS nd
+         |    FROM lt GROUP BY 1) WHERE nd >= 2),
+         |j AS (
+         |  SELECT l.doc_id, l.line_id, l.line_text,
+         |    CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END AS rem
+         |  FROM lt l LEFT JOIN bo b ON $lineHash = b.bh)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN rem = 0 THEN line_text END, ' ' ORDER BY line_id), '') AS clean_text,
+         |  CAST(SUM(rem) AS BIGINT) AS n_removed
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // twin of DedupOps.decontaminate(k=5): same distinct-5-gram hash60
     // keys, IN-subquery instead of the semi-join

@@ -284,4 +284,45 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Boilerplate line removal (CCNet/RefinedWeb-style): drop every "line"
+    * that occurs in at least `minDocs` DISTINCT documents, keep the rest in
+    * order, and report the per-document removal count. Headers, footers,
+    * cookie banners — anything repeated across documents — vanish; unique
+    * content survives. Documents whose lines are all boilerplate come back
+    * with empty `clean_text` (never dropped); zero-token documents carry no
+    * lines and are absent, same as [[CurationOps.chunkDocuments]].
+    *
+    * The corpus text is single-line, so "line" = a fixed `lineWords`-token
+    * window (reusing chunkDocuments); with newline-structured text the
+    * split column is the only thing that changes.
+    *
+    * Plan: explode to lines once (persisted — it feeds both the frequency
+    * aggregate and the reassembly join), ONE hash aggregate on the 60-bit
+    * line hash for document frequency, a left join against the boilerplate
+    * hash set (8-byte keys; AQE broadcasts it when small), and one regroup
+    * by document. Linear in total lines at any corpus size — the same
+    * bucket-join scaling argument as the LSH pipeline, with no candidate
+    * pairs at all. */
+  def boilerplateStrip(df: DataFrame, idCol: Column, textCol: Column,
+                       lineWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = CurationOps.chunkDocuments(df, idCol, textCol, lineWords)
+      .select(col("id"), col("chunk_id").as("line_id"),
+        col("chunk_text").as("line_text"),
+        Hashing.hash60(col("chunk_text")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h").as("__bh"))
+    lines.join(boiler, col("__h") === col("__bh"), "left")
+      .groupBy(col("id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__bh").isNull,
+            struct(col("line_id"), col("line_text"))))),
+          x => x.getField("line_text"))).as("clean_text"),
+        sum(when(col("__bh").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
 }

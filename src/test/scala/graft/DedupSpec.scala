@@ -113,4 +113,40 @@ class DedupSpec extends SparkSpec {
       .select(TextOps.langId(col("text")).as("l")).collect().map(_.getString(0))
     assert(langs === Array("de", "es"))
   }
+
+  test("boilerplateStrip: cross-doc lines vanish, unique lines survive in order") {
+    // lineWords=3 -> lines are 3-token windows; "visit our site" leads
+    // three docs (boilerplate), the rest is unique per doc
+    val d = Seq(
+      (1L, "visit our site alpha beta gamma delta epsilon zeta"),
+      (2L, "visit our site one two three four five six"),
+      (3L, "visit our site just this much"),
+      (4L, "totally unique words never repeated anywhere else ever")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateStrip(d, col("doc_id"), col("text"),
+        lineWords = 3, minDocs = 2)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 1L),
+      (2L, "one two three four five six", 1L),
+      (3L, "just this much", 1L),
+      (4L, "totally unique words never repeated anywhere else ever", 0L)))
+  }
+
+  test("boilerplateStrip: an all-boilerplate doc keeps an empty row; same-doc repeats don't count") {
+    val d = Seq(
+      (1L, "cookie notice here"), // whole doc = the shared line
+      (2L, "cookie notice here plus real content words"),
+      (3L, "echo echo echo echo echo echo") // repeats only WITHIN the doc
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateStrip(d, col("doc_id"), col("text"),
+        lineWords = 3, minDocs = 2)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // doc frequency is DISTINCT docs: doc 3's internally-repeated line has
+    // df=1 and survives intact
+    assert(out === Seq(
+      (1L, "", 1L),
+      (2L, "plus real content words", 1L),
+      (3L, "echo echo echo echo echo echo", 0L)))
+  }
 }
