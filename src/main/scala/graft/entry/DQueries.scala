@@ -222,6 +222,19 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t14_mixture_sample" -> ((s, dir) => {
+      // E38 through the gate: per-source token budget allocation (src0
+      // over-weighted, src1 under-weighted, uniform default) followed by
+      // the deterministic hash-bucket keep rule.
+      CurationOps.mixtureSample(documents(s, dir), col("doc_id"),
+          col("source"), TextOps.tokenCount(col("text")),
+          shares = Map("src0" -> 0.2, "src1" -> 0.02),
+          defaultShare = 0.05, budgetTokens = 5000L)
+        .select(col("id").as("doc_id"), col("stratum").as("source"),
+          col("n_tokens"), col("stratum_tokens"), rnd6(col("rate")).as("rate"))
+        .orderBy("doc_id")
+    }),
+
     "t13_pii_redact" -> ((s, dir) => {
       // E36 through the gate: the corpus has no natural PII, so each doc is
       // deterministically augmented (both sides run the same concat) with
@@ -636,6 +649,23 @@ object DQueries {
          |       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
          |       ELSE 0.0 END AS dup_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.mixtureSample: same share CASE, same
+    // (share * budget) / tokens association, same hash60 bucket rule
+    "t14_mixture_sample" ->
+      s"""WITH r AS (SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents),
+         |t AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens,
+         |    least(1.0, (CASE WHEN source = 'src0' THEN 0.2
+         |                     WHEN source = 'src1' THEN 0.02
+         |                     ELSE 0.05 END) * 5000.0
+         |      / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)) AS rate
+         |  FROM r GROUP BY source)
+         |SELECT r.doc_id, r.source, r.n_tokens, t.stratum_tokens,
+         |  ${rnd6Sql("t.rate")} AS rate
+         |FROM r JOIN t USING (source)
+         |WHERE (${h60Sql("'mix_' || CAST(doc_id AS VARCHAR)")} % 1000000) < t.rate * 1000000.0
+         |ORDER BY doc_id""".stripMargin,
 
     // twin of TextOps.redactPii over the same deterministic augmentation:
     // staged regexp_replace with 'g' (Spark replaces all by default), each

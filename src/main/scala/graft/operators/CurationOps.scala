@@ -149,4 +149,40 @@ object CurationOps {
         concat_ws(" ", col("__kept")).as("clean_text"),
         (size(col("__toks")) - size(col("__kept"))).as("n_removed"))
   }
+
+  /** Data-mixture planning + application: hit a target token budget with a
+    * target share per stratum (the domain/language mixing step of a
+    * pretraining pipeline). Per stratum,
+    * `rate = min(1, share × budgetTokens / stratumTokens)` — a stratum with
+    * fewer tokens than its allotment keeps everything (rate clamps at 1;
+    * the shortfall is reported, not silently redistributed) — then rows are
+    * kept by the same deterministic hash-bucket rule as
+    * [[stratifiedHashSample]], so the selected subset is reproducible by
+    * any engine and stable across retries.
+    *
+    * Plan: ONE aggregate over the stratum domain (tiny — map-side combine
+    * does the work), the rate table broadcast back, and a codegen'd filter.
+    * The fact table scans once and never shuffles. Rates are single
+    * correctly-rounded IEEE ops on exact integer totals, so the kept set is
+    * bit-reproducible cross-engine. Returns the kept rows as
+    * (id, stratum, n_tokens, stratum_tokens, rate — unrounded). */
+  def mixtureSample(df: DataFrame, idCol: Column, strataCol: Column,
+                    tokensCol: Column, shares: Map[String, Double],
+                    defaultShare: Double, budgetTokens: Long): DataFrame = {
+    val rows = df.select(idCol.as("id"), strataCol.as("stratum"),
+      tokensCol.as("n_tokens"))
+    val share = shares.foldLeft(lit(defaultShare)) { case (acc, (k, v)) =>
+      when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val totals = rows.groupBy("stratum")
+      .agg(sum(col("n_tokens").cast("long")).as("stratum_tokens"))
+      .withColumn("rate", least(lit(1.0),
+        share * lit(budgetTokens.toDouble) / col("stratum_tokens").cast("double")))
+    val bucket = pmod(
+      Hashing.hash60(concat(lit("mix_"), col("id").cast("string"))),
+      lit(SampleBuckets))
+    rows.join(broadcast(totals), "stratum")
+      .filter(bucket < col("rate") * lit(SampleBuckets.toDouble))
+      .select("id", "stratum", "n_tokens", "stratum_tokens", "rate")
+  }
 }

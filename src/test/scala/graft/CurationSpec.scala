@@ -184,4 +184,31 @@ class CurationSpec extends SparkSpec {
     // whole token is one email), leaving nothing for the phone stage
     assert(out === ((1L, "ping <EMAIL> ok", 1, 0, 0)))
   }
+
+  test("mixtureSample: rate = min(1, share*budget/tokens), under-budget strata keep all") {
+    // stratum a: 10 docs x 10 tokens = 100; stratum b: 5 docs x 10 = 50
+    val d = ((0L until 10L).map(i => (i, "a")) ++ (10L until 15L).map(i => (i, "b")))
+      .map { case (i, s) => (i, s, (1 to 10).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val out = CurationOps.mixtureSample(d, col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")),
+        shares = Map("a" -> 0.5), defaultShare = 1.0, budgetTokens = 100L)
+      .select("id", "stratum", "rate")
+      .as[(Long, String, Double)].collect()
+    // a: rate 0.5*100/100 = 0.5; b: min(1, 1.0*100/50) clamps to 1 -> all 5 kept
+    assert(out.filter(_._2 == "a").forall(_._3 == 0.5))
+    assert(out.filter(_._2 == "b").map(_._1).sorted.toSeq === (10L until 15L))
+    // hash-bucket membership: deterministic across runs, monotone in rate
+    val again = CurationOps.mixtureSample(d, col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")),
+        shares = Map("a" -> 0.5), defaultShare = 1.0, budgetTokens = 100L)
+    assert(out.map(_._1).toSet ===
+      again.select("id").as[Long].collect().toSet)
+    val smaller = CurationOps.mixtureSample(d, col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")),
+        shares = Map("a" -> 0.2), defaultShare = 1.0, budgetTokens = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(smaller.subsetOf(out.map(_._1).toSet),
+      "a lower rate must select a subset of the higher-rate sample")
+  }
 }
