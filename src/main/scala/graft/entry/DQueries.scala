@@ -148,6 +148,16 @@ object DQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    "s06_pq_encode" -> ((s, dir) => {
+      // E39 through the gate: deterministic product quantization — 8
+      // subspaces x 16 +-1 codes; argmax-dot assignment (== argmin L2 for
+      // equal-norm anchors) per slice. The ADC search path over these
+      // codes is spec-gated (float-sum scores), like E33.
+      val cb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      SimilarityOps.pqEncode(embeddings(s, dir), cb, m = 8, dim = 64)
+        .orderBy("vec_id", "sub")
+    }),
+
     "m01_media_features" -> ((s, dir) => {
       val media = Multimodal.attachBinary(documents(s, dir))
       Multimodal.extractFeatures(media).orderBy("doc_id")
@@ -524,6 +534,35 @@ object DQueries {
          |  FROM embeddings q, embeddings n
          |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // twin of SimilarityOps.pqEncode(m=8, k=16, dim=64): codebook rebuilt
+    // from hash60, subvector slices, the same left-fold double dot, and the
+    // same L2 score (|c|² is exactly 8.0 for the ±1 anchors, so
+    // 8.0 - 2*dt reproduces pqAssign's __score double bit-for-bit) with
+    // identical (score ASC, code ASC) tie-breaking to min(struct)
+    "s06_pq_encode" -> {
+      val anchorBit = h60Sql(
+        "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+      s"""WITH cb AS (
+         |  SELECT s AS sub, c AS code, list_transform(range(0, 8), d ->
+         |    CASE WHEN ($anchorBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+         |  FROM range(0, 8) t1(s), range(0, 16) t2(c)),
+         |sv AS (
+         |  SELECT vec_id, s AS sub,
+         |    list_slice(embedding, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS v
+         |  FROM embeddings, range(0, 8) t(s)),
+         |d AS (
+         |  SELECT sv.vec_id, sv.sub, cb.code,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> CAST(sv.v[i] AS DOUBLE) * cb.anchor[i])) AS dt
+         |  FROM sv JOIN cb ON sv.sub = cb.sub),
+         |r AS (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY (8.0 - 2.0 * dt) ASC, code ASC) AS rn
+         |  FROM d)
+         |SELECT vec_id, sub, code FROM r WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin
+    },
 
     // twin of SimilarityOps.quantizeInt8: same scale division, same
     // round-half-away-from-zero (Spark HALF_UP == DuckDB round on doubles)

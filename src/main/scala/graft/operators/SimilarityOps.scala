@@ -214,6 +214,140 @@ object SimilarityOps {
     (codebook, ivfAssign(corpus, codebook))
   }
 
+  /** Deterministic product-quantization codebook: `m` subspaces ×
+    * `k` codes, ±1 components from the portable hash (same
+    * reproducibility argument as [[ivfCodebook]]; a trained variant would
+    * run [[kmeansFit]] per subspace over sliced vectors — same plan shape,
+    * test-gated like E33). Returns (sub, code, anchor[dim/m]). */
+  def pqCodebook(spark: org.apache.spark.sql.SparkSession, m: Int = 8,
+                 k: Int = 16, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val subDim = dim / m
+    (for (sub <- 0 until m; code <- 0 until k) yield {
+      val anchor = Array.tabulate(subDim) { d =>
+        if ((Hashing.hash60Scalar(s"pq_${sub}_${code}_$d") & 1L) == 0L) 1.0 else -1.0
+      }
+      (sub, code, anchor)
+    }).toDF("sub", "code", "anchor")
+  }
+
+  /** Corpus exploded to per-subspace slices: (vec_id, sub, __sv). */
+  private def pqSubvectors(corpus: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("__sv"))
+  }
+
+  /** Nearest-anchor assignment per (vector, subspace) by L2:
+    * argmin |v−c|² = argmin (|c|² − 2v·c) — no sqrt, no sort, one
+    * broadcast join + `min(struct)`, ties to the lower code. |c|² rides
+    * precomputed on the (tiny) codebook side. Keeps the subvector for the
+    * training loop's centroid update. */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val cb = codebook.withColumn("__n2", dot(col("anchor"), col("anchor")))
+    subs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"), col("__sv"),
+        (col("__n2") - lit(2.0) * dot(col("__sv"), col("anchor"))).as("__score"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("__score").as("s"), col("code").as("code"))).as("m"),
+        first(col("__sv")).as("__sv"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"), col("__sv"))
+  }
+
+  /** Product-quantization encode: each vector's `sub`-th `dim/m`-slice maps
+    * to its nearest (L2) codebook entry; for the equal-norm ±1 hash
+    * codebook this coincides with argmax dot. Output is m codes per
+    * vector — at k=16/m=8 that is 8 bytes instead of 256 of floats, the
+    * 32× compression that makes a 100 TB embedding corpus scannable.
+    * Returns (vec_id, sub, code). */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 8,
+               dim: Int = 64): DataFrame =
+    pqAssign(pqSubvectors(corpus, m, dim), codebook)
+      .select("vec_id", "sub", "code")
+
+  /** Trained PQ codebook: per-subspace Lloyd's k-means in ONE distributed
+    * loop over all subspaces (the subspace id is just another grouping
+    * key — m independent k-means for the cost of one). Seeding is greedy
+    * k-center (farthest-point) per subspace, run driver-side on a
+    * deterministic hash-ordered sample — one TakeOrdered job total, the
+    * standard sample-seeding move at corpus scale. Each iteration is one
+    * broadcast-join assignment plus a per-(sub, code, pos) mean;
+    * `localCheckpoint` truncates the per-iteration lineage (the iterative
+    * -plan rule). Centroid means sum floats in partition order, so like
+    * E33 this is spec-gated (reconstruction-error + recall), never
+    * oracle-hashed. Empty cells drop out. Returns (sub, code, anchor). */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+              dim: Int = 64, sampleN: Int = 256): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"),
+        Hashing.hash60(concat(lit("pqseed_"), col("vec_id").cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(sampleN)
+      .select("embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seeds = (0 until m).flatMap { s =>
+      val pts = sample.map(v => v.slice(s * subDim, (s + 1) * subDim).map(_.toDouble))
+      val chosen = scala.collection.mutable.ArrayBuffer(pts.head)
+      while (chosen.size < k) {
+        chosen += pts.maxBy(p => chosen.map(c => d2(p, c)).min)
+      }
+      chosen.toSeq.zipWithIndex.map { case (a, code) => (s, code, a) }
+    }
+    val subs = pqSubvectors(corpus, m, dim)
+    var cb = seeds.toDF("sub", "code", "anchor")
+    for (_ <- 0 until iters) {
+      cb = pqAssign(subs, cb)
+        .select(col("sub"), col("code"), posexplode(col("__sv")))
+        .groupBy("sub", "code", "pos")
+        .agg(avg(col("col").cast("double")).as("mv"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x("mv")).as("anchor"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** PQ asymmetric-distance search: the query stays un-quantized; its dot
+    * against every (sub, code) anchor builds a per-query lookup table
+    * (m·k broadcastable rows), and a corpus vector's approximate score is
+    * the SUM of its codes' table entries — an equi-join on (sub, code) +
+    * one aggregate, touching 1-byte codes instead of the float corpus.
+    * Scores are float-sum approximations (and partition-order summed), so
+    * this is spec-gated like E33, not oracle-hashed; exactness on planted
+    * codebook points is asserted in SimilaritySpec. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+                topK: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val enc = pqEncode(corpus, codebook, m, dim)
+    val qdots = queries
+      .select(col("vec_id").as("q_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("q_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("__qv"))
+      .join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        dot(col("__qv"), col("anchor")).as("__qd"))
+    enc.join(broadcast(qdots), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("__qd")).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("nn_id"), col("adc"))
+  }
+
   /** IVF probe: search only the nProbe nearest cells' inverted lists.
     * Exact cosine within the probed subset, per-query top-k. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
