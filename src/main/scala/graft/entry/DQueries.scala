@@ -232,6 +232,24 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t15_hash_split" -> ((s, dir) => {
+      // E40 through the gate: deterministic 0.8/0.1/0.1 train/val/test
+      // assignment; disjoint and exhaustive by construction.
+      CurationOps.hashSplit(documents(s, dir), col("doc_id"),
+          weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "t16_unigram_score" -> ((s, dir) => {
+      // E41 through the gate: mean corpus frequency per doc — exact
+      // integer sums, one double division, emitted UNROUNDED.
+      TextOps.unigramScore(documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("sum_tf"),
+          col("score"))
+        .orderBy("doc_id")
+    }),
+
     "t14_mixture_sample" -> ((s, dir) => {
       // E38 through the gate: per-source token budget allocation (src0
       // over-weighted, src1 under-weighted, uniform default) followed by
@@ -688,6 +706,28 @@ object DQueries {
          |       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
          |       ELSE 0.0 END AS dup_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.hashSplit(0.8/0.1/0.1): same hash60 bucket, same
+    // cumulative thresholds (driver-computed doubles injected literally)
+    "t15_hash_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN (${h60Sql("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000) < ${0.8 * 1000000} THEN 'train'
+         |       WHEN (${h60Sql("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000) < ${(0.8 + 0.1) * 1000000} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of TextOps.unigramScore: integer tf/total sums, one double
+    // division of exact casts — matches unrounded
+    "t16_unigram_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |cnt AS (SELECT term, COUNT(*) AS tf FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM cnt),
+         |d AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(c.tf) AS BIGINT) AS sum_tf
+         |  FROM tk t JOIN cnt c USING (term) GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, sum_tf,
+         |  CAST(sum_tf AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS score
+         |FROM d, tot ORDER BY doc_id""".stripMargin,
 
     // twin of CurationOps.mixtureSample: same share CASE, same
     // (share * budget) / tokens association, same hash60 bucket rule

@@ -166,6 +166,30 @@ object CurationOps {
     * correctly-rounded IEEE ops on exact integer totals, so the kept set is
     * bit-reproducible cross-engine. Returns the kept rows as
     * (id, stratum, n_tokens, stratum_tokens, rate — unrounded). */
+  /** Deterministic dataset split: each row lands in exactly one named
+    * split, by hash bucket — `weights` (name → fraction, summing to 1;
+    * the last split absorbs rounding remainder) become cumulative bucket
+    * thresholds. Disjoint and exhaustive BY CONSTRUCTION (one bucket, one
+    * CASE), reproducible by any engine, stable under re-runs and retries —
+    * the properties a train/val/test split must have before anything
+    * downstream is trustworthy. Pure codegen'd projection, no shuffle. */
+  def hashSplit(df: DataFrame, idCol: Column,
+                weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "hashSplit: no splits given")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: weights must sum to 1: $weights")
+    val bucket = pmod(
+      Hashing.hash60(concat(lit("split_"), idCol.cast("string"))),
+      lit(SampleBuckets))
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val assign = weights.init.zip(bounds.init).foldLeft(
+      when(lit(false), lit(null).cast("string"))) {
+      case (acc, ((name, _), cum)) =>
+        acc.when(bucket < lit(cum * SampleBuckets), name)
+    }.otherwise(weights.last._1)
+    df.withColumn("split", assign)
+  }
+
   def mixtureSample(df: DataFrame, idCol: Column, strataCol: Column,
                     tokensCol: Column, shares: Map[String, Double],
                     defaultShare: Double, budgetTokens: Long): DataFrame = {

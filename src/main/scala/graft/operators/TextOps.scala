@@ -161,6 +161,37 @@ object TextOps {
             / size(col("__grams")))
           .otherwise(lit(0.0)).as("dup_ratio"))
 
+  /** Per-document unigram corpus-frequency score: the mean corpus
+    * frequency of a document's tokens,
+    * `score = Σ_tok tf(tok) / (n_tokens × total_tokens)` — a
+    * perplexity-proxy rarity signal (low = rare-word-heavy document,
+    * high = common-word boilerplate) with NO floating-point accumulation:
+    * both sums are integer (order-independent under any partitioning), and
+    * the score is one double division of exact products — bit-reproducible
+    * cross-engine unrounded, unlike an avg() over per-token doubles.
+    *
+    * Plan: token explode feeding (a) the term-frequency aggregate and
+    * (b) the scoring join — persisted across the two branches; the 1-row
+    * total rides a broadcast cross join (no driver round trip). Two
+    * shuffles (term counts, per-doc regroup), linear in token count. The
+    * n×total product is computed in DOUBLE (two exact longs can overflow
+    * their product at 100 TB token counts). Returns
+    * (id, n_tokens, sum_tf, score). */
+  def unigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("total"))
+    toks.join(counts, "term")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf").cast("double") /
+          (col("n_tokens").cast("double") * col("total").cast("double")))
+          .as("score"))
+  }
+
   /** PII patterns: deliberately restricted to a regex dialect shared by
     * Java (Spark) and RE2 (DuckDB, Go tooling) — no backreferences, no
     * lookaround — so redaction is reproducible by any engine scanning the

@@ -211,4 +211,31 @@ class CurationSpec extends SparkSpec {
     assert(smaller.subsetOf(out.map(_._1).toSet),
       "a lower rate must select a subset of the higher-rate sample")
   }
+
+  test("hashSplit: disjoint, exhaustive, deterministic, proportions in the ballpark") {
+    val ids = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    def run() = CurationOps.hashSplit(ids, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSeq
+    val s1 = run()
+    assert(s1.length === 2000, "every row gets exactly one split")
+    assert(s1.map(_._2).toSet === Set("train", "val", "test"))
+    assert(s1.toSet === run().toSet, "split assignment must be deterministic")
+    val byName = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byName("train") > 1500 && byName("train") < 1700, s"$byName")
+    assert(byName("val") > 120 && byName("val") < 280, s"$byName")
+    assert(byName("test") > 120 && byName("test") < 280, s"$byName")
+  }
+
+  test("unigramScore: exact integer sums, hand-checked score") {
+    // corpus: "a" x3, "b" x2, "c" x1 -> total 6
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramScore(d, col("doc_id"), col("text"))
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: tf(a)+tf(a)+tf(b) = 3+3+2 = 8; score = 8 / (3*6)
+    // doc 2: 3+2+1 = 6; score = 6 / (3*6)
+    assert(out === Seq(
+      (1L, 3L, 8L, 8.0 / 18.0),
+      (2L, 3L, 6L, 6.0 / 18.0)))
+  }
 }
