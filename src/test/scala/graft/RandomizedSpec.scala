@@ -113,4 +113,78 @@ class RandomizedSpec extends SparkSpec {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("mergeChangelog matches a sequential seq-ordered apply (random upserts/deletes, key churn)") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0L until 40L).map(k => (k, Some(s"b$k"), Some(k.toDouble)))
+      // keys drawn from 0..59: overlaps base, inserts new, churns repeatedly
+      val ch = (1 to 200).map { seq =>
+        val k = rnd.nextInt(60).toLong
+        val op = if (rnd.nextInt(4) == 0) "D" else "U"
+        (k, seq.toLong, op, Some(s"v$seq"), Some(seq.toDouble))
+      }
+      val got = graft.operators.CdcOps.mergeChangelog(
+          base.toDF("k", "name", "bal"),
+          ch.toDF("k", "seq", "op", "name", "bal"), "k", "seq", "op")
+        .as[(Long, Option[String], Option[Double])].collect().toSet
+      // reference: fold the changelog in seq order over a key -> row map
+      val want = ch.sortBy(_._2).foldLeft(
+        base.map(r => r._1 -> (r._2, r._3)).toMap) { (snap, c) =>
+        if (c._3 == "D") snap - c._1 else snap + (c._1 -> (c._4, c._5))
+      }.map { case (k, (n, b)) => (k, n, b) }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("suppressUnchanged matches a per-key sequential scan (random ties and repeats)") {
+    for (seed <- Seq(11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val ev = (1 to 300).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong,
+          Vector("on", "off", "idle")(rnd.nextInt(3)))
+      } // (id, key, t, value) — small t domain forces same-ts ties
+      val df = ev.toDF("event_id", "user_id", "t", "st")
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val got = TemporalOps.suppressUnchanged(df, Seq("user_id"), "ts",
+          col("event_id"), col("st"))
+        .select("event_id").as[Long].collect().toSet
+      val want = ev.groupBy(_._2).values.flatMap { rows =>
+        val ordered = rows.sortBy(r => (r._3, r._1)) // (ts, tie-break) order
+        ordered.zip(None +: ordered.map(r => Some(r._4)))
+          .collect { case (r, prev) if !prev.contains(r._4) => r._1 }
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("boilerplateStrip matches a brute-force line-frequency reference") {
+    for (seed <- Seq(2, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      val shared = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (0L until 25L).map { i =>
+        val own = Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        // a third of docs get the shared boilerplate prefix (6 = 2 lines of 3)
+        val text = if (i % 3 == 0) s"$shared ${own.mkString(" ")}"
+                   else own.mkString(" ")
+        (i, text)
+      }
+      val got = DedupOps.boilerplateStrip(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), lineWords = 3, minDocs = 2)
+        .as[(Long, String, Long)].collect().toSet
+      // reference: exact line frequency by distinct doc over the same
+      // 3-token windows
+      val lines = docs.map { case (id, t) =>
+        id -> t.split("\\s+").grouped(3).map(_.mkString(" ")).toVector
+      }
+      val df = lines.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val want = lines.map { case (id, ls) =>
+        val kept = ls.filter(l => df(l) < 2)
+        (id, kept.mkString(" "), (ls.size - kept.size).toLong)
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
