@@ -403,6 +403,25 @@ object BQueries {
         .orderBy("c_custkey")
     }),
 
+    "b35_snapshot_diff" -> ((s, dir) => {
+      // E42 through the gate: diff two snapshot versions (every 11th key
+      // deleted, every 3rd rebalanced, every 17th re-keyed in as an
+      // insert) into a minimal I/U/D changelog — the inverse of b34's
+      // merge; the round-trip law is asserted in CdcSpec/RandomizedSpec.
+      val old = customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      val newer = old.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(old.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 500000L).as("c_custkey"),
+            col("c_name"), col("c_acctbal")))
+      graft.operators.CdcOps.diffSnapshots(old, newer, "c_custkey")
+        .select(col("c_custkey"), col("op"), col("c_name"),
+          rnd(col("c_acctbal")).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -641,6 +660,27 @@ object BQueries {
         |  round((CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END) * 10000) / 10000 AS c_acctbal
         |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
         |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // twin of CdcOps.diffSnapshots: same snapshot derivation, full-outer
+    // join, fieldwise IS DISTINCT FROM == the struct <=> negation
+    "b35_snapshot_diff" ->
+      """WITH oldt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |newt AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 500000, c_name, c_acctbal FROM customer WHERE c_custkey % 17 = 0)
+        |SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'I'
+        |       WHEN n.c_custkey IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  n.c_name AS c_name,
+        |  round(n.c_acctbal * 10000) / 10000 AS c_acctbal
+        |FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_name IS DISTINCT FROM n.c_name
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
         |ORDER BY c_custkey""".stripMargin,
 
     // the UNSALTED join — salting must be invisible in the result

@@ -232,6 +232,20 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t17_bm25" -> ((s, dir) => {
+      // E43 through the gate: BM25 top-10 for a literal 3-term query;
+      // ratio idf (pinned like t09), fixed-order score tree, emitted
+      // UNROUNDED.
+      TextOps.bm25Score(documents(s, dir), col("doc_id"), col("text"),
+          queryTerms = Seq("spark", "table", "query"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("id").as("doc_id"), col("rank"), col("dl"), col("score"))
+        .orderBy("rank")
+    }),
+
     "t15_hash_split" -> ((s, dir) => {
       // E40 through the gate: deterministic 0.8/0.1/0.1 train/val/test
       // assignment; disjoint and exhaustive by construction.
@@ -706,6 +720,40 @@ object DQueries {
          |       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
          |       ELSE 0.0 END AS dup_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // twin of TextOps.bm25Score(k1=1.2, b=0.75, terms spark/table/query):
+    // constants interpolated from the SAME Scala doubles, identical
+    // left-assoc op tree per term, same (score DESC, doc_id) top-10
+    "t17_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val terms = Seq("spark", "table", "query")
+      val tfCols = terms.map(t =>
+        s"len(list_filter(w, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+      val dfCols = terms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n    ")
+      val scoreExpr = terms.map { t =>
+        s"(CAST(n + 1 AS DOUBLE) / CAST(df_$t + 1 AS DOUBLE)) * " +
+          s"(CAST(tf_$t AS DOUBLE) * ${k1 + 1.0} / (CAST(tf_$t AS DOUBLE) + " +
+          s"$k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+      }.mkString("\n    + ")
+      s"""WITH pd AS (
+         |  SELECT doc_id, len(w) AS dl,
+         |    $tfCols
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents)),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |    $dfCols
+         |  FROM pd),
+         |sc AS (
+         |  SELECT doc_id, dl,
+         |    $scoreExpr AS score
+         |  FROM pd, st)
+         |SELECT doc_id, rank, dl, score FROM (
+         |  SELECT doc_id, dl, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
 
     // twin of CurationOps.hashSplit(0.8/0.1/0.1): same hash60 bucket, same
     // cumulative thresholds (driver-computed doubles injected literally)

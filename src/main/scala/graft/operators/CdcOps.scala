@@ -56,4 +56,36 @@ object CdcOps {
         payload.map(p => when(col("__k").isNotNull, col(s"__new.$p"))
           .otherwise(col(s"__old.$p")).as(p)): _*)
   }
+
+  /** The inverse of [[mergeChangelog]]: diff two snapshots of the same
+    * schema into a minimal changelog —
+    *
+    *  - key only in `newer`            → 'I' with the new payload;
+    *  - key in both, payload differs   → 'U' with the new payload;
+    *  - key in both, payload identical → no row (null-safely compared via
+    *    the payload structs, so null columns diff correctly);
+    *  - key only in `older`            → 'D' (payload nulls, tombstone).
+    *
+    * One full-outer shuffle join on the key — same envelope as the merge.
+    * Round-trip law (CdcSpec + RandomizedSpec):
+    * `mergeChangelog(older, diffSnapshots(older, newer)) == newer`, which
+    * is what makes diff-then-replicate (or diff-then-audit) trustworthy.
+    * Emits (key, op, payload...) with a constant `seq` 0 — the diff is
+    * already compacted (one row per key). */
+  def diffSnapshots(older: DataFrame, newer: DataFrame, key: String)
+      : DataFrame = {
+    val payload = older.columns.filterNot(_ == key).toIndexedSeq
+    val o = older.select(col(key).as("__ko"),
+      struct(payload.map(col): _*).as("__old"))
+    val n = newer.select(col(key).as("__kn"),
+      struct(payload.map(col): _*).as("__new"))
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .filter(!(col("__old") <=> col("__new"))) // unchanged rows drop out
+      .select(
+        coalesce(col("__kn"), col("__ko")).as(key) +:
+        lit(0L).as("seq") +:
+        when(col("__ko").isNull, "I").when(col("__kn").isNull, "D")
+          .otherwise("U").as("op") +:
+        payload.map(p => col(s"__new.$p").as(p)): _*)
+  }
 }

@@ -161,6 +161,47 @@ object TextOps {
             / size(col("__grams")))
           .otherwise(lit(0.0)).as("dup_ratio"))
 
+  /** BM25 relevance of every document against a LITERAL query-term list —
+    * the lexical-retrieval scorer (k1 saturates term frequency, b
+    * length-normalizes). idf is the ratio form (N+1)/(df+1): like
+    * [[tfidfTopK]], libm `ln` is not bit-reproducible across engines, and
+    * the ratio is a strictly monotone transform of it, so rankings for a
+    * single term agree and multi-term semantics are pinned as documented.
+    *
+    * Determinism: per-term tf and dl are per-row expressions on the
+    * materialized token array (no shuffle); corpus stats (N, Σdl, per-term
+    * df) are ONE 1-row aggregate broadcast back; the score is a FIXED
+    * left-to-right expression tree over the literal term list — every
+    * operation is a single correctly-rounded IEEE op on exact-integer
+    * inputs, so the score reproduces bit-for-bit unrounded in any engine.
+    *
+    * Plan: scan + 1-row aggregate + broadcast cross join + projection.
+    * Nothing shuffles with the corpus; top-k on the result is a
+    * TakeOrdered. Returns (id, dl, score). */
+  def bm25Score(df: DataFrame, idCol: Column, textCol: Column,
+                queryTerms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Score: empty query")
+    val perDoc = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
+      .select(col("id") +: size(col("__toks")).as("dl") +:
+        queryTerms.map(t =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$t")): _*)
+    val statCols = count(lit(1)).as("__n") +:
+      sum(col("dl").cast("long")).as("__sumdl") +:
+      queryTerms.map(t =>
+        sum((col(s"__tf_$t") > 0).cast("long")).as(s"__df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val termScores = queryTerms.map { t =>
+      val tf = col(s"__tf_$t").cast("double")
+      val idf = (col("__n") + 1).cast("double") / (col(s"__df_$t") + 1).cast("double")
+      val part = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
+      idf * (tf * lit(k1 + 1.0) / (tf + lit(k1) * part))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("id"), col("dl"), termScores.reduce(_ + _).as("score"))
+  }
+
   /** Per-document unigram corpus-frequency score: the mean corpus
     * frequency of a document's tokens,
     * `score = Σ_tok tf(tok) / (n_tokens × total_tokens)` — a

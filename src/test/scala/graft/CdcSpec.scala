@@ -57,6 +57,38 @@ class CdcSpec extends SparkSpec {
     assert(merge(ch).map(_._1) === Seq(1L, 3L)) // key 2 is gone
   }
 
+  test("diffSnapshots: minimal I/U/D rows, null payload diffs detected, unchanged rows absent") {
+    val newer = Seq(
+      (1L, Some("alice"), Some(10.0)), // unchanged -> no row
+      (2L, Some("bob"), Option.empty[Double]), // bal 20.0 -> null: a change
+      (4L, Some("dave"), Some(40.0)) // new key; key 3 (carol) deleted
+    ).toDF("k", "name", "bal")
+    val diff = CdcOps.diffSnapshots(base, newer, "k")
+      .orderBy("k")
+      .as[(Long, Long, String, Option[String], Option[Double])].collect().toSeq
+    assert(diff === Seq(
+      (2L, 0L, "U", Some("bob"), None),
+      (3L, 0L, "D", None, None),
+      (4L, 0L, "I", Some("dave"), Some(40.0))))
+  }
+
+  test("diffSnapshots round-trip law: merge(old, diff(old, new)) == new") {
+    val newer = Seq(
+      (1L, Some("alice2"), Some(11.0)),
+      (2L, Some("bob"), Some(20.0)),
+      (5L, Option.empty[String], Some(50.0))
+    ).toDF("k", "name", "bal")
+    val diff = CdcOps.diffSnapshots(base, newer, "k")
+    val rebuilt = CdcOps.mergeChangelog(base, diff, "k", "seq", "op")
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    val want = newer.as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(rebuilt === want)
+  }
+
+  test("diffSnapshots of identical snapshots is empty") {
+    assert(CdcOps.diffSnapshots(base, base, "k").count() === 0)
+  }
+
   test("mergeChangelog: idempotent — re-applying the same changelog is a fixpoint") {
     val ch = Seq(
       (1L, 10L, "U", Some("alice2"), Some(11.0)),

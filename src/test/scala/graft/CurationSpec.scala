@@ -227,6 +227,38 @@ class CurationSpec extends SparkSpec {
     assert(byName("test") > 120 && byName("test") < 280, s"$byName")
   }
 
+  test("bm25Score: matches the textbook formula computed driver-side; tf saturates, length penalizes") {
+    val d = Seq(
+      (1L, "spark spark spark query"), // high tf, short
+      (2L, "spark query join filter"), // one each
+      (3L, "join filter merge scan"), // no query terms
+      (4L, "spark " + (1 to 20).map(_ => "pad").mkString(" ")) // long doc penalty
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Score(d, col("doc_id"), col("text"),
+        queryTerms = Seq("spark", "query"))
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    // driver-side reference with the same fixed op order
+    val toks = Map(1L -> 4, 2L -> 4, 3L -> 4, 4L -> 21)
+    val tf = Map(("spark", 1L) -> 3, ("spark", 2L) -> 1, ("spark", 4L) -> 1,
+      ("query", 1L) -> 1, ("query", 2L) -> 1)
+    val (n, sumdl) = (4L, 33L)
+    val df_ = Map("spark" -> 3L, "query" -> 2L)
+    def score(id: Long): Double = Seq("spark", "query").map { t =>
+      val tfv = tf.getOrElse((t, id), 0).toDouble
+      val idf = (n + 1).toDouble / (df_(t) + 1).toDouble
+      val part = 1.0 - 0.75 + 0.75 * (toks(id).toDouble / (sumdl.toDouble / n.toDouble))
+      idf * (tfv * 2.2 / (tfv + 1.2 * part))
+    }.reduce(_ + _)
+    got.foreach { case (id, dl, s) =>
+      assert(dl === toks(id))
+      assert(s === score(id), s"doc $id: got $s want ${score(id)}")
+    }
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(1L) > byId(2L), "more matching tokens must score higher at equal dl")
+    assert(byId(2L) > byId(4L), "longer documents are length-penalized")
+    assert(byId(3L) === 0.0)
+  }
+
   test("unigramScore: exact integer sums, hand-checked score") {
     // corpus: "a" x3, "b" x2, "c" x1 -> total 6
     val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")

@@ -137,6 +137,26 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("diffSnapshots round-trips through mergeChangelog on random snapshot pairs") {
+    for (seed <- Seq(9, 27)) {
+      val rnd = new scala.util.Random(seed)
+      def snap() = (0L until 60L).flatMap { k =>
+        if (rnd.nextInt(4) == 0) None // key absent from this version
+        else Some((k,
+          if (rnd.nextInt(10) == 0) Option.empty[String] else Some(s"n${rnd.nextInt(5)}"),
+          if (rnd.nextInt(10) == 0) Option.empty[Double] else Some(rnd.nextInt(9).toDouble)))
+      }
+      val older = snap().toDF("k", "name", "bal")
+      val newer = snap().toDF("k", "name", "bal")
+      val diff = graft.operators.CdcOps.diffSnapshots(older, newer, "k")
+      val rebuilt = graft.operators.CdcOps
+        .mergeChangelog(older, diff, "k", "seq", "op")
+        .as[(Long, Option[String], Option[Double])].collect().toSet
+      val want = newer.as[(Long, Option[String], Option[Double])].collect().toSet
+      assert(rebuilt === want, s"seed $seed")
+    }
+  }
+
   test("suppressUnchanged matches a per-key sequential scan (random ties and repeats)") {
     for (seed <- Seq(11, 31)) {
       val rnd = new scala.util.Random(seed)
