@@ -577,7 +577,9 @@ object DQueries {
         "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
       s"""WITH cb AS (
          |  SELECT s AS sub, c AS code, list_transform(range(0, 8), d ->
-         |    CASE WHEN ($anchorBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+         |    CASE WHEN (CASE WHEN d < 4 THEN (c >> d) & 1
+         |                    ELSE $anchorBit & 1 END) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS anchor
          |  FROM range(0, 8) t1(s), range(0, 16) t2(c)),
          |sv AS (
          |  SELECT vec_id, s AS sub,

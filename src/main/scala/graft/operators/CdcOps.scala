@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture operators: changelog compaction (latest entry per
@@ -15,19 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object CdcOps {
 
-  /** Compact a changelog to its newest entry per key: `row_number` over
-    * (`key` ordered by `seq` desc, ties by `op` asc — 'D' < 'I' < 'U', so a
-    * same-seq delete beats an upsert deterministically), keep rank 1. One hash exchange on the key and a
-    * per-key sort of only that key's entries — the B9/B15 keep-one shape.
-    * At scale the changelog is the small delta, not the snapshot: this
-    * never touches base-table data. */
+  /** Compact a changelog to its newest entry per key — delegates to
+    * [[EtlOps.keepFirstPerKey]] (the B9/B15 keep-one shape) ordered by
+    * `seq` desc with ties by `op` asc ('D' < 'I' < 'U', so a same-seq
+    * delete beats an upsert deterministically). One hash exchange on the
+    * key, a per-key sort of only that key's entries (Spark prunes to one
+    * row per key map-side via WindowGroupLimit). At scale the changelog is
+    * the small delta, not the snapshot: this never touches base-table
+    * data. */
   def compactChangelog(changelog: DataFrame, key: String, seq: String,
-                       op: String): DataFrame = {
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(seq).desc, col(op).asc)
-    changelog.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+                       op: String): DataFrame =
+    EtlOps.keepFirstPerKey(changelog, Seq(col(key)),
+      Seq(col(seq).desc, col(op).asc))
 
   /** Merge a changelog into a base snapshot, latest-wins:
     *

@@ -166,6 +166,26 @@ object CurationOps {
     * correctly-rounded IEEE ops on exact integer totals, so the kept set is
     * bit-reproducible cross-engine. Returns the kept rows as
     * (id, stratum, n_tokens, stratum_tokens, rate — unrounded). */
+  def mixtureSample(df: DataFrame, idCol: Column, strataCol: Column,
+                    tokensCol: Column, shares: Map[String, Double],
+                    defaultShare: Double, budgetTokens: Long): DataFrame = {
+    val rows = df.select(idCol.as("id"), strataCol.as("stratum"),
+      tokensCol.as("n_tokens"))
+    val share = shares.foldLeft(lit(defaultShare)) { case (acc, (k, v)) =>
+      when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val totals = rows.groupBy("stratum")
+      .agg(sum(col("n_tokens").cast("long")).as("stratum_tokens"))
+      .withColumn("rate", least(lit(1.0),
+        share * lit(budgetTokens.toDouble) / col("stratum_tokens").cast("double")))
+    val bucket = pmod(
+      Hashing.hash60(concat(lit("mix_"), col("id").cast("string"))),
+      lit(SampleBuckets))
+    rows.join(broadcast(totals), "stratum")
+      .filter(bucket < col("rate") * lit(SampleBuckets.toDouble))
+      .select("id", "stratum", "n_tokens", "stratum_tokens", "rate")
+  }
+
   /** Deterministic dataset split: each row lands in exactly one named
     * split, by hash bucket — `weights` (name → fraction, summing to 1;
     * the last split absorbs rounding remainder) become cumulative bucket
@@ -188,25 +208,5 @@ object CurationOps {
         acc.when(bucket < lit(cum * SampleBuckets), name)
     }.otherwise(weights.last._1)
     df.withColumn("split", assign)
-  }
-
-  def mixtureSample(df: DataFrame, idCol: Column, strataCol: Column,
-                    tokensCol: Column, shares: Map[String, Double],
-                    defaultShare: Double, budgetTokens: Long): DataFrame = {
-    val rows = df.select(idCol.as("id"), strataCol.as("stratum"),
-      tokensCol.as("n_tokens"))
-    val share = shares.foldLeft(lit(defaultShare)) { case (acc, (k, v)) =>
-      when(col("stratum") === k, lit(v)).otherwise(acc)
-    }
-    val totals = rows.groupBy("stratum")
-      .agg(sum(col("n_tokens").cast("long")).as("stratum_tokens"))
-      .withColumn("rate", least(lit(1.0),
-        share * lit(budgetTokens.toDouble) / col("stratum_tokens").cast("double")))
-    val bucket = pmod(
-      Hashing.hash60(concat(lit("mix_"), col("id").cast("string"))),
-      lit(SampleBuckets))
-    rows.join(broadcast(totals), "stratum")
-      .filter(bucket < col("rate") * lit(SampleBuckets.toDouble))
-      .select("id", "stratum", "n_tokens", "stratum_tokens", "rate")
   }
 }

@@ -215,17 +215,25 @@ object SimilarityOps {
   }
 
   /** Deterministic product-quantization codebook: `m` subspaces ×
-    * `k` codes, ±1 components from the portable hash (same
-    * reproducibility argument as [[ivfCodebook]]; a trained variant would
-    * run [[kmeansFit]] per subspace over sliced vectors — same plan shape,
-    * test-gated like E33). Returns (sub, code, anchor[dim/m]). */
+    * `k` codes, ±1 components. Anchors are DISTINCT within a subspace by
+    * construction — the low ⌈log₂ k⌉ dims carry the code's own bits (k
+    * random sign patterns over few dims WILL collide by birthday, making
+    * the colliding codes unreachable through the argmin tie-break), the
+    * remaining dims come from the portable hash (same reproducibility
+    * argument as [[ivfCodebook]]). Returns (sub, code, anchor[dim/m]). */
   def pqCodebook(spark: org.apache.spark.sql.SparkSession, m: Int = 8,
                  k: Int = 16, dim: Int = 64): DataFrame = {
     import spark.implicits._
+    require(dim % m == 0, s"pq: m=$m must divide dim=$dim")
     val subDim = dim / m
+    val bits = 32 - Integer.numberOfLeadingZeros(k - 1) // ceil(log2 k)
+    require(bits <= subDim, s"pq: k=$k needs $bits code bits > subDim=$subDim")
     (for (sub <- 0 until m; code <- 0 until k) yield {
       val anchor = Array.tabulate(subDim) { d =>
-        if ((Hashing.hash60Scalar(s"pq_${sub}_${code}_$d") & 1L) == 0L) 1.0 else -1.0
+        val bit =
+          if (d < bits) (code >> d) & 1
+          else (Hashing.hash60Scalar(s"pq_${sub}_${code}_$d") & 1L).toInt
+        if (bit == 0) 1.0 else -1.0
       }
       (sub, code, anchor)
     }).toDF("sub", "code", "anchor")
@@ -233,6 +241,7 @@ object SimilarityOps {
 
   /** Corpus exploded to per-subspace slices: (vec_id, sub, __sv). */
   private def pqSubvectors(corpus: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pq: m=$m must divide dim=$dim")
     val subDim = dim / m
     corpus
       .select(col("vec_id"), col("embedding"),
@@ -318,18 +327,20 @@ object SimilarityOps {
     cb
   }
 
-  /** PQ asymmetric-distance search: the query stays un-quantized; its dot
-    * against every (sub, code) anchor builds a per-query lookup table
-    * (m·k broadcastable rows), and a corpus vector's approximate score is
-    * the SUM of its codes' table entries — an equi-join on (sub, code) +
-    * one aggregate, touching 1-byte codes instead of the float corpus.
-    * Scores are float-sum approximations (and partition-order summed), so
-    * this is spec-gated like E33, not oracle-hashed; exactness on planted
-    * codebook points is asserted in SimilaritySpec. */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+  /** PQ asymmetric-distance search over PRE-ENCODED codes: the query stays
+    * un-quantized; its dot against every (sub, code) anchor builds a
+    * per-query lookup table (m·k broadcastable rows), and a corpus
+    * vector's approximate score is the SUM of its codes' table entries —
+    * an equi-join on (sub, code) + one aggregate. `encoded` is a
+    * [[pqEncode]] output (vec_id, sub, code), the STORED representation:
+    * search touches 1-byte codes only, the float corpus is never read
+    * (encode once at ingest, search many). Scores are float-sum
+    * approximations (and partition-order summed), so this is spec-gated
+    * like E33, not oracle-hashed; exactness on planted codebook points is
+    * asserted in SimilaritySpec. */
+  def pqAdcTopK(encoded: DataFrame, queries: DataFrame, codebook: DataFrame,
                 topK: Int, m: Int = 8, dim: Int = 64): DataFrame = {
     val subDim = dim / m
-    val enc = pqEncode(corpus, codebook, m, dim)
     val qdots = queries
       .select(col("vec_id").as("q_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
@@ -338,7 +349,7 @@ object SimilarityOps {
       .join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("code"),
         dot(col("__qv"), col("anchor")).as("__qd"))
-    enc.join(broadcast(qdots), Seq("sub", "code"))
+    encoded.join(broadcast(qdots), Seq("sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("__qd")).as("adc"))

@@ -182,19 +182,29 @@ object TextOps {
                 queryTerms: Seq[String], k1: Double = 1.2,
                 b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Score: empty query")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"bm25Score: duplicate query terms: $queryTerms")
+    // tf/df columns are INDEX-named — raw terms in column names would make
+    // duplicates ambiguous and dotted/spaced terms unresolvable
+    val ts = queryTerms.zipWithIndex
     val perDoc = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
       .select(col("id") +: size(col("__toks")).as("dl") +:
-        queryTerms.map(t =>
-          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$t")): _*)
+        ts.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"__tf_$i")
+        }: _*)
+      // feeds both the stats aggregate and the scoring join — persist so
+      // the corpus tokenizes once (same rule as unigramScore)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statCols = count(lit(1)).as("__n") +:
       sum(col("dl").cast("long")).as("__sumdl") +:
-      queryTerms.map(t =>
-        sum((col(s"__tf_$t") > 0).cast("long")).as(s"__df_$t"))
+      ts.map { case (_, i) =>
+        sum((col(s"__tf_$i") > 0).cast("long")).as(s"__df_$i")
+      }
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val termScores = queryTerms.map { t =>
-      val tf = col(s"__tf_$t").cast("double")
-      val idf = (col("__n") + 1).cast("double") / (col(s"__df_$t") + 1).cast("double")
+    val termScores = ts.map { case (_, i) =>
+      val tf = col(s"__tf_$i").cast("double")
+      val idf = (col("__n") + 1).cast("double") / (col(s"__df_$i") + 1).cast("double")
       val part = lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)
       idf * (tf * lit(k1 + 1.0) / (tf + lit(k1) * part))
     }

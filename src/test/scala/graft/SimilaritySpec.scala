@@ -81,8 +81,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   /** Vectors built by concatenating codebook anchors for known codes: the
-    * encoder must return exactly those codes (the anchor IS the nearest
-    * anchor to itself — ±1 anchors are mutually non-collinear). */
+    * encoder must return exactly those codes (anchors are distinct by
+    * construction — code bits occupy the low dims — and a ±1 corner is the
+    * unique L2-nearest corner to itself). */
   private def plantedFromCodes(codes: Map[Long, Seq[Int]]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val cb = SimilarityOps.pqCodebook(spark, m = 8, k = 16, dim = 64)
@@ -125,7 +126,8 @@ class SimilaritySpec extends SparkSpec {
       5L -> Seq(1, 2, 3, 4, 5, 6, 7, 0),
       6L -> Seq(3, 3, 3, 3, 3, 3, 3, 3)))
     val q = plantedFromCodes(Map(1L -> Seq(0, 1, 2, 3, 4, 5, 6, 7)))
-    val top = SimilarityOps.pqAdcTopK(corpus, q, cb, topK = 1)
+    val top = SimilarityOps.pqAdcTopK(
+        SimilarityOps.pqEncode(corpus, cb), q, cb, topK = 1)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(top === Seq((1L, 2L)), "the exact-code twin must rank first")
   }
@@ -159,7 +161,8 @@ class SimilaritySpec extends SparkSpec {
     // trained ADC search still works end-to-end with a usable recall floor
     // (measured ~0.14-0.16 on this corpus; floor leaves noise headroom)
     val exact = pairs(SimilarityOps.bruteForceTopK(emb, queries, 5))
-    val adc = pairs(SimilarityOps.pqAdcTopK(emb, queries, trained, topK = 5))
+    val adc = pairs(SimilarityOps.pqAdcTopK(
+      SimilarityOps.pqEncode(emb, trained), queries, trained, topK = 5))
     val recall = (exact & adc).size.toDouble / exact.size
     info(s"trained pq-adc recall@5 = $recall")
     assert(recall >= 0.06, s"trained PQ-ADC recall@5 $recall below floor")
