@@ -232,6 +232,25 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t18_stratified_topn" -> ((s, dir) => {
+      // E44 through the gate: exactly 5 docs per language by smallest
+      // sampling hash — guaranteed count, deterministic identity.
+      CurationOps.stratifiedTopN(documents(s, dir), col("doc_id"),
+          col("lang"), n = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "t19_vocab_oov" -> ((s, dir) => {
+      // E45 through the gate: 100-term vocabulary coverage; exact-integer
+      // OOV ratio emitted UNROUNDED.
+      TextOps.vocabOov(documents(s, dir), col("doc_id"), col("text"),
+          vocabSize = 100)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "t17_bm25" -> ((s, dir) => {
       // E43 through the gate: BM25 top-10 for a literal 3-term query;
       // ratio idf (pinned like t09), fixed-order score tree, emitted
@@ -722,6 +741,31 @@ object DQueries {
          |       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
          |       ELSE 0.0 END AS dup_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.stratifiedTopN(n=5): same hash, same
+    // (hash, doc_id) rank order per language
+    "t18_stratified_topn" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h60Sql("'topn_' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+
+    // twin of TextOps.vocabOov(V=100): same (tf DESC, term) vocabulary
+    // rank, same exact-integer OOV division
+    "t19_vocab_oov" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+         |    FROM tk GROUP BY term) WHERE rk <= 100),
+         |d AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tk t LEFT JOIN vocab v ON t.term = v.term
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_ratio
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // twin of TextOps.bm25Score(k1=1.2, b=0.75, terms spark/table/query):
     // constants interpolated from the SAME Scala doubles, identical

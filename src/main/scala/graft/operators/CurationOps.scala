@@ -186,6 +186,28 @@ object CurationOps {
       .select("id", "stratum", "n_tokens", "stratum_tokens", "rate")
   }
 
+  /** Exactly-N-per-stratum deterministic sample: the N rows with the
+    * SMALLEST sampling hashes in each stratum. Where [[stratifiedHashSample]]
+    * keeps an expected fraction, this keeps a guaranteed count (the "10k
+    * docs per language" curation ask) — still a pure function of the ids,
+    * so re-runs and other engines select the identical rows, and growing
+    * the corpus only ever swaps rows in/out by hash order (no reshuffle of
+    * the kept set's identity rule). One shuffle on the stratum; Spark 4
+    * plans the rank filter as WindowGroupLimit, so each map task forwards
+    * at most N rows per stratum before the exchange — the sort never sees
+    * the full stratum. */
+  def stratifiedTopN(df: DataFrame, idCol: Column, strataCol: Column,
+                     n: Int): DataFrame = {
+    require(n > 0, s"stratifiedTopN: n must be positive: $n")
+    val h = Hashing.hash60(concat(lit("topn_"), idCol.cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCol).orderBy(col("__h"), idCol)))
+      .filter(col("__rk") <= n)
+      .drop("__h", "__rk")
+  }
+
   /** Deterministic dataset split: each row lands in exactly one named
     * split, by hash bucket — `weights` (name → fraction, summing to 1;
     * the last split absorbs rounding remainder) become cumulative bucket

@@ -161,6 +161,38 @@ object TextOps {
             / size(col("__grams")))
           .otherwise(lit(0.0)).as("dup_ratio"))
 
+  /** Top-`vocabSize` vocabulary by corpus term frequency (ties by term, so
+    * the vocabulary is deterministic) and the per-document OOV share
+    * against it — the tokenizer-prep question "how much of the corpus does
+    * a V-entry vocab cover, and which documents fall outside it". The OOV
+    * ratio is exact-integer division (n_oov / n_tokens), bit-reproducible
+    * unrounded.
+    *
+    * Plan: one term-count aggregate; the vocabulary is rank ≤ V of it
+    * (WindowGroupLimit prunes map-side — the count table, already one row
+    * per distinct term, never fully sorts); membership back on the token
+    * stream is a broadcast-sized left join at any realistic V; one regroup
+    * per doc. Returns (id, n_tokens, n_oov, oov_ratio). */
+  def vocabOov(df: DataFrame, idCol: Column, textCol: Column,
+               vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabOov: vocabSize must be positive: $vocabSize")
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("__tf"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__tf").desc, col("term"))))
+      .filter(col("__rk") <= vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+  }
+
   /** BM25 relevance of every document against a LITERAL query-term list —
     * the lexical-retrieval scorer (k1 saturates term frequency, b
     * length-normalizes). idf is the ratio form (N+1)/(df+1): like

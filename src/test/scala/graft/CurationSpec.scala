@@ -227,6 +227,41 @@ class CurationSpec extends SparkSpec {
     assert(byName("test") > 120 && byName("test") < 280, s"$byName")
   }
 
+  test("stratifiedTopN: exactly n per stratum, deterministic, stable under growth") {
+    val d100 = docs // 50 en / 50 zh
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CurationOps.stratifiedTopN(df, col("doc_id"), col("lang"), n = 7)
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val s1 = run(d100)
+    assert(s1.groupBy(_._2).view.mapValues(_.size).toMap === Map("en" -> 7, "zh" -> 7))
+    assert(s1 === run(d100), "selection must be deterministic")
+    // undersized stratum: keeps everything it has
+    val tiny = docs.filter(col("doc_id") < 3) // 2 en, 1 zh
+    assert(run(tiny).size === 3)
+    // growth monotonicity: a row among the 7 smallest hashes of the FULL
+    // corpus that also lies in a subset is necessarily among the subset's
+    // 7 smallest — growing the corpus only evicts, never resurrects
+    val sub = run(docs.filter(col("doc_id") < 50L))
+    assert(s1.filter(_._1 < 50L).subsetOf(sub))
+  }
+
+  test("vocabOov: hand-checked vocabulary cut and OOV ratios") {
+    // counts: a=4, b=3, c=2, d=1 -> V=2 vocab {a, b}
+    val d = Seq(
+      (1L, "a a b c"), (2L, "a b d"), (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabOov(d, col("doc_id"), col("text"), vocabSize = 2)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 1L, 0.25), // c is OOV
+      (2L, 3L, 1L, 1.0 / 3.0), // d is OOV
+      (3L, 3L, 1L, 1.0 / 3.0)))
+    // tie determinism: with V=3, c (tf 2) enters; d stays out
+    val out3 = TextOps.vocabOov(d, col("doc_id"), col("text"), vocabSize = 3)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out3.map(_._3) === Seq(0L, 1L, 0L))
+  }
+
   test("bm25Score: matches the textbook formula computed driver-side; tf saturates, length penalizes") {
     val d = Seq(
       (1L, "spark spark spark query"), // high tf, short
