@@ -111,9 +111,15 @@ object DedupOps {
     // the hashed sets feed three plan branches (signatures + both sides of
     // the verification join); persist so shingling+md5 runs once — the
     // at-scale equivalent is materializing the signature table between
-    // stages
+    // stages. The persist is EAGER (count action): the three branches are
+    // independent shuffle-map stages of the same downstream job, and the
+    // scheduler launches independent stages concurrently — with a lazy
+    // persist they race to fill the cache and the shingle+md5 pipeline runs
+    // up to 3× in parallel before any partition lands. One cheap count
+    // serializes the materialization.
     val hashed = hashedShingleSets(shingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count()
     val sigs = minhashSignatures(hashed, numHashes)
     val bandCols = (0 until bands).map { bnd =>
       val rows = (0 until rowsPerBand).map(r => col(s"sig_${bnd * rowsPerBand + r}"))
@@ -171,20 +177,54 @@ object DedupOps {
     * clusters); `pairs` carries (doc_a, doc_b). With `strict`, failing to
     * converge within maxIter throws instead of warning — oracle-checked
     * runs use this so a split cluster is a structured failure, not a silent
-    * hash mismatch. */
+    * hash mismatch.
+    *
+    * ADAPTIVE: the mined pair set is first counted (the count doubles as
+    * the eager cache materialization); at or below [[LocalPairThreshold]]
+    * pairs the components are solved with an exact driver-side union-find
+    * and broadcast back — one collect + one broadcast join instead of
+    * several shuffle rounds. The distributed rounds below are the at-scale
+    * path for pair sets too large to collect. Both paths produce identical
+    * labels (component minimum). */
   def dedupClusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
-                    strict: Boolean = false): DataFrame =
-    dedupClustersWithRounds(ids, pairs, maxIter, strict)._1
+                    strict: Boolean = false,
+                    localPairThreshold: Long = LocalPairThreshold): DataFrame =
+    dedupClustersWithRounds(ids, pairs, maxIter, strict, localPairThreshold)._1
 
-  /** [[dedupClusters]] plus the number of propagation rounds executed —
-    * exposed so tests can assert the O(log d) convergence. */
+  /** Pair count at or below which the component structure is solved with a
+    * driver-side union-find instead of distributed label-propagation rounds.
+    * The near-dup EDGE set is orders of magnitude smaller than the corpus
+    * (it is the mined duplicate pairs, not the documents), so even a 100 TB
+    * corpus usually yields a pair set far below this; when it doesn't, the
+    * distributed rounds take over. Same adaptive shape as GraphFrames'
+    * connected-components small-graph optimization. 2M pairs ≈ tens of MB
+    * on the driver. */
+  val LocalPairThreshold: Long = 2000000L
+
+  /** [[dedupClusters]] plus the number of distributed propagation rounds
+    * executed (0 when the local union-find path was taken) — exposed so
+    * tests can assert the O(log d) convergence of the distributed path by
+    * forcing `localPairThreshold = 0`. */
   def dedupClustersWithRounds(ids: DataFrame, pairs: DataFrame,
                               maxIter: Int = 20,
-                              strict: Boolean = false): (DataFrame, Int) = {
+                              strict: Boolean = false,
+                              localPairThreshold: Long = LocalPairThreshold): (DataFrame, Int) = {
     val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the pair set first: the symmetric edge union reads it twice,
-    // and upstream pair mining (LSH) is the expensive part
+    // and upstream pair mining (LSH) is the expensive part. The count both
+    // materializes the cache EAGERLY (two union branches in one job would
+    // otherwise race and compute the mining pipeline twice concurrently)
+    // and sizes the graph for the local-vs-distributed decision.
     val p = pairs.persist(MemDisk)
+    val nPairs = p.count()
+    if (nPairs <= localPairThreshold) {
+      localUnionFind(ids, p) match {
+        case Some(result) =>
+          p.unpersist(false)
+          return (result, 0)
+        case None => // unsupported id type — fall through to distributed
+      }
+    }
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MemDisk)
@@ -239,6 +279,76 @@ object DedupOps {
     p.unpersist(false)
     edges.unpersist(false)
     (labels.withColumn("keep", col("doc_id") === col("rep")), i)
+  }
+
+  /** Driver-side union-find over a materialized (small) pair set: exact
+    * connected components with each component labeled by its MINIMUM id —
+    * identical semantics to the distributed rounds (and to the recursive-CTE
+    * oracle). Only the nodes that appear in a pair are collected; everything
+    * else is a singleton and never leaves the cluster (the rep mapping joins
+    * back broadcast-style, isolated ids coalesce to themselves).
+    *
+    * Returns None when the id type has no SQL-compatible Scala ordering to
+    * define "minimum" (the caller then uses the distributed min-aggregate
+    * rounds, where the engine's own ordering applies). */
+  private def localUnionFind(ids: DataFrame, p: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val idType = ids.schema.fields.find(_.name == "doc_id").map(_.dataType)
+      .getOrElse(return None)
+    // orderings below must match SQL min() on the same type
+    val supported = idType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+    if (!supported) return None
+    // both sides always come from the same gated column type
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) => x < y
+      case (x: Number, y: Number) => x.longValue() < y.longValue()
+      case _ => false
+    }
+    val rows = p.select(col("doc_a"), col("doc_b")).collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(v: Any): Int = {
+      val existing = index.get(v)
+      if (existing != null) existing.intValue()
+      else { index.put(v, Integer.valueOf(nodes.length)); nodes += v; nodes.length - 1 }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    rows.foreach { r =>
+      val a = idx(r.get(0)); val b = idx(r.get(1))
+      while (parent.length < nodes.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    // min id per component root
+    val minOf = new java.util.HashMap[Int, Any]()
+    nodes.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lt(nodes(i), cur)) minOf.put(r, nodes(i))
+    }
+    val spark = ids.sparkSession
+    val mappingRows = nodes.indices.map { i =>
+      org.apache.spark.sql.Row(nodes(i), minOf.get(find(i)))
+    }
+    val schema = StructType(Seq(
+      StructField("__uf_id", idType), StructField("__uf_rep", idType)))
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(mappingRows, 1), schema)
+    val out = ids.join(broadcast(mapping), col("doc_id") === col("__uf_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__uf_rep"), col("doc_id")).as("rep"))
+      .withColumn("keep", col("doc_id") === col("rep"))
+    Some(out)
   }
 
   /** 60-bit SimHash per document: explode tokens, hash, per-bit signed vote

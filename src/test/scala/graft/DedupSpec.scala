@@ -66,7 +66,9 @@ class DedupSpec extends SparkSpec {
     val depth = 16
     val ids = (0L until depth).toDF("doc_id")
     val chain = (0L until depth - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (out, rounds) = DedupOps.dedupClustersWithRounds(ids, chain)
+    // threshold 0 forces the distributed rounds (the property under test)
+    val (out, rounds) = DedupOps.dedupClustersWithRounds(ids, chain,
+      localPairThreshold = 0)
     val labels = out.orderBy("doc_id").collect().map(_.getLong(1))
     assert(labels.forall(_ == 0L)) // one component, min id 0
     // pure 1-hop propagation needs ~depth rounds; halving must beat half that
@@ -78,8 +80,39 @@ class DedupSpec extends SparkSpec {
     val ids = (0L until 8L).toDF("doc_id")
     val chain = (0L until 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      DedupOps.dedupClusters(ids, chain, maxIter = 1, strict = true)
+      DedupOps.dedupClusters(ids, chain, maxIter = 1, strict = true,
+        localPairThreshold = 0)
     }
+  }
+
+  test("dedupClusters: local union-find path matches the distributed rounds") {
+    val ids = (0L until 40L).toDF("doc_id")
+    // two chains, one pair, isolated remainder — deep enough to exercise
+    // path compression and min-rep selection
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 25L), (25L, 21L), (30L, 31L))).toDF("doc_a", "doc_b")
+    val (local, lr) = DedupOps.dedupClustersWithRounds(ids, pairs)
+    assert(lr === 0) // small pair set must take the local path
+    val (dist, dr) = DedupOps.dedupClustersWithRounds(ids, pairs,
+      localPairThreshold = 0)
+    assert(dr > 0)
+    val l = local.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val d = dist.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(l === d)
+    assert(l.find(_._1 == 25L).get._2 === 20L) // cross-chain min label
+  }
+
+  test("dedupClusters: local path handles string ids with SQL min semantics") {
+    val ids = Seq("d", "c", "b", "a", "zz").toDF("doc_id")
+    val pairs = Seq(("d", "c"), ("c", "b")).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(ids, pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      ("a", "a", true), ("b", "b", true), ("c", "b", false),
+      ("d", "b", false), ("zz", "zz", true)))
   }
 
   test("decontaminate: flags exactly the docs sharing a k-gram, k is a hard boundary") {
