@@ -45,7 +45,7 @@ object Bench {
     // these keys measure the plan swap, not a same-plan speedup. The
     // plan_notes field in the output JSON records this for trend readers.
     val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides ++
-      graft.entry.DQueries.benchOverrides)
+      graft.entry.DQueries.benchOverrides ++ graft.entry.OlapQueries.benchOverrides)
       .filterNot { case (k, _) => bruteForceTwins(k) }
     // warm the JVM/codegen path once (against the BENCH sf dir, guarded —
     // a failed warm-up must not kill the whole run) so per-query numbers

@@ -22,8 +22,8 @@ object SparkEntry {
     AQueries.seasonScoreFrame(spark, "/root/testdata/sf0.001", exact = false)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AQueries.queries ++ BQueries.queries ++ DQueries.queries
+    AQueries.queries ++ BQueries.queries ++ DQueries.queries ++ OlapQueries.queries
 
   def oracleSql: Map[String, String] =
-    AQueries.oracle ++ BQueries.oracle ++ DQueries.oracle
+    AQueries.oracle ++ BQueries.oracle ++ DQueries.oracle ++ OlapQueries.oracle
 }

@@ -1,0 +1,194 @@
+package graft.entry
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.AnalyticsOps
+import QueryHelpers._
+
+/** Round-5 OLAP analytics queries (SURVEY.md §2E E44-E51): sliding windows,
+  * moving aggregates, approximate distinct, z-score outliers, additive
+  * rollup, set operations, semi/anti membership, histograms. Key prefixes
+  * follow the family of the driving table (a* = events, b* = TPC-H
+  * dimensions/facts).
+  */
+object OlapQueries {
+
+  val queries: Map[String, Q] = Map(
+    "a32_sliding_window" -> ((s, dir) => {
+      // E47: 10-minute windows hopping every 5 — each event lands in 2
+      // windows. Identical call shape runs on a watermarked stream.
+      AnalyticsOps.slidingWindowAgg(events(s, dir), "ts",
+          "10 minutes", "5 minutes", Seq(col("event_type")),
+          Seq(count(lit(1)).as("cnt"), decOut(sum(dec(col("value")))).as("value_sum")))
+        .select(wStart(), col("event_type"), col("cnt"), col("value_sum"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "a33_moving_avg" -> ((s, dir) => {
+      // E48: per-user 3-event moving stats in (ts, event_id) order. The
+      // decimal value column makes the frame sum exact, so the emitted
+      // average is engine-portable (see AnalyticsOps.movingAgg).
+      AnalyticsOps.movingAgg(events(s, dir), Seq(col("user_id")), "ts",
+          col("event_id"), dec(col("value")), lookback = 3)
+        .select(col("event_id"), col("user_id"),
+          rnd(col("moving_avg")).as("mov_avg"),
+          col("moving_min").cast("double").as("mov_min"),
+          col("moving_max").cast("double").as("mov_max"),
+          col("delta_prev").cast("double").as("delta_prev"))
+        .orderBy("event_id")
+    }),
+
+    "a34_approx_distinct" -> ((s, dir) => {
+      // E49 oracle path: exact distinct users per event type. Bench runs
+      // the HyperLogLog sketch twin under the same key (benchOverrides).
+      AnalyticsOps.distinctCount(events(s, dir), Seq(col("event_type")),
+          col("user_id"), "uniq_users")
+        .orderBy("event_type")
+    }),
+
+    "a35_zscore" -> ((s, dir) => {
+      // E50: per-event-type z-score outlier flags; stats rounded to 6dp
+      // so the oracle reproduces the division bit-for-bit.
+      AnalyticsOps.zscoreOutliers(events(s, dir), Seq("event_type"),
+          col("value"), threshold = 2.0, roundStats = Some(6))
+        .select(col("event_id"), col("event_type"), rnd(col("z")).as("z"),
+          col("is_outlier").cast("int").as("is_outlier"))
+        .orderBy("event_id")
+    }),
+
+    "b36_rollup" -> ((s, dir) => {
+      // E44: order-year × priority rollup via additive re-aggregation —
+      // ONE shuffle of the fact table (Spark's built-in rollup Expands
+      // every row once per level first). lvl follows grouping_id().
+      AnalyticsOps.rollupAdditive(orders(s, dir),
+          Seq("o_year" -> year(col("o_orderdate")), "o_prio" -> col("o_orderpriority")),
+          Seq(
+            ("n", count(lit(1)), (n: String) => sum(col(n))),
+            ("spend_sum", sum(dec(col("o_totalprice"))), (n: String) => sum(col(n)))))
+        .select(col("o_year"), col("o_prio"), col("n"),
+          decOut(col("spend_sum")).as("spend_sum"), col("lvl"))
+        .orderBy("lvl", "o_year", "o_prio")
+    }),
+
+    "b37_set_ops" -> ((s, dir) => {
+      // E45: INTERSECT / EXCEPT over two derived key sets (1996 vs 1997
+      // purchasers), each branch tagged. Spark plans these as left-semi /
+      // left-anti aggregates — no row explosion.
+      val o = orders(s, dir)
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+      y96.intersect(y97).withColumn("tag", lit("both"))
+        .unionByName(y96.except(y97).withColumn("tag", lit("only_1996")))
+        .unionByName(y97.except(y96).withColumn("tag", lit("only_1997")))
+        .orderBy("o_custkey")
+    }),
+
+    "b38_semi_anti" -> ((s, dir) => {
+      // E46: EXISTS / NOT EXISTS membership labeling of customers against
+      // the orders fact.
+      AnalyticsOps.membershipLabel(
+          customer(s, dir).select("c_custkey", "c_mktsegment"),
+          orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), as = "has_orders")
+        .orderBy("c_custkey")
+    }),
+
+    "b39_histogram" -> ((s, dir) => {
+      // E51: fixed-width price histogram, 22 × 5000-wide bins over
+      // [0, 110000) with edge clamping.
+      AnalyticsOps.fixedWidthHistogram(lineitem(s, dir),
+          col("l_extendedprice"), lo = 0.0, hi = 110000.0, nBins = 22)
+        .select(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt"))
+        .orderBy("bin")
+    })
+  )
+
+  /** HLL sketch twin benched under the a34 key: the plan we'd ship at
+    * 100 TB (mergeable fixed-size sketches, map-side partial agg) vs the
+    * exact two-phase distinct the oracle checks. */
+  val benchOverrides: Map[String, Q] = Map(
+    "a34_approx_distinct" -> ((s, dir) => {
+      AnalyticsOps.approxDistinctCount(events(s, dir), Seq(col("event_type")),
+          col("user_id"), "uniq_users")
+        .orderBy("event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a32_sliding_window" ->
+      s"""WITH hops AS (
+         |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT) AS w_start, event_type, value FROM events)
+         |SELECT w_start, event_type, COUNT(*) AS cnt, ${decSumSql("value")} AS value_sum
+         |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a33_moving_avg" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+         |m AS (
+         |  SELECT event_id, user_id,
+         |    SUM(v) OVER w3 AS mov_sum, COUNT(v) OVER w3 AS mov_cnt,
+         |    MIN(v) OVER w3 AS mov_min, MAX(v) OVER w3 AS mov_max,
+         |    v - lag(v) OVER wo AS delta_prev
+         |  FROM d
+         |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |         w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id,
+         |  ${rndSql("CAST(mov_sum AS DOUBLE) / mov_cnt")} AS mov_avg,
+         |  CAST(mov_min AS DOUBLE) AS mov_min, CAST(mov_max AS DOUBLE) AS mov_max,
+         |  CAST(delta_prev AS DOUBLE) AS delta_prev
+         |FROM m ORDER BY event_id""".stripMargin,
+
+    "a34_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a35_zscore" ->
+      s"""WITH st AS (
+         |  SELECT event_type, ${rnd6Sql("AVG(value)")} AS mu, ${rnd6Sql("stddev_samp(value)")} AS sd
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type,
+         |  ${rndSql("CASE WHEN st.sd IS NOT NULL AND st.sd > 0 THEN (e.value - st.mu) / st.sd END")} AS z,
+         |  CAST(COALESCE(abs(CASE WHEN st.sd IS NOT NULL AND st.sd > 0 THEN (e.value - st.mu) / st.sd END) > 2.0, FALSE) AS INT) AS is_outlier
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |ORDER BY e.event_id""".stripMargin,
+
+    "b36_rollup" ->
+      s"""SELECT year(o_orderdate) AS o_year, o_orderpriority AS o_prio,
+         |  COUNT(*) AS n, ${decSumSql("o_totalprice")} AS spend_sum, 0 AS lvl
+         |FROM orders GROUP BY 1, 2
+         |UNION ALL
+         |SELECT year(o_orderdate) AS o_year, NULL AS o_prio,
+         |  COUNT(*) AS n, ${decSumSql("o_totalprice")} AS spend_sum, 1 AS lvl
+         |FROM orders GROUP BY 1
+         |UNION ALL
+         |SELECT NULL AS o_year, NULL AS o_prio,
+         |  COUNT(*) AS n, ${decSumSql("o_totalprice")} AS spend_sum, 3 AS lvl
+         |FROM orders
+         |ORDER BY lvl, o_year, o_prio""".stripMargin,
+
+    "b37_set_ops" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1997' AS tag FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "b38_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |       THEN 'present' ELSE 'absent' END AS has_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "b39_histogram" ->
+      """WITH b AS (
+        |  SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 0), 21) AS bin
+        |  FROM lineitem)
+        |SELECT bin, 0.0 + bin * 5000.0 AS bin_lo, 0.0 + (bin + 1) * 5000.0 AS bin_hi, COUNT(*) AS cnt
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

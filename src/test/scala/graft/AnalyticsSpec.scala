@@ -1,0 +1,152 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.AnalyticsOps
+
+/** Unit coverage for the OLAP analytics operators (SURVEY §2E E44-E51);
+  * sf-scale behavior is covered by the Verify oracle gate. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val sales = Seq(
+    (2024, "HIGH", 10.0), (2024, "HIGH", 20.0), (2024, "LOW", 5.0),
+    (2025, "HIGH", 7.0), (2025, "LOW", 1.0), (2025, "LOW", 2.0)
+  ).toDF("y", "prio", "amt")
+
+  private def specs = Seq(
+    ("n", count(lit(1)), (n: String) => sum(col(n))),
+    ("amt_sum", sum(col("amt").cast("decimal(18,4)")), (n: String) => sum(col(n))))
+
+  test("rollupAdditive matches the built-in rollup + grouping_id") {
+    val ours = AnalyticsOps.rollupAdditive(sales,
+        Seq("y" -> col("y"), "prio" -> col("prio")), specs)
+      .select(col("y"), col("prio"), col("n"),
+        col("amt_sum").cast("double").as("amt_sum"), col("lvl"))
+      .orderBy("lvl", "y", "prio").collect().toSeq
+    val builtin = sales.rollup(col("y"), col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(18,4)")).cast("double").as("amt_sum"),
+        grouping_id().as("lvl"))
+      .select(col("y"), col("prio"), col("n"), col("amt_sum"), col("lvl"))
+      .orderBy("lvl", "y", "prio").collect().toSeq
+    assert(ours === builtin)
+  }
+
+  test("cubeAdditive matches the built-in cube + grouping_id") {
+    val ours = AnalyticsOps.cubeAdditive(sales,
+        Seq("y" -> col("y"), "prio" -> col("prio")), specs)
+      .select(col("y"), col("prio"), col("n"),
+        col("amt_sum").cast("double").as("amt_sum"), col("lvl"))
+      .orderBy("lvl", "y", "prio").collect().toSeq
+    val builtin = sales.cube(col("y"), col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt").cast("decimal(18,4)")).cast("double").as("amt_sum"),
+        grouping_id().as("lvl"))
+      .select(col("y"), col("prio"), col("n"), col("amt_sum"), col("lvl"))
+      .orderBy("lvl", "y", "prio").collect().toSeq
+    assert(ours === builtin)
+  }
+
+  test("movingAgg: hand-checked 3-row frame, delta null on first row per key") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0), (2L, "2024-01-01 00:01:00", 20.0),
+      (3L, "2024-01-01 00:02:00", 30.0), (4L, "2024-01-01 00:03:00", 40.0)
+    ).toDF("id", "t", "v").withColumn("t", to_timestamp(col("t")))
+    val out = AnalyticsOps.movingAgg(df, Seq(lit(1)), "t", col("id"),
+        col("v"), lookback = 3)
+      .orderBy("id")
+      .select("moving_avg", "moving_min", "moving_max", "delta_prev")
+      .collect()
+    assert(out(0).getDouble(0) === 10.0 && out(0).isNullAt(3))
+    assert(out(1).getDouble(0) === 15.0 && out(1).getDouble(3) === 10.0)
+    assert(out(2).getDouble(0) === 20.0) // (10+20+30)/3
+    assert(out(3).getDouble(0) === 30.0) // (20+30+40)/3 — frame slides
+    assert(out(3).getDouble(1) === 20.0 && out(3).getDouble(2) === 40.0)
+  }
+
+  test("approxDistinctCount: within rsd-consistent error of exact on events") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", i % 701)).toDF("g", "v")
+    val exact = AnalyticsOps.distinctCount(df, Seq(col("g")), col("v"), "u")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = AnalyticsOps.approxDistinctCount(df, Seq(col("g")), col("v"), "u")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      val a = approx(g)
+      assert(math.abs(a - n).toDouble / n < 0.15, s"group $g: exact=$n approx=$a")
+    }
+  }
+
+  test("zscoreOutliers: flags tail values, degenerate groups yield null z") {
+    val df = (Seq.fill(50)(10.0) ++ Seq(1000.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "g", "v")
+      .unionByName(Seq((100L, "const", 5.0), (101L, "const", 5.0),
+        (102L, "single", 7.0)).toDF("id", "g", "v"))
+    val out = AnalyticsOps.zscoreOutliers(df, Seq("g"), col("v"), 2.0)
+      .select("id", "z", "is_outlier").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(out(50L)._2 === true)               // the 1000.0 outlier
+    assert(out(0L)._2 === false)
+    assert(out(100L)._1.isEmpty && !out(100L)._2) // constant group: sd=0
+    assert(out(102L)._1.isEmpty && !out(102L)._2) // single row: sd null
+  }
+
+  test("membershipLabel: semi/anti partition the left side exactly") {
+    val left = Seq(1, 2, 3, 4).toDF("k")
+    val right = Seq(2, 2, 4).toDF("k") // dup on the right must not explode
+    val out = AnalyticsOps.membershipLabel(left, right, Seq("k"), "m")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "absent"), (2, "present"),
+      (3, "absent"), (4, "present")))
+  }
+
+  test("fixedWidthHistogram: bin bounds and edge clamping") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0).toDF("v")
+    val out = AnalyticsOps.fixedWidthHistogram(df, col("v"), 0.0, 100.0, 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // -5 clamps to bin 0; 150 clamps to bin 9; 10.0 goes to bin 1
+    assert(out.toSeq === Seq(
+      (0L, 0.0, 10.0, 3L), (1L, 10.0, 20.0, 1L), (2L, 20.0, 30.0, 1L),
+      (9L, 90.0, 100.0, 2L)))
+  }
+
+  test("slidingWindowAgg: each event lands in duration/slide windows (batch)") {
+    val df = Seq((ts("2024-01-01 00:07:00"), "a", 1.0))
+      .toDF("ts", "k", "v")
+    val out = AnalyticsOps.slidingWindowAgg(df, "ts", "10 minutes", "5 minutes",
+        Seq(col("k")), Seq(count(lit(1)).as("cnt")))
+      .select(unix_timestamp(col("window.start")).as("s"), col("cnt"))
+      .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 00:07 is inside [00:00,00:10) and [00:05,00:15)
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(out.toSeq === Seq((base, 1L), (base + 300, 1L)))
+  }
+
+  test("slidingWindowAgg: runs on a watermarked stream with state eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agged = AnalyticsOps.slidingWindowAgg(
+      mem.toDF().toDF("ts", "k", "v").withWatermark("ts", "10 seconds"),
+      "ts", "10 minutes", "5 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("cnt")))
+    val q = agged.writeStream.format("memory").queryName("sliding_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:07:00"), "a", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past both windows to force emission
+      mem.addData((ts("2024-01-01 01:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_test")
+        .select(unix_timestamp(col("window.start")).as("s"), col("cnt"))
+        .orderBy("s").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val base = ts("2024-01-01 00:00:00").getTime / 1000
+      assert(rows.toSeq === Seq((base, 1L), (base + 300, 1L)))
+    } finally q.stop()
+  }
+}
