@@ -65,8 +65,11 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop per-query persists so one query's cache doesn't pressure the
-      // next; the clear is outside the timed window
+      // next, and collect the garbage NOW so allocation debt from this
+      // query's explodes/caches isn't paid inside the next query's timed
+      // window; both are outside the timed window
       spark.catalog.clearCache()
+      System.gc()
       (name, elapsed, ok)
     }
     // Locale.ROOT formatting: the f interpolator is default-locale-dependent

@@ -2,7 +2,7 @@ package graft.entry
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{CurationOps, DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.operators.{AnalyticsOps, CurationOps, DedupOps, Multimodal, SimilarityOps, TextOps}
 import QueryHelpers._
 
 /** Training-data pipeline queries over the documents/embeddings tables
@@ -17,6 +17,14 @@ object DQueries {
 
   private val JaccardThreshold = 0.8
   private val CosineThreshold = 0.4
+
+  /** Deterministic dirty-text augmentation for the t21 gate (the corpus is
+    * clean): one C0 control char for even ids, two mojibake sequences for
+    * every doc, a double-space run for ids % 3 == 0. Shared verbatim by the
+    * Spark query and (via [[sqlLit]]) the DuckDB twin. */
+  private val TextRepairAug: String = " caf\u00c3\u00a9 don\u00e2\u20ac\u2122t"
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val queries: Map[String, Q] = Map(
     "t01_token_count" -> ((s, dir) => {
@@ -333,6 +341,46 @@ object DQueries {
         .select(col("id").as("doc_id"), col("rank"), col("term"),
           rnd6(col("score")).as("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    "d09_sparse_sim" -> ((s, dir) => {
+      // E52: lexical near-dup via the inverted-index sparse-cosine
+      // self-join; df-pruning (maxDf) bounds per-term pair work and kills
+      // stopword skew. Norms rounded 6dp so the oracle's division matches.
+      TextOps.sparseCosinePairs(documents(s, dir), col("doc_id"), col("text"),
+          threshold = 0.3, maxDf = 200, normRound = Some(6))
+        .select(col("id_a"), col("id_b"), rnd(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "t20_quality_deciles" -> ((s, dir) => {
+      // E53: per-language quality deciles (ntile over a deterministic
+      // total order) — the exact path; the approx-threshold plan is E17.
+      AnalyticsOps.quantileBuckets(
+          documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              rnd(TextOps.qualityScore(col("text"))).as("quality")),
+          Seq(col("lang")), col("quality"), col("doc_id"), n = 10,
+          as = "decile")
+        .select(col("doc_id"), col("lang"), col("quality"), col("decile"))
+        .orderBy("doc_id")
+    }),
+
+    "t21_text_repair" -> ((s, dir) => {
+      // E54 through the gate: the corpus text is clean, so each doc is
+      // deterministically augmented (both sides run the same concat) with
+      // a control char, two mojibake sequences, and a double-space run
+      // derived from doc_id parity; the operator must fix and count them.
+      val dirty = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("")).otherwise(lit("")),
+          lit(TextRepairAug),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("  x")).otherwise(lit(""))
+        ).as("text"))
+      TextOps.repairText(dirty, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_ctrl"), col("n_mojibake"), col("n_wsrun"))
+        .orderBy("doc_id")
     })
   )
 
@@ -887,6 +935,76 @@ object DQueries {
          |  FROM d)
          |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
          |  len(w) - len(kept) AS n_removed
-         |FROM k ORDER BY doc_id""".stripMargin
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // twin of TextOps.sparseCosinePairs(threshold=0.3, maxDf=200,
+    // normRound=6): same ratio idf, same integer df pruning, norms rounded
+    // 6dp before the division (dot sums are order-dependent ~1ulp; the 4dp
+    // output rounding absorbs them, the same convention as d05)
+    "d09_sparse_sim" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+         |          HAVING COUNT(*) >= 2 AND COUNT(*) <= 200),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |w AS (
+         |  SELECT tf.id, tf.term, tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |norms AS (SELECT id, ${rnd6Sql("sqrt(SUM(w * w))")} AS norm FROM w GROUP BY 1),
+         |dt AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, ${rndSql("dt.dot / (na.norm * nb.norm)")} AS cos
+         |FROM dt JOIN norms na ON dt.id_a = na.id JOIN norms nb ON dt.id_b = nb.id
+         |WHERE dt.dot / (na.norm * nb.norm) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // twin of AnalyticsOps.quantileBuckets(n=10) over the rounded quality
+    // score: the (quality, doc_id) order is total, so NTILE assigns
+    // identically in both engines
+    "t20_quality_deciles" ->
+      s"""SELECT doc_id, lang, ${rndSql(qualitySqlExpr)} AS quality,
+         |  CAST(ntile(10) OVER (PARTITION BY lang
+         |    ORDER BY ${rndSql(qualitySqlExpr)}, doc_id) AS INT) AS decile
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of TextOps.repairText over the TextRepairAug-dirtied corpus:
+    // the stage chain is GENERATED from the same MojibakeFixes constant
+    // the operator folds over, so sequences, order, and the
+    // count-on-previous-stage semantics match by construction
+    "t21_text_repair" -> textRepairOracle
   )
+
+  /** DuckDB twin of [[graft.operators.TextOps.repairText]], generated from
+    * [[graft.operators.TextOps.MojibakeFixes]]. */
+  private lazy val textRepairOracle: String = {
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val fixes = graft.operators.TextOps.MojibakeFixes
+    val stages = fixes.zipWithIndex.map { case ((seq, fix), i) =>
+      val prev = if (i == 0) "c" else s"s${i - 1}"
+      s"""s$i AS (
+         |  SELECT *, CAST((len(m$i) - len(replace(m$i, ${sqlLit(seq)}, ''))) / ${seq.length} AS BIGINT) AS c$i,
+         |    replace(m$i, ${sqlLit(seq)}, ${sqlLit(fix)}) AS m${i + 1}
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val cSum = fixes.indices.map(i => s"c$i").mkString(" + ")
+    val mLast = s"m${fixes.length}"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END
+       |    || ${sqlLit(TextRepairAug)}
+       |    || CASE WHEN doc_id % 3 = 0 THEN '  x' ELSE '' END AS t0
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(regexp_extract_all(t0, '$ctrl')) AS n_ctrl,
+       |    regexp_replace(t0, '$ctrl', '', 'g') AS m0
+       |  FROM aug),
+       |$stages
+       |SELECT doc_id,
+       |  trim(regexp_replace($mLast, '\\s{2,}', ' ', 'g')) AS clean_text,
+       |  n_ctrl, $cSum AS n_mojibake,
+       |  len(regexp_extract_all($mLast, '\\s{2,}')) AS n_wsrun
+       |FROM s${fixes.length - 1} ORDER BY doc_id""".stripMargin
+  }
 }

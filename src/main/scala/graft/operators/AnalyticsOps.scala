@@ -175,6 +175,22 @@ object AnalyticsOps {
     present.unionByName(absent)
   }
 
+  /** Per-stratum quantile bucketing: `ntile(n)` over (orderCol, tieBreak)
+    * within each key — deciles/quartiles of a score per language, the
+    * curation primitive behind "keep the top quality decile per stratum".
+    * The tie-break makes the total order (and therefore every bucket
+    * boundary) deterministic, which is what lets an external engine
+    * reproduce the assignment exactly — NTILE semantics (equal buckets,
+    * remainder spread over the leading buckets) are standard SQL.
+    * One shuffle + per-stratum sort; a billion-row skewed stratum gets the
+    * same medicine as E17: compute approximate percentile thresholds
+    * instead (CurationOps.qualityTopQuantile) when the sort is the
+    * bottleneck — ntile is the exact path. */
+  def quantileBuckets(df: DataFrame, keys: Seq[Column], orderCol: Column,
+                      tieBreak: Column, n: Int, as: String): DataFrame =
+    df.withColumn(as, ntile(n).over(
+      Window.partitionBy(keys: _*).orderBy(orderCol, tieBreak)))
+
   /** Fixed-width histogram: values binned into `nBins` equal `[lo, hi)`
     * buckets (outside values clamp to the edge bins), one count per
     * non-empty bin with its bounds. The groupBy key has at most `nBins`

@@ -313,4 +313,108 @@ object TextOps {
   /** Shingles mapped to 60-bit portable hashes (see [[Hashing.hash60]]). */
   def shingleHashes(text: Column, k: Int): Column =
     transform(wordShingles(text, k), s => Hashing.hash60(s))
+
+  /** Sparse TF-IDF cosine document-similarity self-join via an inverted
+    * index: the lexical (term-overlap) counterpart of the embedding-cosine
+    * near-dup miner. Pipeline: per-(doc, term) tf → document frequency →
+    * df-pruned ratio-idf weights (the bit-reproducible idf pinned by
+    * [[tfidfTopK]]) → self-join on term → Σ(wa·wb) per pair → normalize by
+    * the pruned-space L2 norms.
+    *
+    * Scale shape: everything shuffles on the TERM key, and `maxDf` is the
+    * load-bearing knob — a term kept in the index contributes at most
+    * df² candidate pairs, so pruning df > maxDf bounds per-term join work
+    * by maxDf² and kills exactly the stopword-posting-list skew that makes
+    * naive all-pairs text similarity explode (it also drops the terms that
+    * carry no discriminative signal — the same reason search engines
+    * df-prune). df ≤ 1 terms pair with nothing and are pruned too. Cosine
+    * is over the PRUNED term space on both sides (self-consistent; the
+    * oracle applies the same integer df filter). The weight frame is
+    * persisted eagerly — norms and both join sides read it (the
+    * sibling-stage race rule from SCALING.md).
+    *
+    * `normRound` rounds the L2 norms to that many decimals before the
+    * division so an external engine reproduces the cosine bit-for-bit up
+    * to the (order-dependent, ~1 ulp) dot sums — the same stat-rounding
+    * convention as the season-score oracle. Returns (id_a, id_b, cos)
+    * with id_a < id_b and cos >= threshold. */
+  def sparseCosinePairs(df: DataFrame, idCol: Column, textCol: Column,
+                        threshold: Double, maxDf: Long,
+                        normRound: Option[Int] = None): DataFrame = {
+    def r(c: Column): Column = normRound match {
+      case Some(n) => round(c * pow(lit(10.0), n)) / pow(lit(10.0), n)
+      case None => c
+    }
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val n = df.agg(count(lit(1)).as("n"))
+    val w = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        (col("tf") * ((col("n") + lit(1.0)) / (col("df") + lit(1.0)))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    w.count()
+    val norms = w.groupBy("id").agg(r(sqrt(sum(col("w") * col("w")))).as("norm"))
+    val a = w.select(col("term"), col("id").as("id_a"), col("w").as("wa"))
+    val b = w.select(col("term"), col("id").as("id_b"), col("w").as("wb"))
+    val dot = a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.select(col("id").as("id_a"), col("norm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm").as("nb")), "id_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Mojibake sequences repaired by [[repairText]]: UTF-8 bytes of the
+    * common punctuation/accent characters decoded once as Windows-1252
+    * (the ftfy top offenders) - each key is the full misdecoded character
+    * triplet/pair, so no key is a prefix or substring of another. Plain
+    * string literals, not regexes: counting and replacement use exact
+    * substring semantics reproducible in any engine. Each stage counts
+    * against the previous stage's text (the [[redactPii]] convention), so
+    * overlap semantics stay well-defined even if the fix list ever gains
+    * overlapping entries. */
+  val MojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "'", "â€œ" -> "“", "â€" -> "”",
+    "â€“" -> "–", "â€”" -> "—",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã " -> "à", "Ã¼" -> "ü", "Ã¶" -> "ö")
+
+  /** Text repair (ftfy/CCNet-style cleanup): strip C0 control characters
+    * (keeping tab/newline/CR), fix the common mojibake sequences, collapse
+    * whitespace runs, with per-kind counts. Each stage counts against the
+    * previous stage's text (the [[redactPii]] overlap convention).
+    * Mojibake counting is exact-substring arithmetic -
+    * (len(t) - len(replace(t, seq, ''))) / len(seq) - so no regex dialect
+    * is involved; the control/whitespace stages use the Java/RE2 shared
+    * dialect. Pure per-row projections staged so each replace runs once
+    * per row: no shuffle, parquet-speed scan. Returns
+    * (id, clean_text, n_ctrl, n_mojibake, n_wsrun). */
+  def repairText(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val ctrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val wsRunRe = "\\s{2,}"
+    val afterCtrl = df.select(idCol.as("id"), textCol.as("__t0"))
+      .select(col("id"),
+        regexp_count(col("__t0"), lit(ctrlRe)).as("n_ctrl"),
+        regexp_replace(col("__t0"), ctrlRe, "").as("__m0"))
+    val afterMoj = MojibakeFixes.zipWithIndex.foldLeft(afterCtrl) {
+      case (d, ((seq, fix), i)) => d
+        .withColumn(s"__c$i",
+          ((length(col(s"__m$i")) - length(replace(col(s"__m$i"), lit(seq), lit(""))))
+            / lit(seq.length)).cast("long"))
+        .withColumn(s"__m${i + 1}", replace(col(s"__m$i"), lit(seq), lit(fix)))
+    }
+    val last = col(s"__m${MojibakeFixes.length}")
+    val mojTotal = MojibakeFixes.indices.map(i => col(s"__c$i")).reduce(_ + _)
+    afterMoj
+      .select(col("id"), col("n_ctrl"), mojTotal.as("n_mojibake"), last.as("__t2"))
+      .select(col("id"), col("n_ctrl"), col("n_mojibake"),
+        regexp_count(col("__t2"), lit(wsRunRe)).as("n_wsrun"),
+        trim(regexp_replace(col("__t2"), wsRunRe, " ")).as("clean_text"))
+      .select("id", "clean_text", "n_ctrl", "n_mojibake", "n_wsrun")
+  }
 }

@@ -149,4 +149,76 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.toSeq === Seq((base, 1L), (base + 300, 1L)))
     } finally q.stop()
   }
+
+  test("quantileBuckets: deterministic ntile with remainder in leading buckets") {
+    // 7 rows, 3 buckets -> sizes 3,2,2 in (score, id) order
+    val df = (1 to 7).map(i => (i.toLong, "g", i * 1.0)).toDF("id", "g", "s")
+    val out = AnalyticsOps.quantileBuckets(df, Seq(col("g")), col("s"),
+        col("id"), n = 3, as = "b")
+      .orderBy("id").collect().map(_.getInt(3))
+    assert(out.toSeq === Seq(1, 1, 1, 2, 2, 3, 3))
+  }
+
+  test("sparseCosinePairs: identical docs cosine 1, no pairs without shared terms") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"),     // identical to 1
+      (3L, "apple banana kiwi"),       // overlaps 1/2
+      (4L, "totally unrelated words")
+    ).toDF("doc_id", "text")
+    val out = TextOps.sparseCosinePairs(docs, col("doc_id"), col("text"),
+        threshold = 0.1, maxDf = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9) // identical
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 1.0)
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L }) // no shared terms
+  }
+
+  test("sparseCosinePairs: maxDf prunes the stopword posting list") {
+    import graft.operators.TextOps
+    // 'the' appears in all 4 docs; with maxDf=3 it contributes no pairs
+    val docs = Seq(
+      (1L, "the aa bb"), (2L, "the aa bb"), (3L, "the cc dd"), (4L, "the ee ff")
+    ).toDF("doc_id", "text")
+    val out = TextOps.sparseCosinePairs(docs, col("doc_id"), col("text"),
+        threshold = 0.01, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L))) // only the aa/bb overlap survives
+  }
+
+  test("repairText: counts and fixes control chars, mojibake, whitespace runs") {
+    import graft.operators.TextOps
+    // doc 1: mojibake e-acute + a BEL control char; doc 2: mojibake
+    // right-quote + a whitespace run
+    val docs = Seq(
+      (1L, "caf" + MojEacute + " is" + Bel + " nice"),
+      (2L, "don" + MojRquote + "t  stop"),
+      (3L, "clean text here")
+    ).toDF("id", "text")
+    val out = TextOps.repairText(docs, col("id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out(0) === (("caf" + Eacute + " is nice", 1, 1L, 0)))
+    assert(out(1) === (("don't stop", 0, 1L, 1)))
+    assert(out(2) === (("clean text here", 0, 0L, 0)))
+  }
+
+  test("repairText: multiple distinct mojibake sequences count per stage") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "x" + MojRquote + "y " + MojRdquote + "z"))
+      .toDF("id", "text")
+    val out = TextOps.repairText(docs, col("id"), col("text"))
+      .collect().head
+    assert(out.getString(1) === "x'y " + Rdquote + "z")
+    assert(out.getLong(3) === 2L) // right single quote + right double quote
+  }
+
+  // non-ASCII fixtures via escapes so the test source stays ASCII-clean
+  private val Bel = "\u0007"
+  private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
+  private val Eacute = "\u00e9"
+  private val MojRquote = "\u00e2\u20ac\u2122"     // mojibake right quote
+  private val MojRdquote = "\u00e2\u20ac\u009d"     // mojibake right double quote
+  private val Rdquote = "\u201d"
 }
