@@ -100,6 +100,34 @@ object OlapQueries {
           col("l_extendedprice"), lo = 0.0, hi = 110000.0, nBins = 22)
         .select(col("bin"), col("bin_lo"), col("bin_hi"), col("cnt"))
         .orderBy("bin")
+    }),
+
+    "a36_resample" -> ((s, dir) => {
+      // E55: hourly per-user grid with last-observation-carried-forward —
+      // grid generation + the E14 as-of pass, no inequality join.
+      graft.operators.TemporalOps.resampleLocf(events(s, dir),
+          key = Seq("user_id"), tsCol = "ts", payload = Seq("value"),
+          interval = "1 hour", truncUnit = "hour", tieBreak = col("event_id"))
+        .select(col("user_id"), unix_timestamp(col("ts")).as("grid_ts"),
+          rnd(col("asof_value")).as("value"))
+        .orderBy("user_id", "grid_ts")
+    }),
+
+    "b40_fuzzy_match" -> ((s, dir) => {
+      // E56: distance-1 fuzzy join of deterministically-corrupted supplier
+      // names (one char deleted at a doc-derived position) back onto the
+      // originals; pigeonhole prefix/suffix blocking must be invisible —
+      // the oracle is the brute-force levenshtein join.
+      val sup = supplier(s, dir).select("s_suppkey", "s_name")
+      val pos = pmod(col("s_suppkey"), lit(10)) + lit(5)
+      val corrupted = sup.select(col("s_suppkey").as("c_id"),
+        concat(col("s_name").substr(lit(1), pos - 1),
+          col("s_name").substr(pos + 1, lit(99))).as("c_name"))
+      graft.operators.JoinOps.fuzzyJoinDist1(
+          corrupted, col("c_id"), col("c_name"),
+          sup, col("s_suppkey"), col("s_name"), prefixLen = 4)
+        .select(col("l_id"), col("r_id"), col("dist"))
+        .orderBy("l_id", "r_id")
     })
   )
 
@@ -189,6 +217,36 @@ object OlapQueries {
         |  SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 0), 21) AS bin
         |  FROM lineitem)
         |SELECT bin, 0.0 + bin * 5000.0 AS bin_lo, 0.0 + (bin + 1) * 5000.0 AS bin_hi, COUNT(*) AS cnt
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same-ts ties pre-deduped to max event_id (the a28 ASOF convention)
+    "a36_resample" ->
+      s"""WITH b AS (
+         |  SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+         |  FROM events GROUP BY 1),
+         |g AS (
+         |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+         |  FROM b),
+         |vd AS (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1)
+         |SELECT g.user_id, CAST(floor(epoch(g.gts)) AS BIGINT) AS grid_ts,
+         |  ${rndSql("vd.value")} AS value
+         |FROM g ASOF LEFT JOIN vd ON g.user_id = vd.user_id AND g.gts >= vd.ts
+         |ORDER BY g.user_id, grid_ts""".stripMargin,
+
+    // brute-force levenshtein join: the blocking in fuzzyJoinDist1 must be
+    // invisible, so the oracle has no blocks at all
+    "b40_fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT s_suppkey AS l_id,
+        |    substr(s_name, 1, CAST(s_suppkey % 10 + 4 AS INT))
+        |      || substr(s_name, CAST(s_suppkey % 10 + 6 AS INT), 99) AS c_name
+        |  FROM supplier)
+        |SELECT c.l_id, s.s_suppkey AS r_id, levenshtein(c.c_name, s.s_name) AS dist
+        |FROM c JOIN supplier s ON levenshtein(c.c_name, s.s_name) <= 1
+        |ORDER BY l_id, r_id""".stripMargin
   )
 }

@@ -116,4 +116,43 @@ object JoinOps {
     // the catalog entry itself is session-scoped
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Fuzzy (edit-distance ≤ 1) equi-style join via pigeonhole blocking:
+    * each name emits two block keys — its first `prefixLen` chars and its
+    * last `prefixLen` chars — candidates come from block equality, and an
+    * exact `levenshtein ≤ 1` filter verifies. A single edit cannot touch
+    * both windows when names are at least 2·prefixLen long (a deletion
+    * shifts positions, but the suffix window is aligned FROM THE END, so
+    * an edit before it leaves it byte-identical) — recall is exact under
+    * that length contract, and the brute-force join is the oracle twin
+    * (blocking must be invisible). Shorter names fall back to pairing
+    * only within their (possibly whole-name) blocks — callers with short
+    * dirty keys should lower `prefixLen`.
+    *
+    * Scale: candidates shuffle on the block key; selectivity follows name
+    * entropy — shared boilerplate prefixes (all rows starting
+    * "Customer#") push everything into one prefix block, which the SUFFIX
+    * block then usually discriminates. For higher edit distances or
+    * low-entropy keys, generalize with df-pruned character-q-gram
+    * blocking (the [[TextOps.sparseCosinePairs]] machinery over char
+    * grams). Returns (l_id, l_name, r_id, r_name, dist). */
+  def fuzzyJoinDist1(left: DataFrame, leftId: Column, leftName: Column,
+                     right: DataFrame, rightId: Column, rightName: Column,
+                     prefixLen: Int = 4): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    def blocks(d: DataFrame, id: Column, name: Column, idAs: String,
+               nameAs: String): DataFrame =
+      d.select(id.as(idAs), name.as(nameAs))
+        .select(col(idAs), col(nameAs), explode(array(
+          struct(lit(0).as("bk"), substring(col(nameAs), 1, prefixLen).as("bv")),
+          struct(lit(1).as("bk"), substring(col(nameAs), -prefixLen, prefixLen).as("bv"))))
+          .as("b"))
+        .select(col(idAs), col(nameAs), col("b.bk").as("bk"), col("b.bv").as("bv"))
+    val lb = blocks(left, leftId, leftName, "l_id", "l_name")
+    val rb = blocks(right, rightId, rightName, "r_id", "r_name")
+    lb.join(rb, Seq("bk", "bv"))
+      .select("l_id", "l_name", "r_id", "r_name").distinct()
+      .withColumn("dist", levenshtein(col("l_name"), col("r_name")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -112,4 +112,28 @@ object TemporalOps {
                  aggs: Seq[Column]): DataFrame =
     df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Time-series resampling with last-observation-carried-forward: per key,
+    * an `interval`-spaced grid from `date_trunc(truncUnit, min(ts))` to
+    * `max(ts)`, each grid point carrying the newest payload at-or-before it
+    * (same-ts ties resolved by max `tieBreak`, the [[asofJoin]] rule; grid
+    * points before the key's first observation come back null).
+    *
+    * Built as grid generation + [[asofJoin]]: a tiny per-key bounds
+    * aggregate explodes into the grid (rows = Σ span/interval — the
+    * OUTPUT size, there is no intermediate bigger than that), then the
+    * one-sort-merge as-of pass attaches values. No inequality join, no
+    * per-grid-point scans; the gap-filling favorite that usually gets
+    * written as a correlated subquery becomes two linear passes. */
+  def resampleLocf(df: DataFrame, key: Seq[String], tsCol: String,
+                   payload: Seq[String], interval: String, truncUnit: String,
+                   tieBreak: Column): DataFrame = {
+    val keyCols = key.map(col)
+    val bounds = df.groupBy(keyCols: _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val grid = bounds.select(keyCols :+ explode(sequence(
+      date_trunc(truncUnit, col("__lo")), col("__hi"),
+      expr(s"INTERVAL $interval"))).as(tsCol): _*)
+    asofJoin(grid, df, key, tsCol, payload, tieBreak)
+  }
 }

@@ -109,4 +109,26 @@ class JoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("fuzzyJoinDist1: finds deletion/substitution variants, blocking invisible vs brute force") {
+    val right = Seq((1L, "johnson avenue"), (2L, "johnsen avenue"),
+      (3L, "completely different"), (4L, "johnson avenues")).toDF("id", "name")
+    val left = Seq((10L, "johnson avenue"),   // exact (dist 0 to 1, 1 to 2/4)
+      (11L, "johnson avenu"),                  // deletion variant
+      (12L, "johnson boulevard")               // too far from everything
+    ).toDF("id", "name")
+    val blocked = JoinOps.fuzzyJoinDist1(left, col("id"), col("name"),
+        right, col("id"), col("name"), prefixLen = 4)
+      .select("l_id", "r_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = left.select(col("id").as("l_id"), col("name").as("l_name"))
+      .crossJoin(right.select(col("id").as("r_id"), col("name").as("r_name")))
+      .withColumn("dist", levenshtein(col("l_name"), col("r_name")))
+      .filter(col("dist") <= 1)
+      .select("l_id", "r_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === brute)
+    assert(blocked.contains((10L, 1L, 0)) && blocked.contains((11L, 1L, 1)))
+    assert(!blocked.exists(_._1 == 12L))
+  }
 }

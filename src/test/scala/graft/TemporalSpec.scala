@@ -165,4 +165,40 @@ class TemporalSpec extends SparkSpec {
     // order is 1(a), 2(b), 3(b): 3 repeats 2's value -> dropped
     assert(kept === Set(1L, 2L))
   }
+
+  test("resampleLocf: hourly grid, LOCF carry, null before first observation") {
+    val ev = Seq(
+      (1L, "u1", "2024-01-01 00:05:00", 10.0),
+      (2L, "u1", "2024-01-01 02:30:00", 20.0),
+      (3L, "u2", "2024-01-01 01:00:00", 5.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = TemporalOps.resampleLocf(ev, Seq("user_id"), "ts",
+        Seq("value"), "1 hour", "hour", col("event_id"))
+      .select(col("user_id"), date_format(col("ts"), "HH:mm").as("g"),
+        col("asof_value"))
+      .orderBy("user_id", "g").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2))))
+    // u1: grid 00:00 (before first obs -> null), 01:00, 02:00 (both carry
+    // 10.0; the 02:30 event is past the last grid point)
+    // u2: grid starts AND ends at 01:00 (lo == hi truncation)
+    assert(out.toSeq === Seq(
+      ("u1", "00:00", None), ("u1", "01:00", Some(10.0)), ("u1", "02:00", Some(10.0)),
+      ("u2", "01:00", Some(5.0))))
+  }
+
+  test("resampleLocf: same-ts ties resolve to the max tieBreak") {
+    val ev = Seq(
+      (1L, "u", "2024-01-01 00:10:00", 1.0),
+      (2L, "u", "2024-01-01 00:10:00", 2.0), // same ts, higher id wins
+      (3L, "u", "2024-01-01 01:30:00", 9.0)  // extends the grid past 01:00
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = TemporalOps.resampleLocf(ev, Seq("user_id"), "ts",
+        Seq("value"), "1 hour", "hour", col("event_id"))
+      .orderBy("ts").collect()
+    // grid: 00:00 (null), 01:00 (carries the tie-resolved 00:10 value)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_value")))
+    assert(out(1).getAs[Double]("asof_value") === 2.0)
+  }
 }
