@@ -73,6 +73,14 @@ object AnalyticsOps {
     * a 3× and a 1× shuffle of the fact table. Differentially tested
     * against the built-in `df.rollup` in AnalyticsSpec.
     *
+    * The level branches all reference the finest frame; the single
+    * fact-table scan is realized by AQE's stage reuse — the branches'
+    * finest-agg exchanges canonicalize identically, so branches 2..n
+    * become ReusedExchange over branch 1's materialized shuffle (asserted
+    * on the executed plan in AnalyticsSpec). Running with AQE disabled
+    * would re-scan per level: persist the finest frame eagerly in that
+    * configuration.
+    *
     * `aggSpecs` maps output name -> (finest-level agg over raw input,
     * re-agg over the finest result). count becomes (count(*), sum) —
     * the standard algebraic decomposition.

@@ -214,6 +214,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getLong(3) === 2L) // right single quote + right double quote
   }
 
+  test("rollupAdditive: AQE reuses the finest-agg shuffle across level branches") {
+    val df = AnalyticsOps.rollupAdditive(sales,
+      Seq("y" -> col("y"), "prio" -> col("prio")), specs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // 3 levels, branches 2 and 3 must reuse branch 1's materialized
+    // exchange - this is what makes the additive plan a 1x (not 3x) scan
+    // of the fact table
+    assert("ReusedExchange".r.findAllIn(plan).length >= 2, plan.take(2000))
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
