@@ -113,6 +113,38 @@ object OlapQueries {
         .orderBy("user_id", "grid_ts")
     }),
 
+    "a37_ohlc" -> ((s, dir) => {
+      // E58: hourly OHLC bars per event type — one partial+final hash agg,
+      // outputs are input VALUES (hash-comparable unrounded).
+      graft.operators.TemporalOps.ohlcBars(events(s, dir), "ts", "1 hour",
+          Seq(col("event_type")), col("value"), col("event_id"))
+        .select(wStart(), col("event_type"), col("open"), col("high"),
+          col("low"), col("close"), col("n_obs"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    "b41_incr_agg" -> ((s, dir) => {
+      // E57: incremental materialized-view maintenance — the stored state
+      // (orders with o_orderkey % 10 != 0) merged with the new batch's
+      // aggregate must equal the full recompute (the oracle).
+      val o = orders(s, dir)
+      val base = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val delta = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      def aggOf(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("spend_sum"),
+            max(col("o_orderdate")).as("last_order"))
+      graft.operators.CdcOps.mergeAggState(aggOf(base), aggOf(delta),
+          key = Seq("o_custkey"),
+          merge = Seq(
+            ("n", (n: String) => sum(col(n))),
+            ("spend_sum", (n: String) => sum(col(n))),
+            ("last_order", (n: String) => max(col(n)))))
+        .select(col("o_custkey"), col("n"), decOut(col("spend_sum")).as("spend_sum"),
+          unix_timestamp(col("last_order")).as("last_order"))
+        .orderBy("o_custkey")
+    }),
+
     "b40_fuzzy_match" -> ((s, dir) => {
       // E56: distance-1 fuzzy join of deterministically-corrupted supplier
       // names (one char deleted at a doc-derived position) back onto the
@@ -236,6 +268,29 @@ object OlapQueries {
          |  ${rndSql("vd.value")} AS value
          |FROM g ASOF LEFT JOIN vd ON g.user_id = vd.user_id AND g.gts >= vd.ts
          |ORDER BY g.user_id, grid_ts""".stripMargin,
+
+    // open/close via row_number (min_by/max_by on the (ts, event_id)
+    // struct == first/last in that total order)
+    "a37_ohlc" ->
+      s"""WITH r AS (
+         |  SELECT ${wStartSql("ts", 3600L)} AS w_start, event_type, value,
+         |    row_number() OVER (PARTITION BY ${wStartSql("ts", 3600L)}, event_type
+         |      ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY ${wStartSql("ts", 3600L)}, event_type
+         |      ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM events)
+         |SELECT w_start, event_type,
+         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  COUNT(*) AS n_obs
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // full recompute over base ∪ delta: the merge must be invisible
+    "b41_incr_agg" ->
+      s"""SELECT o_custkey, COUNT(*) AS n, ${decSumSql("o_totalprice")} AS spend_sum,
+         |  CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT) AS last_order
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // brute-force levenshtein join: the blocking in fuzzyJoinDist1 must be
     // invisible, so the oracle has no blocks at all

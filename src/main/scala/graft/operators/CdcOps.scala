@@ -86,4 +86,29 @@ object CdcOps {
           .otherwise("U").as("op") +:
         payload.map(p => col(s"__new.$p").as(p)): _*)
   }
+
+  /** Incremental aggregate maintenance (materialized-view merge): combine a
+    * stored aggregate state with a new batch's aggregate of the SAME shape
+    * — union + one re-aggregate per mergeable column. For algebraic
+    * aggregates (count→sum, sum, min, max — the same decomposition as
+    * [[AnalyticsOps.groupingSetsAdditive]]) this satisfies
+    * `merge(agg(base), agg(delta)) == agg(base ∪ delta)`, which is exactly
+    * what the oracle gate asserts (the DuckDB twin recomputes from the
+    * full input).
+    *
+    * Scale shape: the base FACT data is never touched again — the state is
+    * group-count-sized and the delta aggregates before it arrives, so the
+    * merge shuffles |groups| + |delta groups| rows regardless of history
+    * size. This is how a 100 TB rolling metric store stays O(delta) per
+    * refresh instead of O(history); the streaming equivalent is the
+    * update-mode stateful agg (A12), this is its batch/backfill twin.
+    * Non-algebraic aggregates (exact distinct, exact percentile) do NOT
+    * merge — keep a sketch column (HLL, percentile_approx digest) instead. */
+  def mergeAggState(state: DataFrame, deltaAgg: DataFrame, key: Seq[String],
+                    merge: Seq[(String, String => Column)]): DataFrame = {
+    val aggs = merge.map { case (n, f) => f(n).as(n) }
+    state.unionByName(deltaAgg)
+      .groupBy(key.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

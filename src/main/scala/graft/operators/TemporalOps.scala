@@ -136,4 +136,26 @@ object TemporalOps {
       expr(s"INTERVAL $interval"))).as(tsCol): _*)
     asofJoin(grid, df, key, tsCol, payload, tieBreak)
   }
+
+  /** OHLC downsampling: per (interval window × keys), the first (open) and
+    * last (close) values in (ts, tieBreak) order plus min (low) and max
+    * (high) — the time-series bar aggregation. ONE hash aggregate with
+    * map-side partial combine: `min_by`/`max_by` on the (ts, tieBreak)
+    * struct merge like any other min/max, so the raw series never sorts
+    * and never shuffles more than its aggregate summaries. The tie-break
+    * makes first/last deterministic when timestamps collide (struct
+    * ordering is lexicographic). All four outputs are VALUES from the
+    * input (no arithmetic), so they hash-compare unrounded. */
+  def ohlcBars(df: DataFrame, tsCol: String, interval: String,
+               keys: Seq[Column], valueCol: Column,
+               tieBreak: Column): DataFrame = {
+    val ord = struct(col(tsCol), tieBreak)
+    df.groupBy(window(col(tsCol), interval) +: keys: _*)
+      .agg(
+        min_by(valueCol, ord).as("open"),
+        max(valueCol).as("high"),
+        min(valueCol).as("low"),
+        max_by(valueCol, ord).as("close"),
+        count(lit(1)).as("n_obs"))
+  }
 }

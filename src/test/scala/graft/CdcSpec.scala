@@ -100,4 +100,24 @@ class CdcSpec extends SparkSpec {
       .orderBy("k").as[(Long, Option[String], Option[Double])].collect().toSeq
     assert(twice === merge(ch))
   }
+
+  test("mergeAggState: merge(agg(base), agg(delta)) == agg(base union delta)") {
+    import graft.operators.CdcOps
+    val base = Seq((1L, 10.0, 3), (1L, 20.0, 5), (2L, 7.0, 1)).toDF("k", "v", "m")
+    val delta = Seq((1L, 5.0, 9), (3L, 2.0, 2)).toDF("k", "v", "m")
+    def aggOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).as("s"), max(col("m")).as("mx"))
+    val merged = CdcOps.mergeAggState(aggOf(base), aggOf(delta), Seq("k"),
+        Seq(("n", (n: String) => sum(col(n))),
+          ("s", (n: String) => sum(col(n))),
+          ("mx", (n: String) => max(col(n)))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue, r.getInt(3)))
+    val full = aggOf(base.unionByName(delta)).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue, r.getInt(3)))
+    assert(merged.toSeq === full.toSeq)
+    // new key (3) appears, existing key (1) merges across both inputs
+    assert(merged.map(_._1).toSeq === Seq(1L, 2L, 3L))
+  }
 }

@@ -201,4 +201,22 @@ class TemporalSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("asof_value")))
     assert(out(1).getAs[Double]("asof_value") === 2.0)
   }
+
+  test("ohlcBars: open/close follow (ts, tie) order, ties deterministic") {
+    val ev = Seq(
+      (1L, "a", "2024-01-01 00:05:00", 10.0),
+      (2L, "a", "2024-01-01 00:05:00", 11.0), // same ts as 1: higher id
+      (3L, "a", "2024-01-01 00:40:00", 3.0),
+      (4L, "a", "2024-01-01 00:20:00", 99.0),
+      (5L, "a", "2024-01-01 01:10:00", 7.0)   // next bar
+    ).toDF("event_id", "k", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = TemporalOps.ohlcBars(ev, "ts", "1 hour", Seq(col("k")),
+        col("v"), col("event_id"))
+      .orderBy("window.start").collect()
+      .map(r => (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("n_obs")))
+    // bar 1: open = id1's 10.0 (lowest tie at earliest ts), close = 00:40's 3.0
+    assert(out(0) === ((10.0, 99.0, 3.0, 3.0, 4L)))
+    assert(out(1) === ((7.0, 7.0, 7.0, 7.0, 1L)))
+  }
 }
