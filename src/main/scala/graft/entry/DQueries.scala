@@ -381,6 +381,33 @@ object DQueries {
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_ctrl"), col("n_mojibake"), col("n_wsrun"))
         .orderBy("doc_id")
+    }),
+
+    "t22_bigram_pmi" -> ((s, dir) => {
+      // E59: ratio-PMI collocations (log-free, bit-reproducible); minCount
+      // prunes the bigram domain BEFORE the unigram joins.
+      TextOps.bigramPmi(documents(s, dir), col("doc_id"), col("text"),
+          minCount = 5)
+        .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi_ratio"))
+        .orderBy("bg")
+    }),
+
+    "b42_checksum" -> ((s, dir) => {
+      // E60: order-independent content checksum over int/string columns
+      // (string forms round-trip identically across engines).
+      graft.operators.AnalyticsOps.tableChecksum(lineitem(s, dir),
+          Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
+    }),
+
+    "m02_frame_sample" -> ((s, dir) => {
+      // E61: metadata-driven frame explode over binary payloads — every
+      // 4th 32-byte "frame" as its own row; content verified via hex (the
+      // oracle engine cannot slice blobs, both engines hex identically).
+      val media = Multimodal.attachBinary(documents(s, dir))
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+        .select(col("doc_id"), col("frame_no"), col("byte_offset"),
+          hex(col("frame_bytes")).as("frame_hex"))
+        .orderBy("doc_id", "frame_no")
     })
   )
 
@@ -973,7 +1000,56 @@ object DQueries {
     // the stage chain is GENERATED from the same MojibakeFixes constant
     // the operator folds over, so sequences, order, and the
     // count-on-previous-stage semantics match by construction
-    "t21_text_repair" -> textRepairOracle
+    "t21_text_repair" -> textRepairOracle,
+
+    // twin of TextOps.bigramPmi(minCount=5): same left-assoc double
+    // product chain over exact long counts
+    "t22_bigram_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+         |nu AS (SELECT SUM(c) AS n_uni FROM uni),
+         |bil AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM w),
+         |bi AS (SELECT bg, COUNT(*) AS c_ab FROM bil GROUP BY 1),
+         |nb AS (SELECT SUM(c_ab) AS n_bi FROM bi),
+         |k AS (
+         |  SELECT bg, c_ab, string_split(bg, ' ')[1] AS a,
+         |    string_split(bg, ' ')[2] AS b
+         |  FROM bi WHERE c_ab >= 5)
+         |SELECT k.bg, k.c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  CAST(k.c_ab AS DOUBLE) * CAST(nu.n_uni AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+         |    / (CAST(nb.n_bi AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS pmi_ratio
+         |FROM k JOIN uni ua ON k.a = ua.t JOIN uni ub ON k.b = ub.t
+         |CROSS JOIN nu CROSS JOIN nb
+         |ORDER BY bg""".stripMargin,
+
+    // twin of AnalyticsOps.tableChecksum: same md5-derived hash60, exact
+    // HUGEINT sum, digits-only string comparison
+    "b42_checksum" ->
+      s"""WITH h AS (
+         |  SELECT ${h60Sql("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || COALESCE(l_returnflag, '__NULL__')")} AS h
+         |  FROM lineitem)
+         |SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS checksum
+         |FROM h""".stripMargin,
+
+    // twin of Multimodal.sampleFrames(32, 4) over the attachBinary payload
+    // (utf-8 text bytes): frame content compared via hex-string slicing
+    "m02_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents),
+        |f AS (
+        |  SELECT doc_id, payload,
+        |    CAST(ceil(octet_length(payload) / 32.0) AS BIGINT) AS n_frames
+        |  FROM m),
+        |e AS (
+        |  SELECT doc_id, payload, unnest(range(0, n_frames, 4)) AS frame_no
+        |  FROM f WHERE n_frames > 0)
+        |SELECT doc_id, frame_no, frame_no * 32 AS byte_offset,
+        |  substring(hex(payload), CAST(frame_no * 64 + 1 AS BIGINT), 64) AS frame_hex
+        |FROM e ORDER BY doc_id, frame_no""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextOps.repairText]], generated from

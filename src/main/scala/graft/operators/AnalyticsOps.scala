@@ -199,6 +199,29 @@ object AnalyticsOps {
     df.withColumn(as, ntile(n).over(
       Window.partitionBy(keys: _*).orderBy(orderCol, tieBreak)))
 
+  /** Order-independent table content checksum: per row, the portable
+    * 60-bit hash of the null-sentineled, '|'-joined string forms of
+    * `cols`; summed EXACTLY in decimal (order-independent — fp sums are
+    * not, and a 100 TB scan's partition order never repeats) together
+    * with the row count. Two tables with equal (n_rows, checksum) match
+    * with collision probability ~n²/2⁶¹; comparing replicas, validating a
+    * migration, or sealing a snapshot costs one scan + a 1-row exchange
+    * each side, and any engine that can do md5 reproduces the value.
+    * Checksum is emitted as a STRING: a DECIMAL(38,0) surface form
+    * hash-compares across engines only via its digits (the round-1
+    * decimal-rendering lesson).
+    *
+    * Caveat: string forms must round-trip identically — integers and
+    * strings always do; doubles can differ in scientific-notation
+    * thresholds across engines, so cast/round them explicitly first. */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val key = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    df.select(graft.functions.Hashing.hash60(key).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).cast("string").as("checksum"))
+  }
+
   /** Fixed-width histogram: values binned into `nBins` equal `[lo, hi)`
     * buckets (outside values clamp to the edge bins), one count per
     * non-empty bin with its bounds. The groupBy key has at most `nBins`

@@ -59,4 +59,35 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Frame sampling over "video" payloads: every `stride`-th frame of a
+    * binary payload becomes its own row (frame_no, byte offset, fixed-size
+    * frame slice). Frame geometry comes from METADATA (`frame_bytes`), not
+    * from decoding — the explode is a pure column expression
+    * (`sequence` + `substring` on binary), so Spark prunes, pushes, and
+    * whole-stage-compiles it; only a downstream decoder (stubbed here, see
+    * [[FakeDecoder]]) would touch the actual bytes.
+    *
+    * This is the row-explosion half of a video pipeline: output rows =
+    * ceil(n_frames/stride) per document, each independently processable
+    * (shuffle/repartition by (doc_id, frame_no) spreads one long video
+    * across executors — the skew story for hour-long payloads). Ragged
+    * tails (payload not a multiple of frame_bytes) keep the partial last
+    * frame. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, s"frameBytes/stride must be > 0")
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes)
+      .cast("long")
+    media
+      .select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(when(col("n_frames") > 0,
+            sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        (col("frame_no") * frameBytes).as("byte_offset"),
+        // Substring over BinaryType slices bytes; 1-based start
+        col("payload").substr((col("frame_no") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame_bytes"))
+  }
 }

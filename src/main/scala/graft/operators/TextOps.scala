@@ -384,6 +384,45 @@ object TextOps {
     "â€“" -> "–", "â€”" -> "—",
     "Ã©" -> "é", "Ã¨" -> "è", "Ã " -> "à", "Ã¼" -> "ü", "Ã¶" -> "ö")
 
+  /** Collocation mining via ratio-PMI: corpus bigram counts vs the
+    * independence expectation. Score = P(ab) / (P(a)·P(b)) expressed as
+    * (c_ab·N_uni·N_uni) / (N_bi·c_a·c_b) — the ratio form of pointwise
+    * mutual information (log-free, the bit-reproducible convention pinned
+    * by [[tfidfTopK]]/[[bm25Score]]). High scores = tokens that co-occur
+    * far above chance (collocations, named entities, templated phrases);
+    * a standard corpus-analysis and tokenizer-prep signal.
+    *
+    * Plan: one explode for unigram counts, one for adjacent-bigram counts
+    * (both hash aggs with map-side combine), two joins of the filtered
+    * bigram frame against the unigram counts, 1-row totals broadcast. The
+    * `minCount` filter runs BEFORE the joins, so the join input is the
+    * interesting-bigram set, not the full bigram domain. The arithmetic is
+    * products of exact longs evaluated left-to-right in double — every
+    * step a correctly-rounded IEEE op, identical in any engine. */
+  def bigramPmi(df: DataFrame, idCol: Column, textCol: Column,
+                minCount: Long): DataFrame = {
+    val toks = df.select(idCol.as("id"), tokens(textCol).as("__w"))
+    val unis = toks.select(explode(col("__w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    unis.count() // eager: totals + two join sides read it (race rule)
+    val bis = toks.select(explode(allShinglesOfTokens(col("__w"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val nUni = unis.agg(sum(col("c")).as("n_uni"))
+    val nBi = bis.agg(sum(col("c_ab")).as("n_bi"))
+    def d(c: Column): Column = c.cast("double")
+    bis.filter(col("c_ab") >= minCount)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(unis.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(unis.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi_ratio",
+        d(col("c_ab")) * d(col("n_uni")) * d(col("n_uni")) /
+          (d(col("n_bi")) * d(col("c_a")) * d(col("c_b"))))
+      .select("bg", "c_ab", "c_a", "c_b", "pmi_ratio")
+  }
+
   /** Text repair (ftfy/CCNet-style cleanup): strip C0 control characters
     * (keeping tab/newline/CR), fix the common mojibake sequences, collapse
     * whitespace runs, with per-kind counts. Each stage counts against the

@@ -225,6 +225,54 @@ class AnalyticsSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(plan).length >= 2, plan.take(2000))
   }
 
+  test("tableChecksum: order-independent, content-sensitive, null-safe") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null)).toDF("k", "v")
+    val cols = Seq(col("k"), col("v"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      AnalyticsOps.tableChecksum(df, cols).collect().head match {
+        case r => (r.getLong(0), r.getString(1))
+      }
+    val base = sum(a)
+    assert(sum(a.repartition(7)) === base)      // partition order irrelevant
+    assert(sum(a.orderBy(desc("k"))) === base)  // row order irrelevant
+    val changed = Seq((1L, "x"), (2L, "z"), (3L, null)).toDF("k", "v")
+    assert(sum(changed) !== base)               // one value flips the sum
+  }
+
+  test("bigramPmi: planted collocation scores above chance, counts exact") {
+    import graft.operators.TextOps
+    // 'new york' always adjacent; 'aa'/'bb' co-occur only by chance
+    val docs = (1 to 10).map(i => (i.toLong, s"new york aa$i bb${i % 3} filler"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramPmi(docs, col("doc_id"), col("text"), minCount = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    val (cAb, pmi) = out("new york")
+    assert(cAb === 10L)
+    assert(pmi > 1.5, s"collocation should beat independence: $pmi")
+  }
+
+  test("sampleFrames: stride, offsets, ragged tail slices") {
+    import graft.operators.Multimodal
+    // 10-byte payload, 3-byte frames -> frames 0..3 (tail = 1 byte);
+    // stride 2 keeps frames 0 and 2
+    val media = Seq((1L, "ABCDEFGHIJ")).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.sampleFrames(media, frameBytes = 3, stride = 2)
+      .orderBy("frame_no").collect()
+      .map(r => (r.getLong(1), r.getLong(2), new String(r.getAs[Array[Byte]](3), "UTF-8")))
+    assert(out.toSeq === Seq((0L, 0L, "ABC"), (2L, 6L, "GHI")))
+    // stride 1 exposes the ragged 1-byte tail
+    val all = Multimodal.sampleFrames(media, frameBytes = 3, stride = 1)
+      .orderBy("frame_no").collect()
+      .map(r => new String(r.getAs[Array[Byte]](3), "UTF-8"))
+    assert(all.toSeq === Seq("ABC", "DEF", "GHI", "J"))
+    // empty payload -> no rows
+    val empty = Seq((2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    assert(Multimodal.sampleFrames(empty, 3, 1).count() === 0)
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
