@@ -207,4 +207,96 @@ class RandomizedSpec extends SparkSpec {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("rollupAdditive matches the built-in rollup on random frames") {
+    import graft.operators.AnalyticsOps
+    for (seed <- Seq(4, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map(_ => (rnd.nextInt(5), s"p${rnd.nextInt(4)}",
+        rnd.nextInt(1000) / 10.0))
+      val df = rows.toDF("y", "p", "v")
+      val specs = Seq(
+        ("n", count(lit(1)), (n: String) => sum(col(n))),
+        ("s", sum(col("v").cast("decimal(18,4)")), (n: String) => sum(col(n))),
+        ("mx", max(col("v")), (n: String) => max(col(n))))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("y"), col("p"), col("n"),
+            col("s").cast("double").as("s"), col("mx"), col("lvl"))
+          .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+      val ours = canon(AnalyticsOps.rollupAdditive(df,
+        Seq("y" -> col("y"), "p" -> col("p")), specs))
+      val builtin = canon(df.rollup(col("y"), col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,4)")).as("s"),
+          max(col("v")).as("mx"), grouping_id().cast("long").as("lvl")))
+      assert(ours === builtin, s"seed $seed")
+    }
+  }
+
+  test("fuzzyJoinDist1 matches the brute-force levenshtein join on random edits") {
+    import graft.operators.JoinOps
+    for (seed <- Seq(6, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcdefgh"
+      def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString
+      // originals >= 2*prefixLen long (the operator's exactness contract)
+      val orig = (1L to 40L).map(i => (i, word(8 + rnd.nextInt(5))))
+      // dirty side: half get one random edit (sub/del/ins), half are far
+      val dirty = orig.map { case (i, w) =>
+        val edited = rnd.nextInt(3) match {
+          case 0 => val p = rnd.nextInt(w.length) // substitute
+            w.updated(p, alpha(rnd.nextInt(alpha.size)))
+          case 1 => val p = rnd.nextInt(w.length) // delete
+            w.take(p) + w.drop(p + 1)
+          case _ => val p = rnd.nextInt(w.length + 1) // insert
+            w.take(p) + alpha(rnd.nextInt(alpha.size)) + w.drop(p)
+        }
+        (100L + i, edited)
+      }
+      val lDf = dirty.toDF("id", "name")
+      val rDf = orig.toDF("id", "name")
+      val got = JoinOps.fuzzyJoinDist1(lDf, col("id"), col("name"),
+          rDf, col("id"), col("name"), prefixLen = 4)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for ((li, ln) <- dirty; (ri, rn) <- orig
+                      if lev(ln, rn) <= 1) yield (li, ri)).toSet
+      // contract check: deletions can shorten below 2*prefixLen only when
+      // the original was exactly 8 chars; those still satisfy >= 2P - 1
+      // with the edit inside one window, so recall holds for this fixture
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("mergeAggState equals full recompute on random base/delta splits") {
+    import graft.operators.CdcOps
+    for (seed <- Seq(8, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val all = (1 to 400).map(_ => (rnd.nextInt(20).toLong,
+        rnd.nextInt(1000) / 10.0, rnd.nextInt(100)))
+      val (base, delta) = all.partition(_ => rnd.nextBoolean())
+      def aggOf(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,4)")).as("s"), min(col("m")).as("mn"))
+      val merge = Seq(("n", (n: String) => sum(col(n))),
+        ("s", (n: String) => sum(col(n))), ("mn", (n: String) => min(col(n))))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("k"), col("n"), col("s").cast("double"), col("mn"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      val got = canon(CdcOps.mergeAggState(
+        aggOf(base.toDF("k", "v", "m")), aggOf(delta.toDF("k", "v", "m")),
+        Seq("k"), merge))
+      val want = canon(aggOf(all.toDF("k", "v", "m")))
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
