@@ -399,6 +399,31 @@ object DQueries {
           Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
     }),
 
+    "t23_char_classes" -> ((s, dir) => {
+      // E62: exact-integer character-class fractions (one division each —
+      // unrounded, bit-reproducible).
+      TextOps.charClassStats(documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_chars"), col("alpha_frac"),
+          col("digit_frac"), col("space_frac"), col("upper_frac"),
+          col("symbol_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "t24_domains" -> ((s, dir) => {
+      // E63 through the gate: the corpus has no URLs, so each doc plants
+      // one or two deterministic URLs (same concat both sides); the
+      // operator extracts, lowercases hosts, and aggregates per domain.
+      val withUrls = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see http://Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".Example.COM/page"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" and https://mirror.example.org/x")).otherwise(lit(""))
+        ).as("text"))
+      TextOps.extractDomains(withUrls, col("doc_id"), col("text"))
+        .orderBy("domain")
+    }),
+
     "m02_frame_sample" -> ((s, dir) => {
       // E61: metadata-driven frame explode over binary payloads — every
       // 4th 32-byte "frame" as its own row; content verified via hex (the
@@ -1034,6 +1059,33 @@ object DQueries {
          |  FROM lineitem)
          |SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS checksum
          |FROM h""".stripMargin,
+
+    // twin of TextOps.charClassStats: same length-difference counts, one
+    // exact int/int division each
+    "t23_char_classes" -> {
+      def cnt(re: String) = s"(len(text) - len(regexp_replace(text, '$re', '', 'g')))"
+      def frac(re: String) =
+        s"CASE WHEN len(text) > 0 THEN CAST(${cnt(re)} AS DOUBLE) / CAST(len(text) AS DOUBLE) ELSE 0.0 END"
+      s"""SELECT doc_id, len(text) AS n_chars,
+         |  ${frac("[A-Za-z]")} AS alpha_frac, ${frac("[0-9]")} AS digit_frac,
+         |  ${frac("\\s")} AS space_frac, ${frac("[A-Z]")} AS upper_frac,
+         |  ${frac("[^A-Za-z0-9\\s]")} AS symbol_frac
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // twin of TextOps.extractDomains over the same planted URLs
+    "t24_domains" ->
+      """WITH w AS (
+        |  SELECT doc_id, text || ' see http://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.Example.COM/page'
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' and https://mirror.example.org/x' ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?', 0)) AS url
+        |  FROM w)
+        |SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain,
+        |  COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // twin of Multimodal.sampleFrames(32, 4) over the attachBinary payload
     // (utf-8 text bytes): frame content compared via hex-string slicing

@@ -384,6 +384,51 @@ object TextOps {
     "â€“" -> "–", "â€”" -> "—",
     "Ã©" -> "é", "Ã¨" -> "è", "Ã " -> "à", "Ã¼" -> "ü", "Ã¶" -> "ö")
 
+  /** Character-class profile: fractions of alphabetic, digit, whitespace,
+    * uppercase, and symbol characters per document — the Gopher/C4-style
+    * cheap quality signals (symbol-heavy and shouty documents score out).
+    * Every fraction is an exact integer count divided once by the total
+    * length, so values are bit-reproducible in any engine without
+    * rounding. Counts come from length differences over regexp_replace
+    * (the Java/RE2 shared dialect); empty documents emit 0.0 across the
+    * board. Pure per-row projections — no shuffle. */
+  def charClassStats(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    def cnt(t: Column, re: String): Column =
+      length(t) - length(regexp_replace(t, re, ""))
+    val t = col("__t")
+    val n = length(t)
+    def frac(c: Column): Column =
+      when(n > 0, c.cast("double") / n.cast("double")).otherwise(0.0)
+    df.select(idCol.as("id"), textCol.as("__t"))
+      .select(col("id"),
+        n.as("n_chars"),
+        frac(cnt(t, "[A-Za-z]")).as("alpha_frac"),
+        frac(cnt(t, "[0-9]")).as("digit_frac"),
+        frac(cnt(t, "\\s")).as("space_frac"),
+        frac(cnt(t, "[A-Z]")).as("upper_frac"),
+        frac(cnt(t, "[^A-Za-z0-9\\s]")).as("symbol_frac"))
+  }
+
+  /** URL regex: scheme://host[/path] without spaces — the Java/RE2 shared
+    * dialect, same policy as the PII patterns. */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\\s]*)?"
+
+  /** Domain-level URL aggregation: extract every http(s) URL, reduce it to
+    * its lowercased host, and aggregate (url occurrences, distinct docs)
+    * per domain — the crawl-curation primitive behind domain allow/deny
+    * lists, per-domain caps, and source-mix reporting. Extraction and the
+    * host projection are per-row regex expressions (Java∩RE2 dialect;
+    * lowercasing happens AFTER extraction, where it is a plain column
+    * function); the aggregate shuffles one row per URL occurrence with
+    * map-side combine. Returns (domain, n_urls, n_docs). */
+  def extractDomains(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        explode(regexp_extract_all(textCol, lit(UrlRe), lit(0))).as("url"))
+      .select(col("id"),
+        lower(regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), count_distinct(col("id")).as("n_docs"))
+
   /** Collocation mining via ratio-PMI: corpus bigram counts vs the
     * independence expectation. Score = P(ab) / (P(a)·P(b)) expressed as
     * (c_ab·N_uni·N_uni) / (N_bi·c_a·c_b) — the ratio form of pointwise

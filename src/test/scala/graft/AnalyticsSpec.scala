@@ -273,6 +273,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(empty, 3, 1).count() === 0)
   }
 
+  test("charClassStats: exact fractions, empty doc all zeros") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "Ab1 !"), (2L, "")).toDF("id", "text")
+    val out = TextOps.charClassStats(docs, col("id"), col("text"))
+      .orderBy("id").collect()
+    val r = out(0)
+    assert(r.getAs[Int]("n_chars") === 5)
+    assert(r.getAs[Double]("alpha_frac") === 0.4)  // A, b
+    assert(r.getAs[Double]("digit_frac") === 0.2)  // 1
+    assert(r.getAs[Double]("space_frac") === 0.2)
+    assert(r.getAs[Double]("upper_frac") === 0.2)  // A
+    assert(r.getAs[Double]("symbol_frac") === 0.2) // !
+    val e = out(1)
+    assert(e.getAs[Int]("n_chars") === 0 && e.getAs[Double]("alpha_frac") === 0.0)
+  }
+
+  test("extractDomains: lowercased hosts aggregate across docs, ports kept in URL not domain") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "x http://A.COM/p y https://b.org:8080/q"),
+      (2L, "see http://a.com/other"),
+      (3L, "no urls here")
+    ).toDF("id", "text")
+    val out = TextOps.extractDomains(docs, col("id"), col("text"))
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a.com", 2L, 2L), ("b.org", 1L, 1L)))
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
