@@ -302,6 +302,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a.com", 2L, 2L), ("b.org", 1L, 1L)))
   }
 
+  test("approx distinct runs as a windowed streaming aggregate (HLL is mergeable state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agged = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(approx_count_distinct(col("uid")).as("u"))
+    val q = agged.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:05"), 1L), (ts("2024-01-01 00:00:10"), 2L),
+        (ts("2024-01-01 00:00:20"), 1L)) // dup uid within the window
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:05:00"), 9L)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("hll_stream").select("u").collect().map(_.getLong(0))
+      assert(rows.toSeq === Seq(2L)) // exact at this cardinality
+    } finally q.stop()
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
