@@ -145,6 +145,28 @@ object OlapQueries {
         .orderBy("o_custkey")
     }),
 
+    "a38_funnel" -> ((s, dir) => {
+      // E64: view -> click -> purchase funnel, greedy earliest traversal
+      // in strict (ts, event_id) order; per-user stage + the reaching
+      // timestamps. ANSI mode: element_at past the array end raises, so
+      // the per-stage columns are size-guarded.
+      val f = AnalyticsOps.funnel(events(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), Seq("view", "click", "purchase"))
+      def stepTs(k: Int) =
+        when(size(col("step_ts")) >= k,
+          unix_timestamp(element_at(col("step_ts"), k))).as(s"ts$k")
+      f.select(col("user_id"), col("stage"), stepTs(1), stepTs(2), stepTs(3))
+        .orderBy("user_id")
+    }),
+
+    "a39_retention" -> ((s, dir) => {
+      // E65: hourly retention cohorts — first-seen hour × hour offset ×
+      // distinct active users.
+      AnalyticsOps.retentionCohorts(events(s, dir), col("user_id"), col("ts"),
+          "hour", 3600L)
+        .orderBy("cohort_ts", "offset_n")
+    }),
+
     "b40_fuzzy_match" -> ((s, dir) => {
       // E56: distance-1 fuzzy join of deterministically-corrupted supplier
       // names (one char deleted at a doc-derived position) back onto the
@@ -291,6 +313,48 @@ object OlapQueries {
       s"""SELECT o_custkey, COUNT(*) AS n, ${decSumSql("o_totalprice")} AS spend_sum,
          |  CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT) AS last_order
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // chained-min funnel: stage k = first step-k event strictly after the
+    // stage-(k-1) event in the (ts, event_id) total order — struct min /
+    // struct > give the tuple ordering
+    "a38_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(struct_pack(ts := ts, id := event_id)) AS k1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(struct_pack(ts := e.ts, id := e.event_id)) AS k2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND struct_pack(ts := e.ts, id := e.event_id) > s1.k1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(struct_pack(ts := e.ts, id := e.event_id)) AS k3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND struct_pack(ts := e.ts, id := e.event_id) > s2.k2
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CASE WHEN k3 IS NOT NULL THEN 3 WHEN k2 IS NOT NULL THEN 2
+        |       WHEN k1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  CAST(floor(epoch(k1.ts)) AS BIGINT) AS ts1,
+        |  CAST(floor(epoch(k2.ts)) AS BIGINT) AS ts2,
+        |  CAST(floor(epoch(k3.ts)) AS BIGINT) AS ts3
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "a39_retention" ->
+      """WITH ub AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS b FROM events),
+        |c AS (SELECT user_id, min(b) AS cohort FROM ub GROUP BY 1)
+        |SELECT CAST(floor(epoch(c.cohort)) AS BIGINT) AS cohort_ts,
+        |  CAST((epoch(ub.b) - epoch(c.cohort)) / 3600 AS BIGINT) AS offset_n,
+        |  COUNT(*) AS n_users
+        |FROM ub JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // brute-force levenshtein join: the blocking in fuzzyJoinDist1 must be
     // invisible, so the oracle has no blocks at all

@@ -222,6 +222,80 @@ object AnalyticsOps {
         sum(col("__h").cast("decimal(38,0)")).cast("string").as("checksum"))
   }
 
+  /** Ordered-step funnel analysis: per user, the greedy earliest traversal
+    * of `steps` — stage k is reached by the FIRST step-k event that occurs
+    * strictly after the event that reached stage k-1, in the (ts, tieBreak)
+    * total order. Returns one row per user that has at least one step
+    * event: (user_id, stage = steps reached, step_ts = array of the
+    * reaching events' timestamps, one entry per completed stage).
+    *
+    * The greedy earliest traversal equals the chained-min definition
+    * (t_k = min step-k event with (ts, tie) > (ts, tie) of t_{k-1}), which
+    * is what the DuckDB oracle computes; the tie-break makes the order
+    * total, so equal timestamps cannot flip the result between engines.
+    *
+    * Plan: filter to step events (the non-step bulk of a 100 TB event log
+    * never shuffles), map step → index with a when-chain, ONE shuffle to
+    * `collect_list` per user, then a per-row `sort_array` + `aggregate`
+    * fold — no self-joins, no per-step passes, state per user = that
+    * user's step events only. A user with pathologically many step events
+    * is the same monster-key hazard as [[movingAgg]]: cap per-user events
+    * upstream (e.g. a time slice) if one key dominates. */
+  def funnel(df: DataFrame, userCol: Column, tsCol: Column, tieBreak: Column,
+             eventCol: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct: $steps")
+    val stepIdx = steps.zipWithIndex
+      .map { case (s, i) => when(eventCol === s, lit(i)) }
+      .reduce(coalesce(_, _))
+    val sorted = sort_array(collect_list(
+      struct(col("__ts").as("ts"), col("__tie").as("tie"),
+        col("__step").as("step"))))
+    val init = struct(lit(0).as("stage"),
+      array().cast("array<timestamp>").as("step_ts"))
+    val folded = aggregate(sorted, init, (acc, e) =>
+      when(e.getField("step") === acc.getField("stage"),
+        struct((acc.getField("stage") + 1).as("stage"),
+          concat(acc.getField("step_ts"),
+            array(e.getField("ts"))).as("step_ts")))
+      .otherwise(acc))
+    df.select(userCol.as("user_id"), tsCol.as("__ts"), tieBreak.as("__tie"),
+        stepIdx.as("__step"))
+      .filter(col("__step").isNotNull)
+      .groupBy("user_id")
+      .agg(folded.as("__f"))
+      .select(col("user_id"), col("__f.stage").as("stage"),
+        col("__f.step_ts").as("step_ts"))
+  }
+
+  /** Retention cohort matrix: users bucketed by the time bucket of their
+    * first event (cohort), counted as active per (cohort, offset) where
+    * offset = whole `offsetSeconds` periods between the cohort bucket and
+    * the activity bucket. Returns (cohort_ts epoch-seconds, offset_n,
+    * n_users). `truncUnit` is a `date_trunc` unit ("hour", "day", "week");
+    * `offsetSeconds` must equal the bucket width so offsets are integral.
+    *
+    * Plan: ONE hash aggregate distinct-izes (user, bucket) — map-side
+    * partial combine collapses the raw event volume, so the shuffle
+    * carries distinct user-buckets, not events. A window-min over user
+    * derives each user's cohort on that deduplicated frame (second,
+    * smaller shuffle), and the final (cohort, offset) count is a
+    * group-count-sized aggregate. No joins; nothing event-sized crosses
+    * the wire twice. */
+  def retentionCohorts(df: DataFrame, userCol: Column, tsCol: Column,
+                       truncUnit: String, offsetSeconds: Long): DataFrame = {
+    val buckets = df
+      .select(userCol.as("user_id"), date_trunc(truncUnit, tsCol).as("__b"))
+      .distinct()
+    val cohort = min(col("__b")).over(Window.partitionBy(col("user_id")))
+    buckets.withColumn("__cohort", cohort)
+      .select(unix_timestamp(col("__cohort")).as("cohort_ts"),
+        ((unix_timestamp(col("__b")) - unix_timestamp(col("__cohort")))
+          / lit(offsetSeconds)).cast("long").as("offset_n"))
+      .groupBy("cohort_ts", "offset_n")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Fixed-width histogram: values binned into `nBins` equal `[lo, hi)`
     * buckets (outside values clamp to the edge bins), one count per
     * non-empty bin with its bounds. The groupBy key has at most `nBins`

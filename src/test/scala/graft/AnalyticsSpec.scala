@@ -322,6 +322,63 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: greedy earliest traversal, strictly-after semantics, ties by id") {
+    val df = Seq(
+      // user 1: full funnel in order
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:01:00", 2L, "click"),
+      (1L, "2024-01-01 00:02:00", 3L, "purchase"),
+      // user 2: click BEFORE first view never counts; the later click does
+      (2L, "2024-01-01 00:00:00", 4L, "click"),
+      (2L, "2024-01-01 00:01:00", 5L, "view"),
+      (2L, "2024-01-01 00:02:00", 6L, "click"),
+      // user 3: purchase before click -> stalls at stage 1
+      (3L, "2024-01-01 00:00:00", 7L, "view"),
+      (3L, "2024-01-01 00:00:30", 8L, "purchase"),
+      // user 4: same-ts tie — click with LOWER id than the view sorts
+      // first and is skipped; the id-9 view starts the funnel, so the
+      // id-8-tied click is gone and stage stays 1
+      (4L, "2024-01-01 00:00:00", 8L, "click"),
+      (4L, "2024-01-01 00:00:00", 9L, "view"),
+      // user 5: only non-step events -> absent from output
+      (5L, "2024-01-01 00:00:00", 10L, "error")
+    ).toDF("uid", "t", "id", "ev").withColumn("t", to_timestamp(col("t")))
+    val out = AnalyticsOps.funnel(df, col("uid"), col("t"), col("id"),
+        col("ev"), Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage"), size(col("step_ts")).as("n_ts"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 3, 3), (2L, 2, 2), (3L, 1, 1), (4L, 1, 1)))
+  }
+
+  test("funnel: step_ts carries the reaching events' timestamps in order") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:00:10", 2L, "view"),  // later view ignored
+      (1L, "2024-01-01 00:00:20", 3L, "click")
+    ).toDF("uid", "t", "id", "ev").withColumn("t", to_timestamp(col("t")))
+    val r = AnalyticsOps.funnel(df, col("uid"), col("t"), col("id"),
+        col("ev"), Seq("view", "click", "purchase"))
+      .select(col("step_ts")).collect().head.getSeq[Timestamp](0)
+    assert(r === Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:20")))
+  }
+
+  test("retentionCohorts: hand-checked hour cohorts and offsets") {
+    val df = Seq(
+      // user 1: cohort hour 00, active hours 00, 02 (two events in 02
+      // collapse to one user-bucket)
+      (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 02:05:00"),
+      (1L, "2024-01-01 02:55:00"),
+      // user 2: cohort hour 02, active hour 02 only
+      (2L, "2024-01-01 02:30:00")
+    ).toDF("uid", "t").withColumn("t", to_timestamp(col("t")))
+    val out = AnalyticsOps.retentionCohorts(df, col("uid"), col("t"), "hour", 3600L)
+      .orderBy("cohort_ts", "offset_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val h0 = ts("2024-01-01 00:00:00").getTime / 1000
+    val h2 = ts("2024-01-01 02:00:00").getTime / 1000
+    assert(out.toSeq === Seq((h0, 0L, 1L), (h0, 2L, 1L), (h2, 0L, 1L)))
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
