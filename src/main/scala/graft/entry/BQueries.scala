@@ -422,6 +422,42 @@ object BQueries {
         .orderBy("c_custkey")
     }),
 
+    "b43_unpivot" -> ((s, dir) => {
+      // E69: wide→long melt of two part metrics — the inverse of b07's
+      // pivot, planned as a narrow Expand (no shuffle, no UDF).
+      EtlOps.unpivotLong(
+          part(s, dir).select(col("p_partkey"),
+            col("p_size").cast("double").as("size"),
+            col("p_retailprice").cast("double").as("retailprice")),
+          keys = Seq("p_partkey"), metrics = Seq("size", "retailprice"))
+        .orderBy("p_partkey", "metric")
+    }),
+
+    "b44_jsonl_read" -> ((s, dir) => {
+      // E70: corrupt-tolerant JSONL ingest — nation rendered to JSON lines
+      // with every 3rd line truncated mid-record; PERMISSIVE read routes
+      // bad lines to _corrupt instead of dropping (DROPMALFORMED) or
+      // failing (FAILFAST). Summary = per-branch count + key checksum.
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_b44_jsonl").toString
+      val line = to_json(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")))
+      nation(s, dir)
+        .select(when(col("n_nationkey") % 3 === 0,
+            substring(line, 1, 20)).otherwise(line).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      EtlOps.readJsonlPermissive(s, tmp, schema)
+        .groupBy(when(col("_corrupt").isNull, "good").otherwise("corrupt")
+          .as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).as("key_sum"))
+        .orderBy("status")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -633,6 +669,23 @@ object BQueries {
          |s4 AS (SELECT c_custkey, (dx | (dx << 1)) & 1431655765 AS ex, (dy | (dy << 1)) & 1431655765 AS ey FROM s3)
          |SELECT c_custkey, ex | (ey << 1) AS z FROM s4 ORDER BY c_custkey""".stripMargin
     },
+
+    // UNION ALL twin of the Expand-planned unpivot
+    "b43_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    // every 3rd nation key truncated mid-JSON-line -> the corrupt branch;
+    // key sums recomputed straight from the table
+    "b44_jsonl_read" ->
+      """SELECT 'corrupt' AS status, COUNT(*) AS n_rows, CAST(NULL AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey % 3 = 0
+        |UNION ALL
+        |SELECT 'good' AS status, COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey % 3 <> 0
+        |ORDER BY status""".stripMargin,
 
     // the UNPRUNED join — bloom pruning must be invisible in the result
     "b32_bloom_join" ->

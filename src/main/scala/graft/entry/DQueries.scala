@@ -399,6 +399,35 @@ object DQueries {
           Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
     }),
 
+    "b45_partition_diff" -> ((s, dir) => {
+      // E71: partition-level snapshot diff — month partitions of orders;
+      // the new snapshot drops 1998-08 entirely (removed), re-dates
+      // 1992-01 copies to 1999-01 (added), bumps 1997 %13 prices
+      // (changed months), everything else bit-identical (same). Only
+      // partition-count-sized checksum frames are joined; no row compare.
+      val o = orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val newer = o
+        .filter(!(year(col("o_orderdate")) === 1998 &&
+          month(col("o_orderdate")) === 8))
+        .withColumn("o_totalprice",
+          when(year(col("o_orderdate")) === 1997 &&
+              col("o_orderkey") % 13 === 0,
+            col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(year(col("o_orderdate")) === 1992 &&
+            month(col("o_orderdate")) === 1)
+          .withColumn("o_orderdate", add_months(col("o_orderdate"), 84)))
+      def ck(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.AnalyticsOps.partitionChecksum(d,
+          date_trunc("month", col("o_orderdate")),
+          Seq(col("o_orderkey"),
+            round(col("o_totalprice") * 10000).cast("long")))
+      graft.operators.AnalyticsOps.diffPartitionChecksums(ck(o), ck(newer))
+        .select(unix_timestamp(col("part_key")).as("part_ts"), col("status"),
+          col("n_old"), col("n_new"))
+        .orderBy("part_ts")
+    }),
+
     "t23_char_classes" -> ((s, dir) => {
       // E62: exact-integer character-class fractions (one division each —
       // unrounded, bit-reproducible).
@@ -422,6 +451,30 @@ object DQueries {
         ).as("text"))
       TextOps.extractDomains(withUrls, col("doc_id"), col("text"))
         .orderBy("domain")
+    }),
+
+    "t25_token_diversity" -> ((s, dir) => {
+      // E66: Simpson token diversity — per-row run-length fold, exact
+      // integer collision probability, no shuffle.
+      TextOps.tokenDiversity(documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id"), col("n_tokens"), col("collision_p"), col("diversity"))
+        .orderBy("id")
+    }),
+
+    "t26_blocklist" -> ((s, dir) => {
+      // E67: domain blocklist over the t24 planted URLs — doc_id%7==3 hits
+      // the exact-host rule, doc_id%2==0 the subdomain rule; both-match
+      // docs resolve to the minimum rule.
+      val withUrls = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see http://Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".Example.COM/page"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" and https://mirror.example.org/x")).otherwise(lit(""))
+        ).as("text"))
+      TextOps.domainBlocklist(withUrls, col("doc_id"), col("text"),
+          Seq("site3.example.com", "example.org"))
+        .orderBy("id")
     }),
 
     "m02_frame_sample" -> ((s, dir) => {
@@ -1060,6 +1113,38 @@ object DQueries {
          |SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS checksum
          |FROM h""".stripMargin,
 
+    // twin of the partitionChecksum diff: same hash60 keys, HUGEINT sums,
+    // full-outer status compare per month partition
+    "b45_partition_diff" -> {
+      val hk = h60Sql("CAST(k AS VARCHAR) || '|' || " +
+        "CAST(CAST(round(p * 10000) AS BIGINT) AS VARCHAR)")
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS k, o_orderdate AS d, o_totalprice AS p FROM orders),
+         |newt AS (
+         |  SELECT k, d,
+         |    CASE WHEN year(d) = 1997 AND k % 13 = 0 THEN p + 1.0 ELSE p END AS p
+         |  FROM o WHERE NOT (year(d) = 1998 AND month(d) = 8)
+         |  UNION ALL
+         |  SELECT k, d + INTERVAL 84 MONTH, p FROM o
+         |  WHERE year(d) = 1992 AND month(d) = 1),
+         |co AS (
+         |  SELECT date_trunc('month', d) AS pk, COUNT(*) AS n,
+         |    SUM(CAST($hk AS HUGEINT)) AS c
+         |  FROM o GROUP BY 1),
+         |cn AS (
+         |  SELECT date_trunc('month', d) AS pk, COUNT(*) AS n,
+         |    SUM(CAST($hk AS HUGEINT)) AS c
+         |  FROM newt GROUP BY 1)
+         |SELECT CAST(floor(epoch(COALESCE(co.pk, cn.pk))) AS BIGINT) AS part_ts,
+         |  CASE WHEN co.pk IS NULL THEN 'added'
+         |       WHEN cn.pk IS NULL THEN 'removed'
+         |       WHEN co.c = cn.c AND co.n = cn.n THEN 'same'
+         |       ELSE 'changed' END AS status,
+         |  co.n AS n_old, cn.n AS n_new
+         |FROM co FULL OUTER JOIN cn ON co.pk = cn.pk
+         |ORDER BY part_ts""".stripMargin
+    },
+
     // twin of TextOps.charClassStats: same length-difference counts, one
     // exact int/int division each
     "t23_char_classes" -> {
@@ -1086,6 +1171,44 @@ object DQueries {
         |SELECT lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain,
         |  COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact-integer Simpson collision over per-doc term frequencies
+    "t25_token_diversity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, SUM(c * (c - 1)) AS coll
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id AS id, n_tokens,
+        |  CASE WHEN n_tokens > 1
+        |       THEN CAST(coll AS DOUBLE) / (n_tokens * (n_tokens - 1)) END AS collision_p,
+        |  CASE WHEN n_tokens > 1
+        |       THEN 1.0 - CAST(coll AS DOUBLE) / (n_tokens * (n_tokens - 1)) END AS diversity
+        |FROM d ORDER BY id""".stripMargin,
+
+    // LIKE-join twin: the suffix-explode equi-join must be invisible
+    "t26_blocklist" ->
+      """WITH w AS (
+        |  SELECT doc_id, text || ' see http://Site' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.Example.COM/page'
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' and https://mirror.example.org/x' ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?', 0)) AS url
+        |  FROM w),
+        |h AS (
+        |  SELECT DISTINCT doc_id,
+        |    lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        |  FROM u),
+        |m AS (
+        |  SELECT doc_id, min(b.rule) AS blocked_by
+        |  FROM h JOIN (VALUES ('site3.example.com'), ('example.org')) b(rule)
+        |    ON h.host = b.rule OR h.host LIKE '%.' || b.rule
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS id, m.blocked_by
+        |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
 
     // twin of Multimodal.sampleFrames(32, 4) over the attachBinary payload
     // (utf-8 text bytes): frame content compared via hex-string slicing

@@ -167,6 +167,18 @@ object OlapQueries {
         .orderBy("cohort_ts", "offset_n")
     }),
 
+    "a40_winsorize" -> ((s, dir) => {
+      // E68 oracle path: exact rank-defined p05/p95 clamp of event values
+      // per event type. The production percentile_approx plan is benched
+      // instead — see benchOverrides.
+      graft.operators.CurationOps.winsorize(events(s, dir), col("event_id"),
+          col("event_type"), col("value"), qLo = 0.05, qHi = 0.95,
+          exact = true)
+        .select(col("id").as("event_id"), col("stratum").as("event_type"),
+          col("value"), col("lo"), col("hi"), col("v_wins"))
+        .orderBy("event_id")
+    }),
+
     "b40_fuzzy_match" -> ((s, dir) => {
       // E56: distance-1 fuzzy join of deterministically-corrupted supplier
       // names (one char deleted at a doc-derived position) back onto the
@@ -193,6 +205,15 @@ object OlapQueries {
       AnalyticsOps.approxDistinctCount(events(s, dir), Seq(col("event_type")),
           col("user_id"), "uniq_users")
         .orderBy("event_type")
+    }),
+    // the 100 TB winsorize plan: sketch thresholds, no per-stratum sort
+    "a40_winsorize" -> ((s, dir) => {
+      graft.operators.CurationOps.winsorize(events(s, dir), col("event_id"),
+          col("event_type"), col("value"), qLo = 0.05, qHi = 0.95,
+          exact = false)
+        .select(col("id").as("event_id"), col("stratum").as("event_type"),
+          col("value"), col("lo"), col("hi"), col("v_wins"))
+        .orderBy("event_id")
     })
   )
 
@@ -355,6 +376,23 @@ object OlapQueries {
         |  COUNT(*) AS n_users
         |FROM ub JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // rank-defined quantile clamp: value at 1-based rank floor(q*(n-1))+1
+    // in (value, event_id) order per stratum
+    "a40_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.05) AS BIGINT) + 1 THEN value END) AS lo,
+        |    MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_id, r.event_type, r.value, t.lo, t.hi,
+        |  least(greatest(r.value, t.lo), t.hi) AS v_wins
+        |FROM r JOIN t USING (event_type) ORDER BY event_id""".stripMargin,
 
     // brute-force levenshtein join: the blocking in fuzzyJoinDist1 must be
     // invisible, so the oracle has no blocks at all

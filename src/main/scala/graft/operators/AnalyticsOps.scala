@@ -296,6 +296,46 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-partition content checksum: [[tableChecksum]] grouped by a
+    * partition key — (part_key, n_rows, checksum DECIMAL(38,0)). One scan
+    * + one hash aggregate whose key domain is the partition count; the
+    * checksum column is kept as decimal for engine-internal comparison
+    * ([[diffPartitionChecksums]]), not for cross-engine rendering. Same
+    * string-form caveat as tableChecksum: cast/round doubles first. */
+  def partitionChecksum(df: DataFrame, partCol: Column,
+                        cols: Seq[Column]): DataFrame = {
+    val key = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    df.select(partCol.as("part_key"),
+        graft.functions.Hashing.hash60(key).as("__h"))
+      .groupBy("part_key")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("checksum"))
+  }
+
+  /** Partition-level snapshot diff: which partitions were added, removed,
+    * changed, or left intact between two [[partitionChecksum]] frames —
+    * the incremental-refresh planner's question ("re-process only the
+    * changed partitions") answered with one full-outer join of two
+    * partition-count-sized frames, no row-level compare at all. The
+    * row-level changelog for the changed partitions is [[CdcOps
+    * .diffSnapshots]] restricted to them. Returns (part_key, status,
+    * n_old, n_new); null partition keys compare null-safe. */
+  def diffPartitionChecksums(oldCk: DataFrame, newCk: DataFrame): DataFrame = {
+    val o = oldCk.select(col("part_key"), col("n_rows").as("n_old"),
+      col("checksum").as("__co"))
+    val n = newCk.select(col("part_key").as("__pk"), col("n_rows").as("n_new"),
+      col("checksum").as("__cn"))
+    o.join(n, col("part_key") <=> col("__pk"), "full_outer")
+      .select(coalesce(col("part_key"), col("__pk")).as("part_key"),
+        when(col("__co").isNull, "added")
+          .when(col("__cn").isNull, "removed")
+          .when(col("__co") === col("__cn") && col("n_old") === col("n_new"),
+            "same")
+          .otherwise("changed").as("status"),
+        col("n_old"), col("n_new"))
+  }
+
   /** Fixed-width histogram: values binned into `nBins` equal `[lo, hi)`
     * buckets (outside values clamp to the edge bins), one count per
     * non-empty bin with its bounds. The groupBy key has at most `nBins`

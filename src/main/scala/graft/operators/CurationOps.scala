@@ -79,6 +79,54 @@ object CurationOps {
     }
   }
 
+  /** Per-stratum winsorization: clamp `valueCol` into the stratum's
+    * [qLo, qHi] quantile band — the outlier-robust normalization used on
+    * heavy-tailed quality/engagement signals before they feed sampling
+    * weights. The quantile is defined EXPLICITLY (not engine-dependent):
+    * the value at 1-based rank `floor(q·(n−1)) + 1` in the (value, id)
+    * total order of the stratum — deterministic under ties, reproducible
+    * by any engine with row_number.
+    *
+    * `exact = true` ranks with one window (shuffle + per-stratum sort) and
+    * reduces the band to a stratum-count-sized threshold table — the
+    * oracle path. The production path (`exact = false`) replaces the sort
+    * with the mergeable `percentile_approx` sketch, same plan shape as
+    * [[qualityTopQuantile]]: linear scan, broadcast thresholds, no
+    * skew-prone sort. Both emit (id, stratum, value, lo, hi, v_wins);
+    * the clamp only ever outputs input values, so results hash-compare
+    * unrounded. Null values pass through unclamped (null stratum is a
+    * legitimate group, handled null-safe like qualityTopQuantile). */
+  def winsorize(df: DataFrame, idCol: Column, strataCol: Column,
+                valueCol: Column, qLo: Double, qHi: Double,
+                exact: Boolean = true): DataFrame = {
+    require(0.0 <= qLo && qLo < qHi && qHi <= 1.0,
+      s"need 0 <= qLo < qHi <= 1: ($qLo, $qHi)")
+    val base = df.select(idCol.as("id"), strataCol.as("stratum"),
+      valueCol.as("value"))
+    val thresholds = if (exact) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("stratum"))
+        .orderBy(col("value").asc, col("id").asc)
+      def kOf(q: Double) =
+        (floor((col("__n") - 1) * lit(q)) + 1).cast("long")
+      base
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("stratum"))))
+        .groupBy(col("stratum").as("__s"))
+        .agg(max(when(col("__rn") === kOf(qLo), col("value"))).as("lo"),
+          max(when(col("__rn") === kOf(qHi), col("value"))).as("hi"))
+    } else {
+      base.groupBy(col("stratum").as("__s"))
+        .agg(percentile_approx(col("value"), lit(qLo), lit(10000)).as("lo"),
+          percentile_approx(col("value"), lit(qHi), lit(10000)).as("hi"))
+    }
+    base.join(broadcast(thresholds), col("stratum") <=> col("__s"))
+      .withColumn("v_wins",
+        least(greatest(col("value"), col("lo")), col("hi")))
+      .select("id", "stratum", "value", "lo", "hi", "v_wins")
+  }
+
   /** Fixed-size token chunking for sequence packing: split each document
     * into consecutive `chunkTokens`-token chunks (last chunk ragged).
     * Output: (id, chunk_id, chunk_text, n_tokens).

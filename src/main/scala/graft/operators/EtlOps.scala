@@ -134,6 +134,43 @@ object EtlOps {
                 values: Seq[String], agg: Column): DataFrame =
     df.groupBy(keys: _*).pivot(pivotCol, values).agg(agg)
 
+  /** Unpivot (melt, wide→long): the inverse of [[pivotWide]]. Each input
+    * row emits one (keys..., metric, value) row per metric column, values
+    * cast to a common type by `Dataset.unpivot` (Spark's native Unpivot
+    * node — an Expand projection, narrow, no shuffle, no UDFs). Null
+    * values are DROPPED, matching `pivot`'s sparse-wide convention
+    * (unpivot(pivot(x)) round-trips modulo row order). */
+  def unpivotLong(df: DataFrame, keys: Seq[String], metrics: Seq[String],
+                  metricName: String = "metric",
+                  valueName: String = "value"): DataFrame =
+    df.unpivot(keys.map(col).toArray, metrics.map(col).toArray,
+        metricName, valueName)
+      .filter(col(valueName).isNotNull)
+
+  /** Corrupt-tolerant JSONL ingest: PERMISSIVE-mode read against an
+    * explicit schema with the raw line captured in `_corrupt` for any row
+    * that fails to parse — the 100 TB ingestion stance (one bad line in a
+    * billion must neither kill the job nor silently vanish; DROPMALFORMED
+    * does the latter, FAILFAST the former). Callers route on
+    * `_corrupt IS NULL` into clean/quarantine branches; the quarantine
+    * carries the offending bytes for replay.
+    *
+    * The explicit schema is mandatory: schema inference scans the data
+    * once just to guess types (2× the read at scale) and infers from
+    * corrupt rows too. Line-delimited JSON splits by newline, so a
+    * billion-line file still parallelizes across executors. */
+  def readJsonlPermissive(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt", StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+  }
+
   // --- B9/B15/B19: keep-one-row-per-key family ------------------------------
   /** B9 rank-and-dedup (clean_airports_it.py:49-55), B15 latest-per-key
     * (merge_cities_all.py:54-57), B19 keep-richest

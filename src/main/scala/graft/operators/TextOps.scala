@@ -429,6 +429,85 @@ object TextOps {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_urls"), count_distinct(col("id")).as("n_docs"))
 
+  /** Simpson token diversity: the probability that two random token draws
+    * (without replacement) from the document are the same type —
+    * `sum tf·(tf−1) / (T·(T−1))` — and its complement as the diversity
+    * score. Repeated-token spam scores near 0 diversity; natural prose
+    * near 1. Complements [[repetition]] (k-gram duplication): this is the
+    * unigram-distribution view, sensitive to concentration even when no
+    * k-gram repeats verbatim.
+    *
+    * Entirely per-row — the token array is sorted and run-length folded
+    * with `aggregate`, so the corpus never shuffles and the operator is
+    * embarrassingly parallel at any scale. The statistic is one division
+    * of exact longs, bit-reproducible cross-engine unrounded. Documents
+    * with fewer than 2 tokens have no defined collision probability →
+    * null. Returns (id, n_tokens, collision_p, diversity). */
+  def tokenDiversity(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val sorted = array_sort(col("__toks"))
+    // run-length fold over the sorted tokens: acc = (prev, run, acc_sum);
+    // run == 0 marks "no previous token" (so a leading "" is not confused
+    // with the sentinel prev)
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("s"))
+    val folded = aggregate(sorted, init,
+      (acc, t) => {
+        val run = acc.getField("run")
+        val s = acc.getField("s")
+        when(run > 0 && t === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"), (run + 1L).as("run"), s.as("s")))
+        .otherwise(
+          struct(t.as("prev"), lit(1L).as("run"),
+            (s + run * (run - 1L)).as("s")))
+      },
+      acc => acc.getField("s") +
+        acc.getField("run") * (acc.getField("run") - 1L))
+    df.select(idCol.as("id"), tokens(textCol).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("n_tokens"),
+        folded.as("__coll"))
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") > 1,
+          col("__coll").cast("double")
+            / (col("n_tokens") * (col("n_tokens") - 1L))).as("collision_p"))
+      .withColumn("diversity",
+        when(col("collision_p").isNotNull, lit(1.0) - col("collision_p")))
+  }
+
+  /** Domain blocklist labeling: each document's URLs are reduced to hosts
+    * (the [[extractDomains]] projection), and a host matches a blocklist
+    * entry when it EQUALS the entry or is a subdomain of it
+    * (label-aligned suffix). Returns every input id with `blocked_by` =
+    * the minimum matching entry (deterministic when several match), null
+    * when clean — a filter is `blocked_by IS NULL`.
+    *
+    * Scale shape: suffix matching is NOT a LIKE-join (which would be a
+    * nested-loop over the blocklist). Each host explodes to its ≤ ~6
+    * label-aligned suffixes, which equi-join the blocklist on the suffix
+    * string — broadcast at any realistic blocklist size, linear in hosts,
+    * and the LIKE semantics fall out exactly (asserted against the
+    * LIKE-join oracle). */
+  def domainBlocklist(df: DataFrame, idCol: Column, textCol: Column,
+                      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val rules = df.sparkSession.createDataFrame(
+      blocked.map(b => Tuple1(b.toLowerCase(java.util.Locale.ROOT))))
+      .toDF("__rule").distinct()
+    val hosts = df
+      .select(idCol.as("id"),
+        explode(regexp_extract_all(textCol, lit(UrlRe), lit(0))).as("__url"))
+      .select(col("id"),
+        lower(regexp_extract(col("__url"), "https?://([A-Za-z0-9.-]+)", 1))
+          .as("__host"))
+      .distinct()
+    val labels = split(col("__host"), "\\.")
+    val suffixes = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    val matched = hosts
+      .select(col("id"), explode(suffixes).as("__sfx"))
+      .join(broadcast(rules), col("__sfx") === col("__rule"))
+      .groupBy("id").agg(min(col("__rule")).as("blocked_by"))
+    df.select(idCol.as("id")).join(matched, Seq("id"), "left")
+  }
+
   /** Collocation mining via ratio-PMI: corpus bigram counts vs the
     * independence expectation. Score = P(ab) / (P(a)·P(b)) expressed as
     * (c_ab·N_uni·N_uni) / (N_bi·c_a·c_b) — the ratio form of pointwise

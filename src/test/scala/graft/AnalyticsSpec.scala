@@ -379,6 +379,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((h0, 0L, 1L), (h0, 2L, 1L), (h2, 0L, 1L)))
   }
 
+  test("partition checksum diff: added/removed/changed/same statuses") {
+    val old = Seq(("p1", 1L, "a"), ("p1", 2L, "b"), ("p2", 3L, "c"),
+      ("p3", 4L, "d")).toDF("pk", "id", "v")
+    val neu = Seq(("p1", 1L, "a"), ("p1", 2L, "b"),      // p1 identical
+      ("p2", 3L, "CHANGED"),                             // p2 content change
+      ("p4", 9L, "x")                                    // p3 gone, p4 new
+    ).toDF("pk", "id", "v")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      AnalyticsOps.partitionChecksum(df, col("pk"), Seq(col("id"), col("v")))
+    val got = AnalyticsOps.diffPartitionChecksums(ck(old), ck(neu))
+      .orderBy("part_key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("p1", "same"), ("p2", "changed"),
+      ("p3", "removed"), ("p4", "added")))
+  }
+
+  test("partition checksum: order-independent within a partition") {
+    val a = Seq(("p", 1L, "x"), ("p", 2L, "y")).toDF("pk", "id", "v")
+    val b = Seq(("p", 2L, "y"), ("p", 1L, "x")).toDF("pk", "id", "v")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      AnalyticsOps.partitionChecksum(df.repartition(3), col("pk"),
+        Seq(col("id"), col("v")))
+    assert(AnalyticsOps.diffPartitionChecksums(ck(a), ck(b))
+      .collect().map(_.getString(1)).toSeq === Seq("same"))
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute

@@ -305,4 +305,64 @@ class CurationSpec extends SparkSpec {
       (1L, 3L, 8L, 8.0 / 18.0),
       (2L, 3L, 6L, 6.0 / 18.0)))
   }
+
+  test("winsorize exact: hand-checked rank thresholds, values clamp into band") {
+    // stratum A: values 1..10 -> n=10, kLo = floor(9*0.05)+1 = 1 (lo=1.0),
+    // kHi = floor(9*0.95)+1 = 9 (hi=9.0); 10.0 clamps to 9.0
+    val df = (1 to 10).map(i => (i.toLong, "A", i.toDouble)).toDF("id", "s", "v")
+    val got = graft.operators.CurationOps.winsorize(df, col("id"), col("s"),
+        col("v"), 0.05, 0.95, exact = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.forall { case (_, _, lo, hi, _) => lo == 1.0 && hi == 9.0 })
+    assert(got.map(_._5).toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0))
+  }
+
+  test("winsorize approx: thresholds within one rank of exact on a spread stratum") {
+    val df = (1 to 200).map(i => (i.toLong, "A", i.toDouble)).toDF("id", "s", "v")
+    def thresholds(exact: Boolean) =
+      graft.operators.CurationOps.winsorize(df, col("id"), col("s"), col("v"),
+          0.10, 0.90, exact = exact)
+        .select("lo", "hi").distinct().collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).head
+    val (exLo, exHi) = thresholds(true)
+    val (apLo, apHi) = thresholds(false)
+    assert(math.abs(apLo - exLo) <= 1.0 && math.abs(apHi - exHi) <= 1.0)
+  }
+
+  test("tokenDiversity: hand-checked Simpson collision, short docs null") {
+    val df = Seq(
+      (1L, "a a a a"),        // all same: collision 12/12 = 1
+      (2L, "a b c d"),        // all distinct: collision 0
+      (3L, "a a b b"),        // 2+2: (2+2)/12
+      (4L, "solo")            // 1 token -> null
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.tokenDiversity(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, Some(1.0))))
+    assert(got(2L) == ((4L, Some(0.0))))
+    assert(got(3L) == ((4L, Some(4.0 / 12.0))))
+    assert(got(4L) == ((1L, None)))
+  }
+
+  test("domainBlocklist: exact host, subdomain, min-rule tie, clean doc null") {
+    val df = Seq(
+      (1L, "x http://ads.example.com/a y"),     // subdomain of example.com
+      (2L, "x https://example.com/b y"),        // exact host
+      (3L, "x http://example.com.evil.io/c y"), // NOT a suffix match
+      (4L, "x http://ads.example.com/a https://bad.org/z y"), // both rules -> min
+      (5L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.domainBlocklist(df, col("doc_id"),
+        col("text"), Seq("example.com", "bad.org"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got(1L) == Some("example.com"))
+    assert(got(2L) == Some("example.com"))
+    assert(got(3L) == None)
+    assert(got(4L) == Some("bad.org")) // "bad.org" < "example.com"
+    assert(got(5L) == None)
+    assert(got.size == 5)
+  }
 }

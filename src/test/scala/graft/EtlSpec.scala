@@ -61,6 +61,32 @@ class EtlSpec extends SparkSpec {
     assert(yaml.contains("  - id: 1"))
   }
 
+  test("unpivot: pivot round-trip, nulls dropped, common type") {
+    val wide = Seq((1L, 10.0, 2.5), (2L, 20.0, 3.5)).toDF("k", "a", "b")
+    val long = EtlOps.unpivotLong(wide, Seq("k"), Seq("a", "b"))
+      .orderBy("k", "metric").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(long.toSeq === Seq((1L, "a", 10.0), (1L, "b", 2.5),
+      (2L, "a", 20.0), (2L, "b", 3.5)))
+    // sparse wide row: the null cell vanishes (pivot's sparse convention)
+    val sparse = Seq((1L, Some(10.0), Option.empty[Double])).toDF("k", "a", "b")
+    assert(EtlOps.unpivotLong(sparse, Seq("k"), Seq("a", "b")).count() === 1)
+  }
+
+  test("jsonl permissive read: bad lines land in _corrupt with raw bytes, good lines parse") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Seq("""{"id":1,"name":"ok"}""", """{"id":2,"na""", """{"id":3,"name":"fine"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val out = EtlOps.readJsonlPermissive(spark, tmp, schema)
+    val good = out.filter(col("_corrupt").isNull).orderBy("id").collect()
+    assert(good.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val bad = out.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length === 1 && bad.head.getAs[String]("_corrupt").startsWith("""{"id":2"""))
+  }
+
   test("multimodal: binary plumbing + stub decode features") {
     val docs = Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Multimodal.extractFeatures(Multimodal.attachBinary(docs)).collect()
