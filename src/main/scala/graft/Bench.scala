@@ -87,7 +87,8 @@ object Bench {
       """"a23_season_score":"percentile_approx since r02 (r01: exact)",""" +
       """"d06_dedup_clusters":"adaptive local union-find under 2M pairs + eager shared-frame materialization since r05 (r03-r04: single-join augmented-edge CC rounds, r02: 3-join path halving, r01: 1-hop propagation)",""" +
       """"d03_minhash_lsh":"eager persist materialization since r05 (lazy persist raced across sibling stages, computing the shared lineage 2-3x)",""" +
-      """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03"}"""
+      """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
+      """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05"}"""
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
     spark.stop()
   }
