@@ -403,6 +403,24 @@ object BQueries {
         .orderBy("c_custkey")
     }),
 
+    "b47_scd2" -> ((s, dir) => {
+      // E73: type-2 SCD history over the b34 changelog — one validity
+      // interval per upsert, delete tombstones close without opening.
+      val changelog = orders(s, dir).select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        concat(lit("n_"), col("o_orderkey").cast("string")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+      graft.operators.CdcOps.scd2History(changelog, Seq("c_custkey"),
+          "seq", "op", Seq("c_name", "c_acctbal"))
+        .select(col("c_custkey"), col("seq_from"), col("seq_to"),
+          col("is_current").cast("int").as("is_current"), col("c_name"),
+          rnd(col("c_acctbal")).as("c_acctbal"))
+        .orderBy("c_custkey", "seq_from")
+    }),
+
     "b35_snapshot_diff" -> ((s, dir) => {
       // E42 through the gate: diff two snapshot versions (every 11th key
       // deleted, every 3rd rebalanced, every 17th re-keyed in as an
@@ -669,6 +687,23 @@ object BQueries {
          |s4 AS (SELECT c_custkey, (dx | (dx << 1)) & 1431655765 AS ex, (dy | (dy << 1)) & 1431655765 AS ey FROM s3)
          |SELECT c_custkey, ex | (ey << 1) AS z FROM s4 ORDER BY c_custkey""".stripMargin
     },
+
+    // lead-window twin over the same changelog derivation
+    "b47_scd2" ->
+      s"""WITH ch AS (
+         |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+         |    o_orderkey AS seq,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    'n_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         |    o_totalprice AS c_acctbal
+         |  FROM orders),
+         |v AS (
+         |  SELECT *, lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS seq_to
+         |  FROM ch)
+         |SELECT c_custkey, seq AS seq_from, seq_to,
+         |  CAST(seq_to IS NULL AS INT) AS is_current, c_name,
+         |  ${rndSql("c_acctbal")} AS c_acctbal
+         |FROM v WHERE op <> 'D' ORDER BY c_custkey, seq_from""".stripMargin,
 
     // UNION ALL twin of the Expand-planned unpivot
     "b43_unpivot" ->

@@ -179,6 +179,20 @@ object OlapQueries {
         .orderBy("event_id")
     }),
 
+    "b46_pagerank" -> ((s, dir) => {
+      // E72: fixed-point PageRank over the supplier→customer ship graph
+      // (distinct (l_suppkey, o_custkey) pairs; the customer key space is
+      // offset to disambiguate). Integer pico-rank floors replay
+      // identically in the oracle's unrolled recurrence.
+      val edges = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + lit(1000000L)).as("dst"))
+      graft.operators.GraphOps.pageRank(edges, col("src"), col("dst"),
+          iterations = 6)
+        .orderBy("node")
+    }),
+
     "b40_fuzzy_match" -> ((s, dir) => {
       // E56: distance-1 fuzzy join of deterministically-corrupted supplier
       // names (one char deleted at a doc-derived position) back onto the
@@ -376,6 +390,32 @@ object OlapQueries {
         |  COUNT(*) AS n_users
         |FROM ub JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the identical integer recurrence, unrolled — GENERATED so the oracle
+    // and the operator cannot drift on iteration count or arithmetic
+    "b46_pagerank" -> {
+      val nSub = "(SELECT COUNT(*) FROM nodes)"
+      val iters = (1 to 6).map { i =>
+        s"""r$i AS (
+           |  SELECT n.node,
+           |    CAST((15 * (1000000000000 // $nSub)) // 100
+           |      + (85 * COALESCE(s.inb, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM(r.rank // e.outdeg) AS BIGINT) AS inb
+           |    FROM ed e JOIN r${i - 1} r ON e.src = r.node
+           |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON e.src = d.src),
+         |r0 AS (SELECT node, CAST(1000000000000 // $nSub AS BIGINT) AS rank FROM nodes),
+         |$iters
+         |SELECT node, rank AS rank_pico, CAST(rank AS DOUBLE) / 1e12 AS rank
+         |FROM r6 ORDER BY node""".stripMargin
+    },
 
     // rank-defined quantile clamp: value at 1-based rank floor(q*(n-1))+1
     // in (value, event_id) order per stratum

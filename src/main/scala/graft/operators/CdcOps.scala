@@ -87,6 +87,33 @@ object CdcOps {
         payload.map(p => col(s"__new.$p").as(p)): _*)
   }
 
+  /** Type-2 slowly-changing-dimension history: turn a changelog into one
+    * validity interval per version — (key, payload, seq_from, seq_to)
+    * with `seq_to` = the next change's sequence (exclusive) and null for
+    * the current version. A delete tombstone closes the previous
+    * version's interval without opening one (it is not a version and is
+    * dropped from the output), so a key whose last op is 'D' simply has
+    * no current row. This is the standard warehouse dimension-history
+    * build (MERGE ... WHEN MATCHED UPDATE valid_to).
+    *
+    * Plan: ONE shuffle on the key + a per-key sort feeding a single
+    * `lead` window — no self-join of the changelog against itself (the
+    * textbook formulation joins each row to its successor). The changelog
+    * is delta-sized, never snapshot-sized. `(key, seq)` must be unique —
+    * run [[compactChangelog]] first when a batch can carry same-seq
+    * duplicates. */
+  def scd2History(changelog: DataFrame, key: Seq[String], seqCol: String,
+                  opCol: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(seqCol))
+    changelog
+      .withColumn("__seq_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(key.map(col) ++ Seq(col(seqCol).as("seq_from"),
+        col("__seq_to").as("seq_to"),
+        (col("__seq_to").isNull).as("is_current")) ++ payload.map(col): _*)
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): combine a
     * stored aggregate state with a new batch's aggregate of the SAME shape
     * — union + one re-aggregate per mergeable column. For algebraic

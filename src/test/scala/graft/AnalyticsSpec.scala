@@ -322,6 +322,26 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("percentile_approx runs as a windowed streaming aggregate (sketch is mergeable state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agged = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(10000)).as("p50"))
+    val q = agged.writeStream.format("memory").queryName("pct_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1 to 9).map(i =>
+        (ts(f"2024-01-01 00:00:${i * 5}%02d"), i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:05:00"), 99.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("pct_stream").select("p50").collect().map(_.getDouble(0))
+      assert(rows.toSeq === Seq(5.0)) // exact median at this cardinality
+    } finally q.stop()
+  }
+
   test("funnel: greedy earliest traversal, strictly-after semantics, ties by id") {
     val df = Seq(
       // user 1: full funnel in order

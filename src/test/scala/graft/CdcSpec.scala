@@ -120,4 +120,24 @@ class CdcSpec extends SparkSpec {
     // new key (3) appears, existing key (1) merges across both inputs
     assert(merged.map(_._1).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("scd2History: intervals chain, deletes close without opening, last version current") {
+    val changelog = Seq(
+      (1L, 10L, "U", "a"), (1L, 20L, "U", "b"), (1L, 30L, "D", "x"),
+      (1L, 40L, "U", "c"),                       // re-inserted after delete
+      (2L, 5L, "U", "only"),                     // single current version
+      (3L, 7L, "U", "gone"), (3L, 9L, "D", "x")  // deleted, no current row
+    ).toDF("k", "seq", "op", "v")
+    val got = CdcOps.scd2History(changelog, Seq("k"), "seq", "op", Seq("v"))
+      .orderBy("k", "seq_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 10L, Some(20L), false, "a"),
+      (1L, 20L, Some(30L), false, "b"),   // closed by the delete
+      (1L, 40L, None, true, "c"),
+      (2L, 5L, None, true, "only"),
+      (3L, 7L, Some(9L), false, "gone"))) // closed, never current again
+  }
 }
