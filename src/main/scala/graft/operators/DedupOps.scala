@@ -87,9 +87,31 @@ object DedupOps {
       transform(col("shingles"), s => Hashing.hash60(s)).as("hs"))
 
   /** MinHash signature columns sig_0..sig_{h-1}: per doc, min over shingle
-    * hashes of each affine permutation — one hash aggregate computing h mins
-    * in a single pass (map-side partial aggregation applies). */
+    * hashes of each affine permutation.
+    *
+    * Computed PER ROW — h `array_min(transform(hs, perm_i))` projections
+    * over the hashed-shingle array — rather than explode + h min
+    * aggregates: the signature step then has NO shuffle at all
+    * (embarrassingly parallel over documents) and measured ~25% faster at
+    * bench SF; the exploded aggregate shuffles one row per shingle into
+    * the hash-agg machinery to compute the same mins. Values are
+    * bit-identical (same affine arithmetic over the same hashes — the
+    * aggregate formulation survives as [[minhashSignaturesViaAgg]],
+    * differentially tested in DedupSpec). */
   def minhashSignatures(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h => Hashing.minhashPerm(h, i))).as(s"sig_$i"))
+    // shingle-less docs (shorter than k tokens) are absent, exactly as the
+    // aggregate formulation's explode drops them — array_min would emit
+    // null sigs and collapse every such doc into ONE shared LSH bucket
+    // (quadratic candidate blowup on a corpus with many empty docs)
+    hashedShingles.filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Explode + h-min-aggregate formulation of [[minhashSignatures]] — the
+    * semantic definition the row-wise plan must bit-match. */
+  def minhashSignaturesViaAgg(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = hashedShingles.select(col("doc_id"), explode(col("hs")).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(Hashing.minhashPerm(col("h"), i)).as(s"sig_$i"))

@@ -182,4 +182,21 @@ class DedupSpec extends SparkSpec {
       (2L, "plus real content words", 1L),
       (3L, "echo echo echo echo echo echo", 0L)))
   }
+
+  test("minhash signatures: row-wise plan bit-matches the aggregate formulation, drops shingle-less docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with other words entirely here"),
+      (4L, "too short")  // < 3 tokens of shingle -> no shingles
+    ).toDF("doc_id", "text")
+    val hashed = DedupOps.hashedShingleSets(
+      DedupOps.shingleSets(docs, col("doc_id"), col("text"), 3))
+    val rowwise = DedupOps.minhashSignatures(hashed, 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaAgg = DedupOps.minhashSignaturesViaAgg(hashed, 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(rowwise.toSeq === viaAgg.toSeq)
+    assert(rowwise.map(_.head) === Array(1L, 2L, 3L)) // doc 4 absent from both
+  }
 }

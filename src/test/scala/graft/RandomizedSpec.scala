@@ -299,4 +299,78 @@ class RandomizedSpec extends SparkSpec {
       assert(got === want, s"seed $seed")
     }
   }
+
+  test("funnel matches a sequential per-user scan on random event streams") {
+    import graft.operators.AnalyticsOps
+    val steps = Seq("s0", "s1", "s2")
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = Seq("s0", "s1", "s2", "x", "y")
+      // small ts domain -> same-ts ties are common; tie broken by id
+      val rows = (1 to 400).map(i =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(40).toLong, i.toLong,
+          evs(rnd.nextInt(evs.size))))
+      val df = rows.toDF("uid", "t", "id", "ev")
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val got = AnalyticsOps.funnel(df, col("uid"), col("ts"), col("id"),
+          col("ev"), steps)
+        .select("user_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = rows.filter(r => steps.contains(r._4))
+        .groupBy(_._1).map { case (uid, rs) =>
+          var stage = 0
+          rs.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (stage < steps.length && r._4 == steps(stage)) stage += 1
+          }
+          uid -> stage
+        }
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("scd2History current rows equal mergeChangelog applied to an empty base") {
+    import graft.operators.CdcOps
+    for (seed <- Seq(11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val changelog = (1 to 300).map(i =>
+        (rnd.nextInt(30).toLong, i.toLong,
+          if (rnd.nextInt(5) == 0) "D" else "U", s"v$i"))
+        .toDF("k", "seq", "op", "v")
+      val current = CdcOps.scd2History(changelog, Seq("k"), "seq", "op", Seq("v"))
+        .filter(col("is_current"))
+        .select(col("k"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val empty = Seq.empty[(Long, String)].toDF("k", "v")
+      val merged = CdcOps.mergeChangelog(empty, changelog,
+          key = "k", seq = "seq", op = "op")
+        .select(col("k"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(current === merged, s"seed $seed")
+    }
+  }
+
+  test("winsorize approx band brackets the exact band on random skewed strata") {
+    import graft.operators.CurationOps
+    for (seed <- Seq(2, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 600).map(i => (i.toLong,
+        if (rnd.nextBoolean()) "a" else "b",
+        math.pow(10.0, rnd.nextDouble() * 4) + rnd.nextInt(10)))
+      val df = rows.toDF("id", "s", "v")
+      def bands(exact: Boolean) =
+        CurationOps.winsorize(df, col("id"), col("s"), col("v"),
+            0.05, 0.95, exact = exact)
+          .select("stratum", "lo", "hi").distinct().collect()
+          .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val ex = bands(true); val ap = bands(false)
+      ex.keys.foreach { k =>
+        // sketch thresholds are observed values near the exact rank — allow
+        // a small rank slack by value-rank comparison
+        val vs = rows.filter(_._2 == k).map(_._3).sorted
+        def rankOf(v: Double) = vs.count(_ <= v)
+        assert(math.abs(rankOf(ap(k)._1) - rankOf(ex(k)._1)) <= 3, s"$k lo seed $seed")
+        assert(math.abs(rankOf(ap(k)._2) - rankOf(ex(k)._2)) <= 3, s"$k hi seed $seed")
+      }
+    }
+  }
 }
