@@ -477,6 +477,33 @@ object DQueries {
         .orderBy("id")
     }),
 
+    "s07_centroids" -> ((s, dir) => {
+      // E74: exact per-label embedding centroids — nano-quantized long
+      // sums make the mean order-independent and oracle-exact.
+      SimilarityOps.groupCentroids(embeddings(s, dir), col("label"),
+          col("embedding"))
+        .orderBy("grp", "pos")
+    }),
+
+    "t28_url_canon" -> ((s, dir) => {
+      // E75: URL canonicalization over deterministically planted messy
+      // URLs — mixed-case hosts, default ports, utm/fbclid params in
+      // every position, fragments, trailing slashes.
+      val m2 = pmod(col("doc_id"), lit(2)); val m3 = pmod(col("doc_id"), lit(3))
+      val withUrls = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" http://Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".Example.COM:80/p"), pmod(col("doc_id"), lit(11)).cast("string"),
+          when(m3 === 0, lit("/")).otherwise(lit("")),
+          when(m2 === 0,
+            concat(lit(" https://Mirror.example.org:443/x?utm_source=a&q="),
+              pmod(col("doc_id"), lit(5)).cast("string"),
+              lit("&fbclid=zz#sec"))).otherwise(lit(""))
+        ).as("text"))
+      TextOps.canonicalizeUrls(withUrls, col("doc_id"), col("text"))
+        .orderBy("id", "url")
+    }),
+
     "m02_frame_sample" -> ((s, dir) => {
       // E61: metadata-driven frame explode over binary payloads — every
       // 4th 32-byte "frame" as its own row; content verified via hex (the
@@ -1209,6 +1236,48 @@ object DQueries {
         |  GROUP BY 1)
         |SELECT d.doc_id AS id, m.blocked_by
         |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY id""".stripMargin,
+
+    // nano-quantized exact centroid sums (dim fixed at 64, the cosSql
+    // range convention)
+    "s07_centroids" ->
+      """WITH x AS (
+        |  SELECT label AS grp, i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT) AS v
+        |  FROM embeddings, range(1, 65) t(i))
+        |SELECT grp, pos, COUNT(*) AS n,
+        |  CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS centroid
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same canonicalization sequence in the RE2 dialect (\1 backrefs,
+    // 'g' flags); step order is the contract
+    "t28_url_canon" ->
+      """WITH w AS (
+        |  SELECT doc_id, text
+        |    || ' http://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:80/p'
+        |    || CAST(doc_id % 11 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' https://Mirror.example.org:443/x?utm_source=a&q='
+        |         || CAST(doc_id % 5 AS VARCHAR) || '&fbclid=zz#sec' ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?', 0)) AS url
+        |  FROM w),
+        |c0 AS (SELECT id, url, regexp_replace(url, '#.*$', '') AS s FROM u),
+        |c1 AS (
+        |  SELECT id, url,
+        |    lower(regexp_extract(s, '^(https?://[^/?#]*)', 1))
+        |      || regexp_extract(s, '^https?://[^/?#]*(.*)$', 1) AS s
+        |  FROM c0),
+        |c2 AS (SELECT id, url,
+        |    regexp_replace(s, '[?&](utm_[A-Za-z0-9_]+|fbclid)=[^&#]*', '', 'g') AS s FROM c1),
+        |c3 AS (SELECT id, url, regexp_replace(s, '^((?:[^?&])*)&', '\1?') AS s FROM c2),
+        |c4 AS (SELECT id, url,
+        |    regexp_replace(s, '^(http://[^/:?#]+):80(/|$|\?)', '\1\2') AS s FROM c3),
+        |c5 AS (SELECT id, url,
+        |    regexp_replace(s, '^(https://[^/:?#]+):443(/|$|\?)', '\1\2') AS s FROM c4)
+        |SELECT id, url, regexp_replace(s, '/$', '') AS canon
+        |FROM c5 ORDER BY id, url""".stripMargin,
 
     // twin of Multimodal.sampleFrames(32, 4) over the attachBinary payload
     // (utf-8 text bytes): frame content compared via hex-string slicing

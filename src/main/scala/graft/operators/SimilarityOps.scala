@@ -64,6 +64,30 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact per-group embedding centroids, emitted long-form as
+    * (grp, pos, n, centroid). The mean is computed ORDER-INDEPENDENTLY:
+    * each component is quantized to nano units (`round(x·10⁹)` — one
+    * deterministic IEEE multiply + round), summed as exact longs, and
+    * divided once at the end — a double-sum mean differs run-to-run at
+    * scale because fp addition isn't associative across partition orders
+    * (the E72 argument), and would not be oracle-checkable. Quantization
+    * bias is ≤ 5·10⁻¹⁰ per component — far below embedding noise.
+    *
+    * Plan: posexplode to (grp, pos, q) — dim rows per vector — then ONE
+    * hash aggregate on (grp, pos) with map-side combine; a mega-group
+    * flattens under partial aggregation exactly like E63. Use for
+    * per-source/per-cluster centroids, drift monitoring, or seeding
+    * coarse quantizers. */
+  def groupCentroids(df: DataFrame, groupCol: Column, embCol: Column): DataFrame =
+    df.select(groupCol.as("grp"),
+        posexplode(transform(embCol,
+          x => round(x.cast("double") * lit(1.0e9)).cast("long"))))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("__s"))
+      .select(col("grp"), col("pos"), col("n"),
+        (col("__s").cast("double") / (col("n").cast("double") * lit(1.0e9)))
+          .as("centroid"))
+
   /** Symmetric int8 quantization of an embedding column — the standard 4×
     * storage/bandwidth compression for embedding tables at rest: per-vector
     * scale = max|v|/127, q_i = round(v_i / scale) ∈ [-127, 127]. Zero

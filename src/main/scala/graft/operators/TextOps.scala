@@ -508,6 +508,45 @@ object TextOps {
     df.select(idCol.as("id")).join(matched, Seq("id"), "left")
   }
 
+  /** Canonicalize one URL string: (1) strip the fragment, (2) lowercase
+    * scheme+host (path/query case is significant and preserved),
+    * (3) remove tracking query params (`utm_*`, `fbclid`) wherever they
+    * sit in the query string, (4) strip default ports (:80 for http,
+    * :443 for https), (5) strip a trailing slash. The step ORDER is part
+    * of the contract — the DuckDB twin replays the same sequence (RE2 ∩
+    * Java dialect: no lookahead, backreferences only in replacements,
+    * where each dialect uses its own syntax). Crawl dedup by URL is only
+    * as good as this normalization — "http://Site.COM:80/a?utm_source=x"
+    * and "http://site.com/a" are the same fetch. Input is an extracted
+    * URL (lowercase scheme, the [[UrlRe]] convention). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = lower(regexp_extract(noFrag, "^(https?://[^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^https?://[^/?#]*(.*)$", 1)
+    val lowered = concat(prefix, rest)
+    // remove every "?p=v"/"&p=v" tracking pair (separator-anchored, so a
+    // legit "xutm_a" param never matches), then repair the query head: if
+    // the first remaining separator is '&' (the '?' pair was removed),
+    // promote it to '?'. Two global replaces handle ANY mix of adjacent
+    // tracking params — the single-pass "match includes the next '&'"
+    // formulations all skip one of two back-to-back params.
+    val noTrack = regexp_replace(lowered,
+      "[?&](utm_[A-Za-z0-9_]+|fbclid)=[^&#]*", "")
+    val repaired = regexp_replace(noTrack, "^((?:[^?&])*)&", "$1?")
+    val noPort80 = regexp_replace(repaired, "^(http://[^/:?#]+):80(/|$|\\?)", "$1$2")
+    val noPort = regexp_replace(noPort80, "^(https://[^/:?#]+):443(/|$|\\?)", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** Per-document URL extraction + canonicalization: one row per URL
+    * occurrence, (id, url, canon). Pure per-row regex projections, no
+    * shuffle; feed the canon column into [[extractDomains]]-style
+    * aggregation or exact URL-level dedup. */
+  def canonicalizeUrls(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        explode(regexp_extract_all(textCol, lit(UrlRe), lit(0))).as("url"))
+      .withColumn("canon", canonicalizeUrl(col("url")))
+
   /** Collocation mining via ratio-PMI: corpus bigram counts vs the
     * independence expectation. Score = P(ab) / (P(a)·P(b)) expressed as
     * (c_ab·N_uni·N_uni) / (N_bi·c_a·c_b) — the ratio form of pointwise

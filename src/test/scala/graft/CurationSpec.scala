@@ -330,6 +330,31 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(apLo - exLo) <= 1.0 && math.abs(apHi - exHi) <= 1.0)
   }
 
+  test("canonicalizeUrl: hand-checked normalization cases") {
+    val cases = Seq(
+      // fragment + default port + trailing slash + host case
+      ("http://Site.Example.COM:80/path/#frag", "http://site.example.com/path"),
+      // tracking params removed wherever they sit; '?' head repaired
+      ("https://h.org/x?utm_source=a&q=1&fbclid=z", "https://h.org/x?q=1"),
+      ("https://h.org/x?utm_a=1&utm_b=2", "https://h.org/x"),
+      ("https://h.org/x?q=1&utm_a=1&b=2", "https://h.org/x?q=1&b=2"),
+      // a legit param merely CONTAINING utm_ survives (separator anchor)
+      ("http://h.org/x?xutm_a=1", "http://h.org/x?xutm_a=1"),
+      // :443 only default for https; :8080 never stripped
+      ("http://h.org:443/x", "http://h.org:443/x"),
+      ("http://h.org:8080/x", "http://h.org:8080/x"),
+      ("https://H.org:443/x", "https://h.org/x"),
+      // port stripped with root path + query after (UrlRe only continues
+      // past a port via '/', so a bare ":80?q=1" extracts as ":80")
+      ("http://h.org:80/?q=1", "http://h.org/?q=1"))
+    val got = graft.operators.TextOps.canonicalizeUrls(
+        cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, s"see $u end") }
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .orderBy("id").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.toSeq === cases.map { case (u, c) => (u, c) })
+  }
+
   test("tokenDiversity: hand-checked Simpson collision, short docs null") {
     val df = Seq(
       (1L, "a a a a"),        // all same: collision 12/12 = 1

@@ -167,4 +167,25 @@ class SimilaritySpec extends SparkSpec {
     info(s"trained pq-adc recall@5 = $recall")
     assert(recall >= 0.06, s"trained PQ-ADC recall@5 $recall below floor")
   }
+
+  test("groupCentroids: exact hand-checked means, order-independent across partitionings") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("e", ArrayType(FloatType))))
+    val rows = Seq(
+      Row("a", Seq(1.0f, -2.0f)), Row("a", Seq(3.0f, 4.0f)),
+      Row("b", Seq(0.5f, 0.5f)))
+    def df(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), schema)
+    def centroids(parts: Int) =
+      SimilarityOps.groupCentroids(df(parts), col("g"), col("e"))
+        .orderBy("grp", "pos").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val got = centroids(3)
+    assert(got.toSeq === Seq(
+      ("a", 0, 2L, 2.0), ("a", 1, 2L, 1.0),
+      ("b", 0, 1L, 0.5), ("b", 1, 1L, 0.5)))
+    assert(centroids(1).toSeq === got.toSeq) // partitioning-invariant
+  }
 }
