@@ -193,6 +193,86 @@ object OlapQueries {
         .orderBy("node")
     }),
 
+    "b48_tpch_q1" -> ((s, dir) => {
+      // E76: TPC-H Q1 (pricing summary) adapted to the testdata's date
+      // range — the canonical scan-heavy aggregate. Products are cast to
+      // decimal BEFORE summation: the per-row double product is within
+      // ulps of its ≤6-dp true value, so the cast recovers it exactly and
+      // the sums are order-independent (see QueryHelpers).
+      def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      val l = lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = discPrice * (lit(1.0) + col("l_tax"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("__sq"),
+          sum(dec(col("l_extendedprice"))).as("__sp"),
+          sum(dec6(discPrice)).as("__sdp"),
+          sum(dec6(charge)).as("__sc"),
+          sum(dec(col("l_discount"))).as("__sd"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          decOut(col("__sq")).as("sum_qty"),
+          decOut(col("__sp")).as("sum_base_price"),
+          decOut(col("__sdp")).as("sum_disc_price"),
+          decOut(col("__sc")).as("sum_charge"),
+          rnd(col("__sq").cast("double") / col("count_order")).as("avg_qty"),
+          rnd(col("__sp").cast("double") / col("count_order")).as("avg_price"),
+          rnd(col("__sd").cast("double") / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "b49_tpch_q3" -> ((s, dir) => {
+      // E76: TPC-H Q3 (shipping priority) — selective dim filter, two
+      // fact joins, top-10 by EXACT decimal revenue (deterministic order,
+      // tie-broken by key).
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("2000-03-15").cast("timestamp"))
+      val dec6 = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec6).as("__rev"))
+        .orderBy(col("__rev").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), decOut(col("__rev")).as("revenue"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    "b50_tpch_q5" -> ((s, dir) => {
+      // E76: TPC-H Q5 (local-supplier volume) — the 6-table join. nation
+      // and region carry explicit broadcast hints (25 and 5 rows at ANY
+      // scale factor — the dims that stay broadcastable at 100 TB); AQE
+      // handles the rest. Plan shape asserted in OlapPlanSpec.
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = lineitem(s, dir)
+      val sup = supplier(s, dir)
+      val n = nation(s, dir)
+      val r = region(s, dir).filter(col("r_name") === "ASIA")
+      val dec6 = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec6).as("__rev"))
+        .orderBy(col("__rev").desc, col("n_name"))
+        .select(col("n_name"), decOut(col("__rev")).as("revenue"))
+    }),
+
     "b40_fuzzy_match" -> ((s, dir) => {
       // E56: distance-1 fuzzy join of deterministically-corrupted supplier
       // names (one char deleted at a doc-derived position) back onto the
@@ -390,6 +470,55 @@ object OlapQueries {
         |  COUNT(*) AS n_users
         |FROM ub JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "b48_tpch_q1" -> {
+      def d6(e: String) =
+        s"round(CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) * 10000) / 10000"
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSumSql("l_quantity")} AS sum_qty,
+         |  ${decSumSql("l_extendedprice")} AS sum_base_price,
+         |  ${d6("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${d6("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${rndSql("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)")} AS avg_qty,
+         |  ${rndSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)")} AS avg_price,
+         |  ${rndSql("CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // top-10 by EXACT decimal revenue (the limit set is order-sensitive,
+    // so the sort runs on the unrounded decimal, tie-broken by key)
+    "b49_tpch_q3" ->
+      """WITH t AS (
+        |  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY rev DESC, l_orderkey LIMIT 10)
+        |SELECT l_orderkey, round(CAST(rev AS DOUBLE) * 10000) / 10000 AS revenue,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate, o_orderpriority
+        |FROM t ORDER BY revenue DESC, l_orderkey""".stripMargin,
+
+    "b50_tpch_q5" ->
+      """SELECT n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 10000) / 10000 AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
 
     // the identical integer recurrence, unrolled — GENERATED so the oracle
     // and the operator cannot drift on iteration count or arithmetic
