@@ -86,9 +86,10 @@ object Bench {
       """"a21_percentile_rejoin":"percentile_approx since r02 (r01: exact)",""" +
       """"a23_season_score":"percentile_approx since r02 (r01: exact)",""" +
       """"d06_dedup_clusters":"adaptive local union-find under 2M pairs + eager shared-frame materialization since r05 (r03-r04: single-join augmented-edge CC rounds, r02: 3-join path halving, r01: 1-hop propagation)",""" +
-      """"d03_minhash_lsh":"eager persist materialization + zero-shuffle row-wise signature fold since r05 (r01-r04: lazy persist raced across sibling stages; signatures via explode+128-min aggregate)",""" +
+      """"d03_minhash_lsh":"eager persist materialization since r05 (lazy persist raced across sibling stages, computing the shared lineage 2-3x); a row-wise signature plan was A/B-profiled and rejected (slower than the aggregate, see SCALING)",""" +
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
-      """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05"}"""
+      """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
+      """"b46_pagerank":"4 distributed rounds; cost is per-round fixed overhead (join+agg+localCheckpoint ~1.5s each locally), not graph size"}"""
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
     spark.stop()
   }

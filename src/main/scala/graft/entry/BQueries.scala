@@ -476,6 +476,22 @@ object BQueries {
         .orderBy("status")
     }),
 
+    "b51_orc_roundtrip" -> ((s, dir) => {
+      // E77: ORC source/sink round-trip — columnar-format coverage beside
+      // parquet (everywhere else) and CSV/JSONL (b01/b44). Reads back
+      // with a projection + filter so the ORC reader's pushdown paths
+      // execute, then aggregates.
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_b51_orc").toString
+      customer(s, dir).write.mode("overwrite")
+        .option("compression", "zlib").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("c_acctbal") > 0.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), decOut(sum(dec(col("c_acctbal")))).as("bal_sum"))
+        .orderBy("c_mktsegment")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -704,6 +720,13 @@ object BQueries {
          |  CAST(seq_to IS NULL AS INT) AS is_current, c_name,
          |  ${rndSql("c_acctbal")} AS c_acctbal
          |FROM v WHERE op <> 'D' ORDER BY c_custkey, seq_from""".stripMargin,
+
+    // format round-trip must be invisible: oracle recomputes straight
+    // from the table
+    "b51_orc_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${decSumSql("c_acctbal")} AS bal_sum
+         |FROM customer WHERE c_acctbal > 0.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // UNION ALL twin of the Expand-planned unpivot
     "b43_unpivot" ->

@@ -13,6 +13,14 @@ import QueryHelpers._
   */
 object OlapQueries {
 
+  /** b46 iteration count — ONE constant drives both the Spark plan and the
+    * generated unrolled oracle, so they cannot drift. Each distributed
+    * round costs a fixed join+agg+checkpoint cycle (~1 s locally
+    * regardless of graph size); 4 rounds spread rank far enough to
+    * discriminate hubs while keeping the per-round overhead visible in
+    * bench honest. */
+  val PageRankIters = 4
+
   val queries: Map[String, Q] = Map(
     "a32_sliding_window" -> ((s, dir) => {
       // E47: 10-minute windows hopping every 5 — each event lands in 2
@@ -189,7 +197,7 @@ object OlapQueries {
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + lit(1000000L)).as("dst"))
       graft.operators.GraphOps.pageRank(edges, col("src"), col("dst"),
-          iterations = 6)
+          iterations = PageRankIters)
         .orderBy("node")
     }),
 
@@ -524,7 +532,7 @@ object OlapQueries {
     // and the operator cannot drift on iteration count or arithmetic
     "b46_pagerank" -> {
       val nSub = "(SELECT COUNT(*) FROM nodes)"
-      val iters = (1 to 6).map { i =>
+      val iters = (1 to PageRankIters).map { i =>
         s"""r$i AS (
            |  SELECT n.node,
            |    CAST((15 * (1000000000000 // $nSub)) // 100
@@ -543,7 +551,7 @@ object OlapQueries {
          |r0 AS (SELECT node, CAST(1000000000000 // $nSub AS BIGINT) AS rank FROM nodes),
          |$iters
          |SELECT node, rank AS rank_pico, CAST(rank AS DOUBLE) / 1e12 AS rank
-         |FROM r6 ORDER BY node""".stripMargin
+         |FROM r$PageRankIters ORDER BY node""".stripMargin
     },
 
     // rank-defined quantile clamp: value at 1-based rank floor(q*(n-1))+1

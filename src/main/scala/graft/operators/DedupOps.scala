@@ -87,35 +87,35 @@ object DedupOps {
       transform(col("shingles"), s => Hashing.hash60(s)).as("hs"))
 
   /** MinHash signature columns sig_0..sig_{h-1}: per doc, min over shingle
-    * hashes of each affine permutation.
+    * hashes of each affine permutation — one hash aggregate computing h
+    * mins in a single pass (map-side partial aggregation applies).
     *
-    * Computed PER ROW — h `array_min(transform(hs, perm_i))` projections
-    * over the hashed-shingle array — rather than explode + h min
-    * aggregates: the signature step then has NO shuffle at all
-    * (embarrassingly parallel over documents) and measured ~25% faster at
-    * bench SF; the exploded aggregate shuffles one row per shingle into
-    * the hash-agg machinery to compute the same mins. Values are
-    * bit-identical (same affine arithmetic over the same hashes — the
-    * aggregate formulation survives as [[minhashSignaturesViaAgg]],
-    * differentially tested in DedupSpec). */
+    * A zero-shuffle per-row formulation exists
+    * ([[minhashSignaturesRowwise]], bit-matched in DedupSpec) and looks
+    * attractive on paper, but A/B profiling with cold caches showed it
+    * SLOWER end-to-end: h `transform` HOFs each allocate an |hs|-sized
+    * array per row (interpreted, outside codegen), while the exploded
+    * aggregate stays in codegen'd hash-agg machinery and its shuffle is
+    * only h longs per doc after map-side combine. Kept as the measured
+    * counter-example to "fewer shuffles is always faster" — the winner
+    * depends on where the work runs, not just on shuffle count. */
   def minhashSignatures(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("hs"), h => Hashing.minhashPerm(h, i))).as(s"sig_$i"))
-    // shingle-less docs (shorter than k tokens) are absent, exactly as the
-    // aggregate formulation's explode drops them — array_min would emit
-    // null sigs and collapse every such doc into ONE shared LSH bucket
-    // (quadratic candidate blowup on a corpus with many empty docs)
-    hashedShingles.filter(size(col("hs")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-  }
-
-  /** Explode + h-min-aggregate formulation of [[minhashSignatures]] — the
-    * semantic definition the row-wise plan must bit-match. */
-  def minhashSignaturesViaAgg(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
     val exploded = hashedShingles.select(col("doc_id"), explode(col("hs")).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(Hashing.minhashPerm(col("h"), i)).as(s"sig_$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-row HOF formulation of [[minhashSignatures]] — no shuffle, but
+    * h interpreted array allocations per row; see the primary's scaladoc
+    * for why the aggregate wins. Shingle-less docs are filtered to match
+    * the aggregate's explode-drop semantics (null sigs would collapse
+    * every empty doc into one hot LSH bucket). */
+  def minhashSignaturesRowwise(hashedShingles: DataFrame, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h => Hashing.minhashPerm(h, i))).as(s"sig_$i"))
+    hashedShingles.filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand),

@@ -192,9 +192,9 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val hashed = DedupOps.hashedShingleSets(
       DedupOps.shingleSets(docs, col("doc_id"), col("text"), 3))
-    val rowwise = DedupOps.minhashSignatures(hashed, 16)
+    val rowwise = DedupOps.minhashSignaturesRowwise(hashed, 16)
       .orderBy("doc_id").collect().map(_.toSeq)
-    val viaAgg = DedupOps.minhashSignaturesViaAgg(hashed, 16)
+    val viaAgg = DedupOps.minhashSignatures(hashed, 16)
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(rowwise.toSeq === viaAgg.toSeq)
     assert(rowwise.map(_.head) === Array(1L, 2L, 3L)) // doc 4 absent from both
