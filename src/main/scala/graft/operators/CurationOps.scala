@@ -103,13 +103,16 @@ object CurationOps {
       s"need 0 <= qLo < qHi <= 1: ($qLo, $qHi)")
     val base = df.select(idCol.as("id"), strataCol.as("stratum"),
       valueCol.as("value"))
+    // thresholds rank NON-NULL values only: nulls sort first in the window
+    // and would shift every rank (and become the lo threshold themselves)
+    val nonNull = base.filter(col("value").isNotNull)
     val thresholds = if (exact) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("stratum"))
         .orderBy(col("value").asc, col("id").asc)
       def kOf(q: Double) =
         (floor((col("__n") - 1) * lit(q)) + 1).cast("long")
-      base
+      nonNull
         .withColumn("__rn", row_number().over(w).cast("long"))
         .withColumn("__n",
           count(lit(1)).over(Window.partitionBy(col("stratum"))))
@@ -117,13 +120,18 @@ object CurationOps {
         .agg(max(when(col("__rn") === kOf(qLo), col("value"))).as("lo"),
           max(when(col("__rn") === kOf(qHi), col("value"))).as("hi"))
     } else {
-      base.groupBy(col("stratum").as("__s"))
+      nonNull.groupBy(col("stratum").as("__s"))
         .agg(percentile_approx(col("value"), lit(qLo), lit(10000)).as("lo"),
           percentile_approx(col("value"), lit(qHi), lit(10000)).as("hi"))
     }
-    base.join(broadcast(thresholds), col("stratum") <=> col("__s"))
+    // left join: an all-null stratum has no threshold row at all. The null
+    // guard on v_wins is load-bearing — Spark's greatest/least SKIP nulls,
+    // so an unguarded clamp would coerce a null value to lo, not keep it
+    // null (verified in CurationSpec).
+    base.join(broadcast(thresholds), col("stratum") <=> col("__s"), "left")
       .withColumn("v_wins",
-        least(greatest(col("value"), col("lo")), col("hi")))
+        when(col("value").isNotNull,
+          least(greatest(col("value"), col("lo")), col("hi"))))
       .select("id", "stratum", "value", "lo", "hi", "v_wins")
   }
 

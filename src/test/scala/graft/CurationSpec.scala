@@ -318,6 +318,25 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._5).toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0))
   }
 
+  test("winsorize: null values pass through unclamped and don't shift thresholds") {
+    val df = ((1 to 10).map(i => (i.toLong, "A", Some(i.toDouble))) ++
+      Seq((90L, "A", Option.empty[Double]), (91L, "B", Option.empty[Double])))
+      .toDF("id", "s", "v")
+    val got = graft.operators.CurationOps.winsorize(df, col("id"), col("s"),
+        col("v"), 0.05, 0.95, exact = true)
+      .orderBy("id").collect()
+    val a = got.filter(_.getString(1) == "A")
+    // thresholds unchanged by the null row: lo=1.0, hi=9.0 (ranked over
+    // the 10 non-null values only)
+    assert(a.forall(r => r.getDouble(3) == 1.0 && r.getDouble(4) == 9.0))
+    // the null-value rows survive with null v_wins (and the all-null
+    // stratum B keeps its row with null thresholds)
+    val nullRows = got.filter(_.isNullAt(2))
+    assert(nullRows.map(_.getLong(0)).toSet === Set(90L, 91L))
+    assert(nullRows.forall(_.isNullAt(5)))
+    assert(got.length === 12)
+  }
+
   test("winsorize approx: thresholds within one rank of exact on a spread stratum") {
     val df = (1 to 200).map(i => (i.toLong, "A", i.toDouble)).toDF("id", "s", "v")
     def thresholds(exact: Boolean) =
