@@ -259,9 +259,12 @@ object AnalyticsOps {
           concat(acc.getField("step_ts"),
             array(e.getField("ts"))).as("step_ts")))
       .otherwise(acc))
+    // null-timestamp events are dropped, not sorted-first: a null ts has
+    // no place in the "strictly after" order, and engines disagree on
+    // null placement inside struct minima
     df.select(userCol.as("user_id"), tsCol.as("__ts"), tieBreak.as("__tie"),
         stepIdx.as("__step"))
-      .filter(col("__step").isNotNull)
+      .filter(col("__step").isNotNull && col("__ts").isNotNull)
       .groupBy("user_id")
       .agg(folded.as("__f"))
       .select(col("user_id"), col("__f.stage").as("stage"),
@@ -285,6 +288,7 @@ object AnalyticsOps {
   def retentionCohorts(df: DataFrame, userCol: Column, tsCol: Column,
                        truncUnit: String, offsetSeconds: Long): DataFrame = {
     val buckets = df
+      .filter(tsCol.isNotNull) // a null ts is activity in no bucket
       .select(userCol.as("user_id"), date_trunc(truncUnit, tsCol).as("__b"))
       .distinct()
     val cohort = min(col("__b")).over(Window.partitionBy(col("user_id")))

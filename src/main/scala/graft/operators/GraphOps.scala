@@ -52,7 +52,10 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val UnitPico: Long = 1000000000000L
     val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(srcCol.as("src"), dstCol.as("dst")).distinct()
+    // a half-null edge is no edge: it would register a null node that
+    // every join silently drops, leaking rank mass nondeterministically
+    val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(MemDisk)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
