@@ -175,6 +175,14 @@ object OlapQueries {
         .orderBy("cohort_ts", "offset_n")
     }),
 
+    "a41_transitions" -> ((s, dir) => {
+      // E78: per-user event-transition matrix in strict (ts, event_id)
+      // order — output is |event types|² regardless of event volume.
+      AnalyticsOps.eventTransitions(events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), col("event_type"))
+        .orderBy("prev_event", "event")
+    }),
+
     "a40_winsorize" -> ((s, dir) => {
       // E68 oracle path: exact rank-defined p05/p95 clamp of event values
       // per event type. The production percentile_approx plan is benched
@@ -553,6 +561,15 @@ object OlapQueries {
          |SELECT node, rank AS rank_pico, CAST(rank AS DOUBLE) / 1e12 AS rank
          |FROM r$PageRankIters ORDER BY node""".stripMargin
     },
+
+    "a41_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+        |  FROM events)
+        |SELECT prev_event, event_type AS event, COUNT(*) AS n_transitions
+        |FROM t WHERE prev_event IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // rank-defined quantile clamp: value at 1-based rank floor(q*(n-1))+1
     // in (value, event_id) order per stratum

@@ -271,6 +271,27 @@ object AnalyticsOps {
         col("__f.step_ts").as("step_ts"))
   }
 
+  /** Event-transition counts (the Markov/path-analysis primitive behind
+    * "where do users go next"): per user, consecutive event pairs in the
+    * strict (ts, tieBreak) order → (prev_event, event, n_transitions).
+    * One shuffle on the user + per-user sort feeding a single `lag`
+    * window, then a pair-count aggregate whose key domain is
+    * |event types|² — the output is transition-matrix-sized regardless
+    * of event volume (map-side combine collapses the pairs). First
+    * events per user have no predecessor and are not transitions.
+    * Null-timestamp events are dropped (no place in the order). */
+  def eventTransitions(df: DataFrame, userCol: Column, tsCol: Column,
+                       tieBreak: Column, eventCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    df.filter(tsCol.isNotNull)
+      .select(userCol.as("__u"), tsCol.as("__ts"), tieBreak.as("__tie"),
+        eventCol.as("event"))
+      .withColumn("prev_event", lag(col("event"), 1).over(w))
+      .filter(col("prev_event").isNotNull)
+      .groupBy("prev_event", "event")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Retention cohort matrix: users bucketed by the time bucket of their
     * first event (cohort), counted as active per (cohort, offset) where
     * offset = whole `offsetSeconds` periods between the cohort bucket and

@@ -382,6 +382,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r === Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:20")))
   }
 
+  test("eventTransitions: consecutive pairs per user, ties by id, firsts excluded") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (1L, "2024-01-01 00:01:00", 2L, "b"),
+      (1L, "2024-01-01 00:02:00", 3L, "a"),
+      // user 2: same-ts tie ordered by id => a(4) then b(5)
+      (2L, "2024-01-01 00:00:00", 4L, "a"),
+      (2L, "2024-01-01 00:00:00", 5L, "b"),
+      (3L, "2024-01-01 00:00:00", 6L, "c")   // single event: no transition
+    ).toDF("uid", "t", "id", "ev").withColumn("t", to_timestamp(col("t")))
+    val got = AnalyticsOps.eventTransitions(df, col("uid"), col("t"),
+        col("id"), col("ev"))
+      .orderBy("prev_event", "event").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
   test("retentionCohorts: hand-checked hour cohorts and offsets") {
     val df = Seq(
       // user 1: cohort hour 00, active hours 00, 02 (two events in 02
