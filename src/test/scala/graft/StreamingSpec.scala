@@ -251,4 +251,42 @@ class StreamingSpec extends SparkSpec {
         s"evicted key must re-emit its unchanged value: $key1")
     } finally q.stop()
   }
+
+  test("StreamingFunnel: out-of-order arrival yields the batch fold's stages") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.StepEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StepEvent]
+    // watermark delay must cover the arrival disorder: batch 2 delivers an
+    // event 10 s older than batch 1's newest, so a 5 s delay would drop it
+    val staged = StreamingFunnel.funnelStages(
+      mem.toDS().withWatermark("ts", "1 minute").as[StepEvent],
+      quietMillis = 30 * 1000L)
+    val q = staged.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // user 1's step-1 event (step index 1) arrives a BATCH BEFORE its
+      // step-0 event; a fold-on-arrival would miss the funnel entirely.
+      // user 2 stalls at stage 1 (step 2 precedes step 1 in event time).
+      mem.addData(
+        StepEvent(1L, ts("2024-01-01 10:00:10"), 2L, 1),
+        StepEvent(2L, ts("2024-01-01 10:00:00"), 3L, 0))
+      q.processAllAvailable()
+      mem.addData(
+        StepEvent(1L, ts("2024-01-01 10:00:00"), 1L, 0),
+        StepEvent(1L, ts("2024-01-01 10:00:20"), 4L, 2),
+        StepEvent(2L, ts("2024-01-01 10:00:05"), 5L, 2))
+      q.processAllAvailable()
+      // advance the watermark far past (newest event + quiet horizon) so
+      // both users' buffers time out and emit
+      mem.addData(StepEvent(9L, ts("2024-01-01 11:00:00"), 9L, 0))
+      q.processAllAvailable()
+      mem.addData(StepEvent(9L, ts("2024-01-01 11:00:05"), 10L, 0))
+      q.processAllAvailable() // timeout fires the batch after the advance
+      val out = spark.table("funnel_out").as[StreamingFunnel.FunnelResult]
+        .collect().map(r => r.user -> r.stage).toMap
+      assert(out.get(1L) === Some(3)) // full funnel despite arrival order
+      assert(out.get(2L) === Some(1)) // event-time order stalls at 1
+    } finally q.stop()
+  }
 }
