@@ -61,6 +61,12 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(MemDisk)
     val n = nodes.count() // also materializes both caches eagerly
+    if (n == 0) {
+      // empty graph: no nodes, no ranks — and no 1/n base to divide by
+      e.unpersist(false); nodes.unpersist(false)
+      return nodes.select(col("node"), lit(0L).as("rank_pico"),
+        lit(0.0).as("rank"))
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // per-edge sender state: src rank / outdeg changes per round, outdeg
     // doesn't — pre-join deg onto the edge set ONCE so rounds join only

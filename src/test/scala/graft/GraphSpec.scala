@@ -47,6 +47,13 @@ class GraphSpec extends SparkSpec {
     assert((1L to 9L).map(got).distinct.size === 1) // leaves symmetric
   }
 
+  test("pageRank: empty edge set yields an empty result, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val out = GraphOps.pageRank(empty, col("s"), col("d"), iterations = 3)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("node", "rank_pico", "rank"))
+  }
+
   test("pageRank: deterministic across input partitionings") {
     val edges = (0L until 200L).map(i => (i % 23, (i * 7) % 19 + 100L))
     val a = GraphOps.pageRank(edges.toDF("s", "d").repartition(7),
