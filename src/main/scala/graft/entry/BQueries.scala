@@ -492,6 +492,25 @@ object BQueries {
         .orderBy("c_mktsegment")
     }),
 
+    "b52_sql_surface" -> ((s, dir) => {
+      // E79: the SQL-string API surface — the same engine is a SQL engine:
+      // register the tables as temp views and run ANSI SQL text through
+      // spark.sql (same Catalyst plans as the DataFrame DSL; the oracle
+      // twin is literally the same query). View names are scoped per
+      // session; re-registration is idempotent.
+      orders(s, dir).createOrReplaceTempView("orders_v")
+      customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(s"""
+        SELECT c.c_mktsegment,
+               year(o.o_orderdate) AS o_year,
+               COUNT(*) AS n,
+               round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 10000) / 10000 AS spend
+        FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority LIKE '1-%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")
+    }),
+
     "b30_salted_join" -> ((s, dir) => {
       // E21 through the gate: the salted plan must produce EXACTLY the
       // plain join's rows — oracle is the unsalted SQL join.
@@ -720,6 +739,14 @@ object BQueries {
          |  CAST(seq_to IS NULL AS INT) AS is_current, c_name,
          |  ${rndSql("c_acctbal")} AS c_acctbal
          |FROM v WHERE op <> 'D' ORDER BY c_custkey, seq_from""".stripMargin,
+
+    // the SAME SQL text modulo view names — the surface demonstration
+    "b52_sql_surface" ->
+      """SELECT c.c_mktsegment, year(o.o_orderdate) AS o_year, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 10000) / 10000 AS spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderpriority LIKE '1-%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // format round-trip must be invisible: oracle recomputes straight
     // from the table
