@@ -5,11 +5,13 @@ import graft.Tables._
 import graft.operators.AnalyticsOps
 import QueryHelpers._
 
-/** Round-5 OLAP analytics queries (SURVEY.md §2E E44-E51): sliding windows,
-  * moving aggregates, approximate distinct, z-score outliers, additive
-  * rollup, set operations, semi/anti membership, histograms. Key prefixes
-  * follow the family of the driving table (a* = events, b* = TPC-H
-  * dimensions/facts).
+/** OLAP analytics queries (SURVEY.md §2E E44-E51, E55-E58, E64-E68,
+  * E72, E76): sliding windows, moving aggregates, approximate distinct,
+  * z-score outliers, additive rollup, set operations, semi/anti
+  * membership, histograms, resample/OHLC, fuzzy join, incremental agg,
+  * funnel/retention/winsorize, PageRank, and the TPC-H Q1/Q3/Q5 plans.
+  * Key prefixes follow the family of the driving table (a* = events,
+  * b* = TPC-H dimensions/facts).
   */
 object OlapQueries {
 
