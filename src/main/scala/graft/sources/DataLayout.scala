@@ -75,6 +75,34 @@ object DataLayout {
       .bitwiseOR(F.shiftleft(spread(quant(y, yLo, yHi)), 1))
   }
 
+  /** Compact a parquet directory's small files: size the target file
+    * count from the directory's actual bytes (`ceil(bytes / targetBytes)`,
+    * floor 1) and rewrite through a single coalesce — the maintenance job
+    * behind every streaming sink and over-partitioned write (thousands of
+    * KB-files turn scans into open/close storms and NameNode pressure; at
+    * 100 TB, compaction IS the difference between a metadata-bound and an
+    * IO-bound scan). `coalesce` (not repartition) merges without a
+    * shuffle: partitions concatenate, row order within files is
+    * preserved, and the write is one pass over the data. Rewrites to
+    * `destPath` (staging-dir pattern — compacting in place would race
+    * concurrent readers; the caller swaps paths atomically).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              destPath: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(destPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(destPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Write `df` as parquet sorted by the [[zOrder2]] key of the two
     * coordinate columns — one range shuffle on the key, then in-file order
     * gives every row group a tight 2-D bounding box. */

@@ -342,6 +342,26 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinct-count state merges as an HLL sketch column (the E57 non-algebraic escape hatch)") {
+    // exact distinct does NOT merge (distinct(base) + distinct(delta) !=
+    // distinct(base ∪ delta)); a Datasketches HLL column does — this is
+    // the sketch-as-state pattern mergeAggState's scaladoc prescribes for
+    // non-algebraic metrics in an incremental metric store.
+    import graft.operators.CdcOps
+    val all = (1 to 400).map(i => (i % 3L, (i * 7) % 57L)) // dup users across halves
+    val (base, delta) = all.splitAt(200)
+    def sketchAgg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("k")).agg(expr("hll_sketch_agg(u)").as("uniq_sketch"))
+    val merged = CdcOps.mergeAggState(
+        sketchAgg(base.toDF("k", "u")), sketchAgg(delta.toDF("k", "u")),
+        Seq("k"), Seq(("uniq_sketch", (n: String) => expr(s"hll_union_agg($n)"))))
+      .select(col("k"), expr("hll_sketch_estimate(uniq_sketch)").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = all.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).distinct.size.toLong }
+    // HLL is exact at this cardinality (sparse mode); the merge law holds
+    assert(merged === exact)
+  }
+
   test("funnel: greedy earliest traversal, strictly-after semantics, ties by id") {
     val df = Seq(
       // user 1: full funnel in order

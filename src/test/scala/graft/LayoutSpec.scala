@@ -84,4 +84,20 @@ class LayoutSpec extends SparkSpec {
     assert(files.length >= 2 && files.length <= 4, files.mkString(","))
     assert(spark.read.parquet(path).count() === 400)
   }
+
+  test("compact: many small files rewrite to the byte-sized target count, content preserved") {
+    val src = Files.createTempDirectory("layout_frag").toString
+    val dest = Files.createTempDirectory("layout_compact").toString
+    val df = (0L until 1000L).map(i => (i, s"row $i")).toDF("id", "v")
+    df.repartition(20).write.mode("overwrite").parquet(src) // fragment: 20 files
+    val bytes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target = half the data per file -> expect exactly 2 output files
+    val (before, after) = DataLayout.compact(spark, src, dest, (bytes + 1) / 2)
+    assert(before === 20)
+    assert(after === 2, s"expected 2 compacted files, got $after")
+    val back = spark.read.parquet(dest)
+    assert(back.count() === 1000)
+    assert(back.agg(sum(col("id"))).head.getLong(0) === (0L until 1000L).sum)
+  }
 }
