@@ -328,6 +328,54 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("eventTransitions matches a sequential per-user scan on random streams") {
+    import graft.operators.AnalyticsOps
+    for (seed <- Seq(13, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = Vector("a", "b", "c", "d")
+      val rows = (1 to 500).map(i =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i.toLong,
+          evs(rnd.nextInt(evs.size))))
+      val df = rows.toDF("uid", "t", "id", "ev")
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val got = AnalyticsOps.eventTransitions(df, col("uid"), col("ts"),
+          col("id"), col("ev"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        ordered.zip(ordered.drop(1))
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("pageRank matches the driver-side recurrence on random dense graphs") {
+    import graft.operators.GraphOps
+    for (seed <- Seq(4, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 600).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong + 100L))
+      val got = GraphOps.pageRank(edges.toDF("s", "d").repartition(5),
+          col("s"), col("d"), iterations = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same integer recurrence, driver-side
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val n = nodes.length.toLong
+      val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+      val r0 = 1000000000000L / n
+      val base = (15L * r0) / 100L
+      var ranks = nodes.map(_ -> r0).toMap
+      (1 to 5).foreach { _ =>
+        val inb = e.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => ranks(s) / outdeg(s) }.sum
+        }
+        ranks = nodes.map(v => v -> (base + (85L * inb.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      assert(got === ranks, s"seed $seed")
+    }
+  }
+
   test("scd2History current rows equal mergeChangelog applied to an empty base") {
     import graft.operators.CdcOps
     for (seed <- Seq(11, 31)) {
