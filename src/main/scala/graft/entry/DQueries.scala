@@ -1206,7 +1206,8 @@ object DQueries {
         |  FROM documents),
         |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
         |d AS (
-        |  SELECT doc_id, SUM(c) AS n_tokens, SUM(c * (c - 1)) AS coll
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
         |  FROM tf GROUP BY 1)
         |SELECT doc_id AS id, n_tokens,
         |  CASE WHEN n_tokens > 1

@@ -522,21 +522,27 @@ object OlapQueries {
         |  ORDER BY rev DESC, l_orderkey LIMIT 10)
         |SELECT l_orderkey, round(CAST(rev AS DOUBLE) * 10000) / 10000 AS revenue,
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate, o_orderpriority
-        |FROM t ORDER BY revenue DESC, l_orderkey""".stripMargin,
+        |FROM t ORDER BY rev DESC, l_orderkey""".stripMargin,
 
+    // final ORDER BY runs on the unrounded decimal rev (matching the Spark
+    // sort key) — sorting on the 4dp-rounded surface could transpose rows
+    // whose unrounded revenues differ only past the 4th decimal
     "b50_tpch_q5" ->
-      """SELECT n_name,
-        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 10000) / 10000 AS revenue
-        |FROM customer c
-        |JOIN orders o ON c.c_custkey = o.o_custkey
-        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |WHERE r.r_name = 'ASIA'
-        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
+      """WITH t AS (
+        |  SELECT n_name,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT n_name, round(CAST(rev AS DOUBLE) * 10000) / 10000 AS revenue
+        |FROM t ORDER BY rev DESC, n_name""".stripMargin,
 
     // the identical integer recurrence, unrolled — GENERATED so the oracle
     // and the operator cannot drift on iteration count or arithmetic
@@ -574,21 +580,26 @@ object OlapQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // rank-defined quantile clamp: value at 1-based rank floor(q*(n-1))+1
-    // in (value, event_id) order per stratum
+    // in (value, event_id) order per stratum. Mirrors the operator exactly:
+    // thresholds rank NON-NULL values only, rows left-join them back, and
+    // null-value rows keep a null v_wins (lo/hi still attached)
     "a40_winsorize" ->
       """WITH r AS (
         |  SELECT event_id, event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         |    COUNT(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |t AS (
         |  SELECT event_type,
         |    MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.05) AS BIGINT) + 1 THEN value END) AS lo,
         |    MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1 THEN value END) AS hi
         |  FROM r GROUP BY 1)
-        |SELECT r.event_id, r.event_type, r.value, t.lo, t.hi,
-        |  least(greatest(r.value, t.lo), t.hi) AS v_wins
-        |FROM r JOIN t USING (event_type) ORDER BY event_id""".stripMargin,
+        |SELECT e.event_id, e.event_type, e.value, t.lo, t.hi,
+        |  CASE WHEN e.value IS NOT NULL
+        |       THEN least(greatest(e.value, t.lo), t.hi) END AS v_wins
+        |FROM events e
+        |LEFT JOIN t ON e.event_type IS NOT DISTINCT FROM t.event_type
+        |ORDER BY event_id""".stripMargin,
 
     // brute-force levenshtein join: the blocking in fuzzyJoinDist1 must be
     // invisible, so the oracle has no blocks at all

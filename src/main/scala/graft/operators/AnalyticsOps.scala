@@ -299,6 +299,14 @@ object AnalyticsOps {
     * n_users). `truncUnit` is a `date_trunc` unit ("hour", "day", "week");
     * `offsetSeconds` must equal the bucket width so offsets are integral.
     *
+    * Integral offsets additionally require fixed-width buckets: run with a
+    * UTC session timezone (graft's default) for "day"/"week" truncation —
+    * in a DST timezone a 23/25-hour day makes (bucket − cohort) a
+    * non-multiple of `offsetSeconds`, and engines then disagree on the
+    * fractional bucket (Spark floors here, ANSI CAST rounds half-even).
+    * The floor() below pins graft's own behavior either way; the
+    * cross-engine contract is UTC + matching width.
+    *
     * Plan: ONE hash aggregate distinct-izes (user, bucket) — map-side
     * partial combine collapses the raw event volume, so the shuffle
     * carries distinct user-buckets, not events. A window-min over user
@@ -315,7 +323,7 @@ object AnalyticsOps {
     val cohort = min(col("__b")).over(Window.partitionBy(col("user_id")))
     buckets.withColumn("__cohort", cohort)
       .select(unix_timestamp(col("__cohort")).as("cohort_ts"),
-        ((unix_timestamp(col("__b")) - unix_timestamp(col("__cohort")))
+        floor((unix_timestamp(col("__b")) - unix_timestamp(col("__cohort")))
           / lit(offsetSeconds)).cast("long").as("offset_n"))
       .groupBy("cohort_ts", "offset_n")
       .agg(count(lit(1)).as("n_users"))

@@ -323,9 +323,15 @@ object DedupOps {
       case _ => false
     }
     if (!supported) return None
-    // both sides always come from the same gated column type
+    // both sides always come from the same gated column type. Strings MUST
+    // compare in UTF-8 binary order (what SQL min() uses on both engines),
+    // not Scala's UTF-16 code-unit order — they diverge for BMP chars in
+    // U+E000..U+FFFF vs supplementary-plane chars, which would label a
+    // component differently depending on which adaptive path ran.
     def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: String, y: String) => x < y
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
       case (x: Number, y: Number) => x.longValue() < y.longValue()
       case _ => false
     }
