@@ -24,6 +24,9 @@ object Bench {
   private val bruteForceTwins = Set("d02_ngram_jaccard", "d05_embedding_dup", "s01_ann_topk")
 
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated key prefixes to bench a subset while
+    // iterating (same convention as Verify); the driver passes no args
+    val prefixes = args.headOption.map(_.split(',').toSeq.filter(_.nonEmpty))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,6 +50,7 @@ object Bench {
     val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides ++
       graft.entry.DQueries.benchOverrides ++ graft.entry.OlapQueries.benchOverrides)
       .filterNot { case (k, _) => bruteForceTwins(k) }
+      .filter { case (k, _) => prefixes.forall(_.exists(k.startsWith)) }
     // warm the JVM/codegen path once (against the BENCH sf dir, guarded —
     // a failed warm-up must not kill the whole run) so per-query numbers
     // measure the plan, not first-run class loading
@@ -89,7 +93,7 @@ object Bench {
       """"d03_minhash_lsh":"eager persist materialization since r05 (lazy persist raced across sibling stages, computing the shared lineage 2-3x); a row-wise signature plan was A/B-profiled and rejected (slower than the aggregate, see SCALING)",""" +
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
-      """"b46_pagerank":"4 distributed rounds; cost is per-round fixed overhead (join+agg+localCheckpoint ~1.5s each locally), not graph size"}"""
+      """"b46_pagerank":"4 distributed rounds; since r06 all rounds between checkpoints fuse into one job (checkpointInterval=4, lazy eDeg persist) - cost is fixed prep+codegen overhead, not graph size"}"""
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
     spark.stop()
   }

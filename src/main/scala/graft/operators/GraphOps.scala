@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Distributed graph analytics beyond connected components (which lives in
   * [[DedupOps.dedupClusters]] as the dedup-cluster assignment). Iterative
   * algorithms follow the same discipline as the CC rounds: one shuffle
-  * join + one aggregate per round, eager localCheckpoint lineage
+  * join + one aggregate per round, periodic eager localCheckpoint lineage
   * truncation, explicit unpersist of superseded round frames.
   */
 object GraphOps {
@@ -31,13 +31,21 @@ object GraphOps {
     * Plan per iteration: per-edge contribution = one equi-join of the
     * rank frame (node-sized) against the edge set on src, one hash
     * aggregate on dst (map-side combine applies — contributions are
-    * algebraic long sums), one left join back onto the node set. Rounds
-    * are materialized with an eager localCheckpoint: the next round
-    * references the previous labels in two branches, so without
-    * truncation the plan tree doubles per round (the dedupClusters
-    * lesson); superseded round blocks are unpersisted immediately. The
-    * edge and node frames persist across all rounds (they are read every
-    * iteration — at scale these are the materialized inputs).
+    * algebraic long sums), one left join back onto the node set. The rank
+    * frame enters each round's plan exactly ONCE, so lineage grows
+    * linearly (one join+agg layer per round), not exponentially — which
+    * means rounds need not each pay an eager materialization job.
+    * `checkpointInterval` controls the trade: every k-th round (and the
+    * last) is materialized with an eager localCheckpoint, truncating the
+    * k-layer lineage and bounding re-execution + plan depth, while the
+    * rounds in between stay lazy and fuse into the next checkpoint's job.
+    * At the default k=4 a 4-iteration run is ONE round-job (measured at
+    * sf0.1: 4.2 s → 3.6 s warm, 9.6 s → 7.7 s cold, together with the
+    * lazy eDeg persist below) with a plan never deeper than 4 rounds.
+    * Superseded checkpoint blocks are unpersisted as soon as the next
+    * checkpoint lands. The edge and node frames persist across all rounds
+    * (they are read every iteration — at scale these are the materialized
+    * inputs).
     *
     * Mega-hub dst skew: inbound contributions are algebraic, so partial
     * aggregation flattens a node with a billion in-edges the same way the
@@ -48,8 +56,10 @@ object GraphOps {
     * Returns (node, rank_pico BIGINT, rank DOUBLE = rank_pico / 10^12).
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
-               iterations: Int = 8): DataFrame = {
+               iterations: Int = 8, checkpointInterval: Int = 4): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1: $checkpointInterval")
     val UnitPico: Long = 1000000000000L
     val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // a half-null edge is no edge: it would register a null node that
@@ -57,8 +67,13 @@ object GraphOps {
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist(MemDisk)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // explode, not union-of-two-projections: a union reads the
+    // not-yet-materialized e cache through TWO sibling stages of the same
+    // job, recomputing the scan+join+distinct lineage twice (the lazy-
+    // persist race) — the explode derives both endpoints in ONE pass
+    // (measured: prep job 4.6 s → 3.9 s cold at sf0.1)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .persist(MemDisk)
     val n = nodes.count() // also materializes both caches eagerly
     if (n == 0) {
@@ -70,9 +85,15 @@ object GraphOps {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // per-edge sender state: src rank / outdeg changes per round, outdeg
     // doesn't — pre-join deg onto the edge set ONCE so rounds join only
-    // the rank frame
+    // the rank frame. (A count-window over src would save the join stage
+    // but buffers each src partition whole — a mega-hub src then lands on
+    // one task with no AQE skew split; the agg+equi-join keeps map-side
+    // combine and AQE skew handling.)
+    // Lazy persist is safe here: eDeg enters each round-job exactly once,
+    // so the first round materializes it and later rounds hit the cache —
+    // no sibling-stage race (that hazard needs two consumers in ONE job),
+    // and skipping an eager count() saves a whole prep job.
     val eDeg = e.join(deg, "src").persist(MemDisk)
-    eDeg.count()
     val r0 = UnitPico / n
     val base = (15L * r0) / 100L
     def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
@@ -81,23 +102,26 @@ object GraphOps {
         case _ => None
       }
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
-      .localCheckpoint(true)
+    var lastCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 0
     while (i < iterations) {
       val inbound = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__inb"))
-      val next = nodes
+      var next = nodes
         .join(inbound, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(__inb, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-        .localCheckpoint(true)
-      val stale = backingRdd(ranks)
-      ranks = next
-      stale.foreach(_.unpersist(false))
       i += 1
+      if (i % checkpointInterval == 0 || i == iterations) {
+        next = next.localCheckpoint(true)
+        val stale = lastCkpt
+        lastCkpt = backingRdd(next)
+        stale.foreach(_.unpersist(false))
+      }
+      ranks = next
     }
     e.unpersist(false)
     eDeg.unpersist(false)
