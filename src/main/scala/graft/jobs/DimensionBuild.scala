@@ -92,15 +92,44 @@ class DimensionBuild(spark: SparkSession) {
       metric, metrics, max(col("__value")))
   }
 
+  /** EN↔IT alias pass on a normalized key: map hit or identity — a pure
+    * map-literal expression (try_element_at), no join, codegen'd. */
+  def aliasIt(c: Column): Column =
+    coalesce(try_element_at(typedLit(ItalianRegions.enItAlias), c), c)
+
   /** robust_merge: staged fallback joins of the cities base against ISTAT
-    * payloads on (norm_name, asciiname-norm) keys, fill-only-missing
-    * (rebuild_and_merge_cities_it.py:175-246), then derived fallback columns
-    * and int coercion (:261-267, final_cleaning.py). */
-  def enrichCities(cities: DataFrame, households: DataFrame, homes: DataFrame): DataFrame = {
+    * payloads, fill-only-missing (rebuild_and_merge_cities_it.py:175-246).
+    * Full reference key fidelity: 4 left keys (norm city name, its EN↔IT
+    * alias, norm asciiname, its alias) × 2 right keys (norm territory name,
+    * its alias), tried in the reference's lk-major order (:216-224) — an
+    * English-keyed ISTAT row ("rome") still lands on the Italian GeoNames
+    * row ("roma") and vice versa. `manualMap` is the optional operator-
+    * curated (source_name, target_name) overrides table (:239-246): it
+    * REWRITES the right-side normalized key before the staged joins, so an
+    * otherwise-unmatchable territory spelling is rescued without touching
+    * operator code. Precondition (same as the reference's pandas merges):
+    * right keys unique per stage — ISTAT prep pivots per norm_name, and a
+    * source carrying BOTH spellings of one city would multiply rows in
+    * either engine. Then derived fallback columns and int coercion
+    * (:261-267, final_cleaning.py). */
+  def enrichCities(cities: DataFrame, households: DataFrame, homes: DataFrame,
+                   manualMap: Option[DataFrame] = None): DataFrame = {
+    def rewriteKey(right: DataFrame): DataFrame = manualMap match {
+      case None => right
+      case Some(m) =>
+        val mm = m.select(normalizeName(col("source_name")).as("__src"),
+          normalizeName(col("target_name")).as("__dst"))
+        right.join(broadcast(mm), col("norm_name") === col("__src"), "left")
+          .withColumn("norm_name", coalesce(col("__dst"), col("norm_name")))
+          .drop("__src", "__dst")
+    }
+    val leftKeys = Seq(
+      col("norm_name"), aliasIt(col("norm_name")),
+      normalizeName(col("asciiname")), aliasIt(normalizeName(col("asciiname"))))
+    val rightKeys = Seq(col("norm_name"), aliasIt(col("norm_name")))
     def staged(left: DataFrame, right: DataFrame, payload: Seq[String]): DataFrame =
-      EtlOps.stagedFallbackJoin(left, right,
-          Seq(col("norm_name") -> col("norm_name"),
-            normalizeName(col("asciiname")) -> col("norm_name")),
+      EtlOps.stagedFallbackJoin(left, rewriteKey(right),
+          for { lk <- leftKeys; rk <- rightKeys } yield lk -> rk,
           payload)
         .drop("matched_stage")
     val withHouseholds = staged(cities, households, Seq("population_census", "households"))

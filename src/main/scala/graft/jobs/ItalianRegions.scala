@@ -50,4 +50,14 @@ object ItalianRegions {
     "15" -> "Campania", "16" -> "Puglia", "17" -> "Basilicata",
     "18" -> "Calabria", "19" -> "Sicilia", "20" -> "Sardegna",
     "00" -> Unknown)
+
+  /** EN→IT aliases for major city names, applied to NORMALIZED keys
+    * (rebuild_and_merge_cities_it.py:74-79): an English-keyed source row
+    * ("rome") must still find the Italian-keyed GeoNames row ("roma") in
+    * the staged merge. */
+  val enItAlias: Map[String, String] = Map(
+    "rome" -> "roma", "milan" -> "milano", "naples" -> "napoli",
+    "turin" -> "torino", "florence" -> "firenze", "venice" -> "venezia",
+    "genoa" -> "genova", "padua" -> "padova", "leghorn" -> "livorno",
+    "syracuse" -> "siracusa")
 }

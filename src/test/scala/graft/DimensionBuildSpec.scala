@@ -220,6 +220,41 @@ class DimensionBuildSpec extends SparkSpec {
     assert(report.head.getAs[Int]("missing_count") >= 2)
   }
 
+  test("enrichment: EN-keyed rows land via the alias stage; manual map rescues the rest") {
+    // households keyed with ENGLISH names — only the EN↔IT alias stage can
+    // match them against the Italian GeoNames keys; "Melan" is a spelling
+    // no key stage resolves and needs the manual-overrides table
+    val hhEn = write("istat_households_en.csv",
+      """Territorio;Codice Metrica;Valore;Anno
+        |Rome;population_census;2.750.000,5;2021
+        |Rome;households;1.300.000,0;2021
+        |Melan;households;700.000,0;2021
+        |""".stripMargin)
+    val hh = job.cleanIstat(hhEn,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("population_census", "households"))
+    val homes = job.cleanIstat(istatHomes,
+      Seq("territorio"), Seq("codicemetrica"), Seq("valore"), Seq("anno"),
+      Seq("dwellings_total", "dwellings_occupied"))
+    // no manual map: "rome" reaches "roma" through the alias right key,
+    // "melan" matches nothing (households coalesces to 0)
+    val noMap = job.enrichCities(cities, hh, homes)
+    val romaNoMap = noMap.filter(col("city_id") === "3165524").collect().head
+    assert(romaNoMap.getAs[Long]("households") === 1300000L)
+    assert(romaNoMap.getAs[Long]("population") === 2750000L)
+    val milanoNoMap = noMap.filter(col("city_id") === "3173435").collect().head
+    assert(milanoNoMap.getAs[Long]("households") === 0L)
+    // manual (source_name, target_name) override: Melan -> Milano rescues
+    // the otherwise-unmatched row, and the alias matches are untouched
+    import spark.implicits._
+    val manual = Seq(("Melan", "Milano")).toDF("source_name", "target_name")
+    val withMap = job.enrichCities(cities, hh, homes, Some(manual))
+    val milano = withMap.filter(col("city_id") === "3173435").collect().head
+    assert(milano.getAs[Long]("households") === 700000L)
+    val roma = withMap.filter(col("city_id") === "3165524").collect().head
+    assert(roma.getAs[Long]("households") === 1300000L)
+  }
+
   test("hotels: WKT/stars parse, name join, NN fallback, radius dedup, surrogate ids") {
     val hotels = job.buildHotels(osmHotels, cities)
     val rows = hotels.collect()
