@@ -8,16 +8,27 @@ import org.apache.spark.sql.functions._
   * run as typed mapPartitions batches (the Scala analog of mapInPandas —
   * per-partition batch processing with an arbitrary native library inside).
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): [[FakeDecoder]] is a deterministic byte-level stand-in with
-  * the same signature a real decoder would have (bytes -> features). The
-  * Spark-side plumbing — schema, binary encoding, partition-batch shape,
-  * column pruning behavior — is real and oracle-checked.
+  * [[MediaDecoder]] is a real pure-JVM header decoder for two public
+  * formats — BMP (BITMAPINFOHEADER family) and WAV (RIFF/WAVE) — with a
+  * byte-level fallback for anything else. Compressed codecs (JPEG/MP3/
+  * H.264) need native libraries this environment doesn't ship; they would
+  * slot into the same `decode` entry point without touching the Spark-side
+  * plumbing (schema, binary encoding, partition-batch shape), which is real
+  * and oracle-checked either way.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int)
+
+  /** Decoded features: byte-level fields are always filled; image fields
+    * (width/height/bit_depth) only for format="bmp", audio fields
+    * (channels/sample_rate/n_samples) only for format="wav" — None maps to
+    * a null column. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int,
+                           last_byte: Int, format: String,
+                           width: Option[Int], height: Option[Int],
+                           bit_depth: Option[Int], channels: Option[Int],
+                           sample_rate: Option[Int], n_samples: Option[Long])
 
   /** Attach a binary payload + metadata struct to a document frame. Here the
     * payload is the utf-8 encoding of the text (a deterministic stand-in for
@@ -27,16 +38,91 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       struct(col("n_chars"), col("lang"), lit("image/fake").as("mime")).as("meta"))
 
-  /** STUB decoder — stands in for e.g. JPEG decode + feature extraction.
-    * Deterministic byte-level features so the plumbing is testable without
-    * media libraries; swap the body for the real library call in
-    * production. */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+  /** Pure-JVM media header decoder. Never throws on malformed bytes — a
+    * corrupt payload in a billion must degrade to the byte-level fallback,
+    * not kill the job. Formats are detected from magic bytes and validated
+    * strictly (header size whitelist, sane dimensions, plane/bpp checks) so
+    * arbitrary binary that merely starts with 'B','M' stays "raw". Format
+    * references are the public specs: Windows BITMAPFILEHEADER/
+    * BITMAPINFOHEADER layout and the RIFF/WAVE chunk structure. */
+  object MediaDecoder {
+    private def u16le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    private def i32le(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private val DibSizes = Set(40L, 52L, 56L, 108L, 124L) // BITMAPINFOHEADER+
+    private val BmpBpp = Set(1, 4, 8, 16, 24, 32)
+    private val MaxDim = 1 << 24
+
+    /** (width, height, bit_depth) from a BMP BITMAPINFOHEADER-family file;
+      * negative height (top-down rows) reports as absolute. */
+    def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 30 || b(0) != 'B' || b(1) != 'M') return None
+      if (!DibSizes(u32le(b, 14))) return None
+      val w = i32le(b, 18); val h = i32le(b, 22)
+      val planes = u16le(b, 26); val bpp = u16le(b, 28)
+      if (planes != 1 || w <= 0 || w > MaxDim || h == 0 ||
+        math.abs(h) > MaxDim || !BmpBpp(bpp)) None
+      else Some((w, math.abs(h), bpp))
+    }
+
+    /** (channels, sample_rate, bit_depth, n_samples) from a RIFF/WAVE file:
+      * walks the chunk list (chunks pad to even offsets) for "fmt " and
+      * "data"; n_samples = data bytes / block align. */
+    def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+      var dataBytes = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+        val id = tag(b, i); val size = u32le(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+          val channels = u16le(b, i + 10)
+          val rate = u32le(b, i + 12)
+          val blockAlign = u16le(b, i + 20)
+          val bits = u16le(b, i + 22)
+          if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
+            fmt = Some((channels, rate.toInt, bits, blockAlign))
+        } else if (id == "data") {
+          // the declared size may overrun a truncated payload: clamp
+          dataBytes = math.min(size, (b.length - i - 8).toLong)
+        }
+        val advance = 8L + size + (size & 1L) // chunks pad to even
+        if (advance <= 0 || i + advance > Int.MaxValue) return None
+        i += advance.toInt
+      }
+      fmt.flatMap { case (channels, rate, bits, blockAlign) =>
+        if (dataBytes < 0 || blockAlign <= 0) None
+        else Some((channels, rate, bits, dataBytes / blockAlign))
+      }
+    }
+
+    /** Full decode: byte-level features always, plus the format-specific
+      * header fields when the payload is a valid BMP or WAV. */
+    def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
       val n = payload.length
       val first = if (n > 0) payload(0) & 0xFF else -1
       val last = if (n > 0) payload(n - 1) & 0xFF else -1
-      (n, first, last)
+      decodeBmp(payload) match {
+        case Some((w, h, bpp)) =>
+          MediaFeatures(docId, n, first, last, "bmp",
+            Some(w), Some(h), Some(bpp), None, None, None)
+        case None => decodeWav(payload) match {
+          case Some((channels, rate, bits, samples)) =>
+            MediaFeatures(docId, n, first, last, "wav",
+              None, None, Some(bits), Some(channels), Some(rate), Some(samples))
+          case None =>
+            MediaFeatures(docId, n, first, last, "raw",
+              None, None, None, None, None, None)
+        }
+      }
     }
   }
 
@@ -53,10 +139,7 @@ object Multimodal {
       .as[MediaRow]
     ds.mapPartitions { rows =>
       // per-partition decoder setup would happen here (once per batch)
-      rows.map { r =>
-        val (n, first, last) = FakeDecoder.decode(r.payload)
-        MediaFeatures(r.doc_id, n, first, last)
-      }
+      rows.map(r => MediaDecoder.decode(r.doc_id, r.payload))
     }.toDF()
   }
 

@@ -87,12 +87,92 @@ class EtlSpec extends SparkSpec {
     assert(bad.length === 1 && bad.head.getAs[String]("_corrupt").startsWith("""{"id":2"""))
   }
 
-  test("multimodal: binary plumbing + stub decode features") {
+  test("multimodal: binary plumbing + byte-level decode features") {
     val docs = Seq((7L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Multimodal.extractFeatures(Multimodal.attachBinary(docs)).collect()
     assert(out.head.getLong(0) === 7L)
     assert(out.head.getInt(1) === 3) // n_bytes
     assert(out.head.getInt(2) === 'a'.toInt)
     assert(out.head.getInt(3) === 'c'.toInt)
+    assert(out.head.getString(4) === "raw") // text bytes are no known format
+  }
+
+  /** A real 3x2 24-bpp BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    * + 2 rows of 3 BGR pixels padded to 12 bytes each. */
+  private def bmpFixture(width: Int, height: Int): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val pixelBytes = rowBytes * height
+    val fileSize = 14 + 40 + pixelBytes
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(14 + 40) // reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    (0 until pixelBytes).foreach(i => buf.put((i % 251).toByte))
+    buf.array()
+  }
+
+  /** A real 16-bit mono 8 kHz RIFF/WAVE file with `nSamples` samples, plus
+    * a LIST chunk before fmt to prove the chunk walk skips unknown ids. */
+  private def wavFixture(nSamples: Int): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val listBody = 5 // odd size: the walker must pad to even
+    val size = 4 + (8 + listBody + 1) + (8 + 16) + (8 + dataBytes)
+    val buf = java.nio.ByteBuffer.allocate(8 + size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(size).put("WAVE".getBytes)
+    buf.put("LIST".getBytes).putInt(listBody).put(new Array[Byte](listBody + 1))
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000) // PCM, mono, rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes).putInt(dataBytes)
+    (0 until nSamples).foreach(i => buf.putShort((i * 1000).toShort))
+    buf.array()
+  }
+
+  test("multimodal: real BMP and WAV fixture bytes decode through the header parser") {
+    val media = Seq(
+      (1L, bmpFixture(3, 2), "image/bmp"),
+      (2L, wavFixture(4), "audio/wav"),
+      (3L, "BMnot really a bitmap, just text".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0L).as("n_chars"), lit("xx").as("lang"), col("mime")).as("meta"))
+    val out = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val bmp = out(0)
+    assert(bmp.getString(4) === "bmp")
+    assert(bmp.getInt(bmp.fieldIndex("width")) === 3)
+    assert(bmp.getInt(bmp.fieldIndex("height")) === 2)
+    assert(bmp.getInt(bmp.fieldIndex("bit_depth")) === 24)
+    assert(bmp.isNullAt(bmp.fieldIndex("sample_rate")))
+    val wav = out(1)
+    assert(wav.getString(4) === "wav")
+    assert(wav.getInt(wav.fieldIndex("channels")) === 1)
+    assert(wav.getInt(wav.fieldIndex("sample_rate")) === 8000)
+    assert(wav.getInt(wav.fieldIndex("bit_depth")) === 16)
+    assert(wav.getLong(wav.fieldIndex("n_samples")) === 4L)
+    assert(wav.isNullAt(wav.fieldIndex("width")))
+    // 'BM'-prefixed text fails the DIB-size whitelist -> raw, not a crash
+    val txt = out(2)
+    assert(txt.getString(4) === "raw")
+    assert(txt.isNullAt(txt.fieldIndex("width")))
+  }
+
+  test("multimodal: truncated/corrupt headers degrade to raw, never throw") {
+    val cases = Seq[(Long, Array[Byte])](
+      (1L, Array[Byte]()), // empty
+      (2L, bmpFixture(3, 2).take(20)), // truncated BMP
+      (3L, wavFixture(4).take(30)), // truncated WAV (fmt cut)
+      (4L, "RIFFxxxxWAVE".getBytes("UTF-8"))) // WAVE magic, no chunks
+    val media = cases.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0L).as("n_chars"), lit("xx").as("lang"),
+          lit("application/octet-stream").as("mime")).as("meta"))
+    val out = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(out.forall(_.getString(4) === "raw"))
+    assert(out.head.getInt(1) === 0 && out.head.getInt(2) === -1)
   }
 }
