@@ -158,10 +158,42 @@ object EventGen {
   }
 
   /** C6/C7: timewarped emission — N simulated days rendered as a
-    * Kafka-shaped frame (key, JSON value, ts) via EventSources.fromBatch;
-    * the realtime clock mode is the streaming source's trigger concern, not
-    * the generator's. */
+    * Kafka-shaped frame (key, JSON value, ts) via EventSources.fromBatch.
+    * The realtime clock mode is [[RealtimeClock]] + per-day slices of the
+    * same generators (equivalence proven in GenSpec). */
   def toKafkaFrame(events: DataFrame): DataFrame =
     graft.sources.EventSources.fromBatch(events, keyExpr = "key",
       tsExpr = "to_timestamp(event_ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\")")
+
+  /** C6 realtime clock mode (orchestrator_producers.py:279-386): the
+    * simulated clock runs at `timewarp`× wall speed (floored at 1×, as the
+    * reference's `max(1.0, timewarp)`), and each poll emits the CURRENT
+    * simulated day exactly once — `if last_emitted_date != sim_date` in the
+    * reference loop, which also means a poll gap longer than one simulated
+    * day SKIPS days rather than backfilling them; this class reproduces
+    * that contract bit for bit. Wall time is INJECTED (elapsed seconds
+    * since the loop started), not read from a system clock, so tests and
+    * production pacing loops share the same date arithmetic and the
+    * emission cadence is provable without sleeping.
+    *
+    * Per-day emission equals the timewarp batch rendering because every
+    * generator column derives from hash(entity-id, calendar day): a
+    * one-day slice generated at `day` is row-identical to the `day` rows
+    * of a multi-day batch (GenSpec "realtime clock mode"). */
+  final class RealtimeClock(simStart: String, timewarp: Double) {
+    private val start = java.time.LocalDate.parse(simStart)
+    private var lastEmitted: Option[java.time.LocalDate] = None
+    /** Simulated date after `elapsedSec` real seconds. */
+    def simDate(elapsedSec: Double): java.time.LocalDate = {
+      require(elapsedSec >= 0.0, s"elapsed wall time must be >= 0: $elapsedSec")
+      start.plusDays((elapsedSec * math.max(1.0, timewarp) / 86400.0).toLong)
+    }
+    /** The simulated day due for emission at this poll — None if the
+      * current simulated day was already emitted. */
+    def poll(elapsedSec: Double): Option[java.time.LocalDate] = {
+      val d = simDate(elapsedSec)
+      if (lastEmitted.contains(d)) None
+      else { lastEmitted = Some(d); Some(d) }
+    }
+  }
 }
