@@ -397,6 +397,70 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("resampleLocf matches a brute-force grid fill (random sparse series, ts ties)") {
+    val stepS = 300L
+    for (seed <- Seq(9, 27)) {
+      val rnd = new scala.util.Random(seed)
+      val ks = Vector("a", "b", "c")
+      // ts drawn from a small domain so same-(key, ts) ties are common;
+      // offsets keep each key's series away from the hour boundary so the
+      // leading grid points before the first observation stay null
+      val rows = (1 to 120).map(i =>
+        (i.toLong, ks(rnd.nextInt(ks.size)),
+          600L + rnd.nextInt(6000), rnd.nextDouble()))
+      val df = rows.toDF("id", "k", "t", "v")
+        .withColumn("ts", timestamp_seconds(col("t")))
+      val got = TemporalOps.resampleLocf(df, Seq("k"), "ts", Seq("v"),
+          interval = "5 minutes", truncUnit = "hour", tieBreak = col("id"))
+        .select(col("k"), unix_timestamp(col("ts")).as("t"), col("asof_v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double]))
+        .toMap
+      // reference: per key, an hour-truncated stepS grid up to max ts; each
+      // grid point carries the newest (ts, id)-max observation at-or-before it
+      val want = rows.groupBy(_._2).flatMap { case (k, rs) =>
+        val lo = (rs.map(_._3).min / 3600L) * 3600L
+        val hi = rs.map(_._3).max
+        Iterator.iterate(lo)(_ + stepS).takeWhile(_ <= hi).map { t =>
+          val cands = rs.filter(_._3 <= t)
+          (k, t) -> (if (cands.isEmpty) None
+                     else Some(cands.maxBy(c => (c._3, c._1))._4))
+        }
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("scd2History matches a sequential per-key replay on random changelogs") {
+    import graft.operators.CdcOps
+    for (seed <- Seq(13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      // global seq keeps (k, seq) unique; D ops close intervals but emit no row
+      val ch = (1 to 200).map(i =>
+        (rnd.nextInt(12).toLong, i.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U", s"v$i"))
+      val got = CdcOps.scd2History(ch.toDF("k", "seq", "op", "v"),
+          Seq("k"), "seq", "op", Seq("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3), r.getString(4)))
+        .toSet
+      // reference: per key in seq order, every op (including D) closes its
+      // predecessor's interval; non-D ops emit [seq, next-op seq) rows and
+      // only a key's LAST op can be current
+      val want = ch.groupBy(_._1).flatMap { case (k, ops) =>
+        val sorted = ops.sortBy(_._2)
+        val nexts = sorted.drop(1).map(o => Some(o._2)) :+ None
+        sorted.zip(nexts).collect { case ((_, seq, op, v), nx) if op != "D" =>
+          (k, seq, nx, nx.isEmpty, v)
+        }
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("winsorize approx band brackets the exact band on random skewed strata") {
     import graft.operators.CurationOps
     for (seed <- Seq(2, 17)) {
