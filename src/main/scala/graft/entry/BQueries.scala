@@ -62,14 +62,22 @@ object BQueries {
     "b04_locale_numeric" -> ((s, dir) => {
       // B4: euro-locale numeric coercion with NBSP noise, '.'-thousands,
       // ','-decimal and malformed cells -> null (istat_utils.py:39-45).
+      // sort FIRST, parse AFTER: the range sort's sampling job executes
+      // the sort's child plan, so an expensive projection below the sort
+      // runs twice (sample + real pass). Sorting the raw rows and keeping
+      // the parse in a project ABOVE the sort computes the regex chain
+      // once, post-shuffle (CollapseProject never merges across a Sort,
+      // and a project preserves the sort order). A/B at sf0.1: 3.1 s ->
+      // 1.7 s warm, identical rows.
       val li = lineitem(s, dir)
         .withColumn("raw", euroString(
           col("l_orderkey") * 7 + col("l_linenumber"),
           pmod(col("l_suppkey"), lit(100)),
           col("l_linenumber") === 7))
-      li.select(col("l_orderkey"), col("l_linenumber"),
-          localeNumeric(col("raw")).as("parsed"))
+      li.select(col("l_orderkey"), col("l_linenumber"), col("raw"))
         .orderBy("l_orderkey", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          localeNumeric(col("raw")).as("parsed"))
     }),
 
     "b05_regex_filter" -> ((s, dir) => {

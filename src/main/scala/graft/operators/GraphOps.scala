@@ -29,23 +29,34 @@ object GraphOps {
     * identical integer recurrence.
     *
     * Plan per iteration: per-edge contribution = one equi-join of the
-    * rank frame (node-sized) against the edge set on src, one hash
-    * aggregate on dst (map-side combine applies — contributions are
-    * algebraic long sums), one left join back onto the node set. The rank
-    * frame enters each round's plan exactly ONCE, so lineage grows
-    * linearly (one join+agg layer per round), not exponentially — which
-    * means rounds need not each pay an eager materialization job.
+    * rank frame (node-sized) against the edge set on src, then ONE hash
+    * aggregate on dst over the contributions UNIONED with a zero row per
+    * node (map-side combine applies — contributions are algebraic long
+    * sums). The zero-row union is how dangling nodes keep their base
+    * rank WITHOUT the textbook `nodes LEFT JOIN inbound` — the union is
+    * a free plan concatenation feeding the aggregate the round already
+    * pays for, where the left join was a whole extra join (+ its sort
+    * or broadcast build) per round on the node-sized frame. A/B at
+    * sf0.1: rounds job 3.2 s → 2.4 s warm, identical pico-rank sums.
+    * The rank frame enters each round's plan exactly ONCE, so lineage
+    * grows linearly (one join+agg layer per round), not exponentially —
+    * which means rounds need not each pay an eager materialization job.
     * `checkpointInterval` controls the trade: every k-th round (and the
     * last) is materialized with an eager localCheckpoint, truncating the
     * k-layer lineage and bounding re-execution + plan depth, while the
     * rounds in between stay lazy and fuse into the next checkpoint's job.
-    * At the default k=4 a 4-iteration run is ONE round-job (measured at
-    * sf0.1: 4.2 s → 3.6 s warm, 9.6 s → 7.7 s cold, together with the
-    * lazy eDeg persist below) with a plan never deeper than 4 rounds.
     * Superseded checkpoint blocks are unpersisted as soon as the next
     * checkpoint lands. The edge and node frames persist across all rounds
     * (they are read every iteration — at scale these are the materialized
     * inputs).
+    *
+    * Remaining local cost is FIXED overhead, not data: with both AQE and
+    * whole-stage codegen disabled the same 4-round job runs ~1.4 s at
+    * sf0.1 vs ~2.4 s with both on — per-stage codegen compilation (fresh
+    * exprIds each run defeat the codegen cache) plus AQE stage
+    * materialization make up ~1 s that is graph-size-independent and
+    * amortizes to nothing on a real cluster, so the knobs stay on (they
+    * are the right defaults at 100 TB).
     *
     * Mega-hub dst skew: inbound contributions are algebraic, so partial
     * aggregation flattens a node with a billion in-edges the same way the
@@ -63,13 +74,21 @@ object GraphOps {
     val UnitPico: Long = 1000000000000L
     val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // a half-null edge is no edge: it would register a null node that
-    // every join silently drops, leaking rank mass nondeterministically
+    // every join silently drops, leaking rank mass nondeterministically.
+    // ONE edge-sized exchange for all of prep: repartition on src, then
+    // dedup, outdeg, and the deg join are all partition-local —
+    // HashPartitioning(src) satisfies the (src, dst) dedup's clustered
+    // distribution (equal (src,dst) pairs share a src) and both sides of
+    // the deg join. The former shape (distinct on (src,dst) THEN a
+    // src-keyed deg join) shuffled the edge set twice.
     val e = edges.select(srcCol.as("src"), dstCol.as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist(MemDisk)
     // explode, not union-of-two-projections: a union reads the
     // not-yet-materialized e cache through TWO sibling stages of the same
-    // job, recomputing the scan+join+distinct lineage twice (the lazy-
+    // job, recomputing the scan+join+dedup lineage twice (the lazy-
     // persist race) — the explode derives both endpoints in ONE pass
     // (measured: prep job 4.6 s → 3.9 s cold at sf0.1)
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
@@ -88,10 +107,12 @@ object GraphOps {
     // the rank frame. (A count-window over src would save the join stage
     // but buffers each src partition whole — a mega-hub src then lands on
     // one task with no AQE skew split; the agg+equi-join keeps map-side
-    // combine and AQE skew handling.)
+    // combine and AQE skew handling.) Both deg and the join read the
+    // src-partitioned e cache, so neither adds an exchange.
     // Lazy persist is safe here: eDeg enters each round-job exactly once,
     // so the first round materializes it and later rounds hit the cache —
-    // no sibling-stage race (that hazard needs two consumers in ONE job),
+    // no sibling-stage race (that hazard needs two consumers in ONE job
+    // over UNmaterialized lineage; e is already cache-resident by then),
     // and skipping an eager count() saves a whole prep job.
     val eDeg = e.join(deg, "src").persist(MemDisk)
     val r0 = UnitPico / n
@@ -105,15 +126,16 @@ object GraphOps {
     var lastCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 0
     while (i < iterations) {
-      val inbound = eDeg
+      // contributions ∪ a zero row per node, ONE aggregate: dangling
+      // nodes keep their base rank without a second (left) join per round
+      val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst"), expr("rank div outdeg").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__inb"))
-      var next = nodes
-        .join(inbound, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(__inb, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
+        .select(col("dst").as("__n"), expr("rank div outdeg").as("__c"))
+      val zeros = nodes.select(col("node").as("__n"), lit(0L).as("__c"))
+      var next = contribs.unionByName(zeros)
+        .groupBy(col("__n")).agg(sum(col("__c")).as("__inb"))
+        .select(col("__n").as("node"),
+          (lit(base) + expr("(85 * __inb) div 100")).as("rank"))
       i += 1
       if (i % checkpointInterval == 0 || i == iterations) {
         next = next.localCheckpoint(true)
