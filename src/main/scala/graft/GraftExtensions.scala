@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotFold, Hash60}
+import graft.functions.{CharEntropyStats, DotFold, Hash60}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
         DotFold(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_stats"),
+      new ExpressionInfo(classOf[CharEntropyStats].getName, "graft_char_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_char_stats expects 1 argument, got ${children.size}")
+        CharEntropyStats(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),

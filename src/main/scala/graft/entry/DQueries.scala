@@ -509,6 +509,26 @@ object DQueries {
         .orderBy("id", "url")
     }),
 
+    "t29_char_entropy" -> ((s, dir) => {
+      // E81: per-document character Shannon entropy — row-local sorted
+      // run-length fold, no shuffle; 6-dp rounded (fp-order-sensitive ln
+      // sum, the t02 rounding convention).
+      TextOps.charEntropy(documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id"), col("n_chars"), col("n_distinct_chars"),
+          rnd6(col("entropy_bits")).as("entropy_bits"))
+        .orderBy("id")
+    }),
+
+    "d10_decontam_overlap" -> ((s, dir) => {
+      // E82: graded decontamination — fraction of each doc's distinct
+      // 5-grams appearing in the doc_id<20 "benchmark" slice (d07's
+      // boolean rule, made a score).
+      val docs = documents(s, dir)
+      DedupOps.decontamOverlap(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 20), col("text"), k = 5)
+        .orderBy("doc_id")
+    }),
+
     "m02_frame_sample" -> ((s, dir) => {
       // E61: metadata-driven frame explode over binary payloads — every
       // 4th 32-byte "frame" as its own row; content verified via hex (the
@@ -740,6 +760,45 @@ object DQueries {
          |b AS (SELECT DISTINCT gram_h FROM gh WHERE doc_id < 20)
          |SELECT DISTINCT doc_id FROM gh WHERE gram_h IN (SELECT gram_h FROM b)
          |ORDER BY doc_id""".stripMargin,
+
+    // twin of DedupOps.decontamOverlap(k=5): d07's distinct-gram CTE, a
+    // LEFT JOIN against the benchmark gram set instead of the semi-join,
+    // and exact-count division for the overlap fraction
+    "d10_decontam_overlap" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram
+         |  FROM d),
+         |gh AS (SELECT doc_id, ${h60Sql("gram")} AS gram_h FROM g),
+         |b AS (SELECT DISTINCT gram_h FROM gh WHERE doc_id < 20)
+         |SELECT gh.doc_id, COUNT(*) AS n_grams,
+         |  CAST(COUNT(b.gram_h) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(b.gram_h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overlap_frac
+         |FROM gh LEFT JOIN b ON gh.gram_h = b.gram_h
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // twin of TextOps.charEntropy: per-char counts via unnest + GROUP BY
+    // (the Spark side folds runs of the sorted char array — identical
+    // counts), entropy divided by the SAME Ln2 double (TextOps.Ln2
+    // interpolated), 6-dp rounded per the fp-order-sensitivity note
+    "t29_char_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+         |    i -> substring(text, CAST(i AS INT), 1))) AS c
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+         |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s
+         |  FROM cnt GROUP BY 1)
+         |SELECT d.doc_id AS id,
+         |  COALESCE(st.n_chars, 0) AS n_chars,
+         |  COALESCE(st.n_distinct_chars, 0) AS n_distinct_chars,
+         |  ${rnd6Sql(s"(ln(CAST(st.n_chars AS DOUBLE)) - st.s / CAST(st.n_chars AS DOUBLE)) / ${graft.operators.TextOps.Ln2}")} AS entropy_bits
+         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY id""".stripMargin,
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),

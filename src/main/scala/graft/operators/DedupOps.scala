@@ -44,6 +44,43 @@ object DedupOps {
     cg.join(bg, Seq("gram_h"), "left_semi").select("doc_id").distinct()
   }
 
+  /** Graded decontamination: instead of [[decontaminate]]'s boolean "shares
+    * any k-gram", score each corpus document by the FRACTION of its
+    * distinct word k-grams that appear in the benchmark set — the
+    * PaLM/GPT-3-style overlap metric that lets a pipeline distinguish an
+    * incidental phrase collision from a verbatim test-set copy and pick
+    * its own threshold.
+    *
+    * Same scale shape as the boolean variant: both sides reduce to 60-bit
+    * portable gram hashes; per-document distinctness is `array_distinct`
+    * on the shingle array BEFORE the explode (row-local — no dedup
+    * shuffle), the benchmark side distincts globally (small) and
+    * broadcast-joins. One left join + one aggregate on doc id; linear in
+    * corpus gram count. `overlap_frac` is one exact-long division —
+    * bit-reproducible unrounded. Documents with fewer than `k` tokens
+    * have no grams and are absent (overlap undefined, not 0).
+    * Returns (doc_id, n_grams, n_hit, overlap_frac). */
+  def decontamOverlap(corpus: DataFrame, idCol: Column, textCol: Column,
+                      bench: DataFrame, benchTextCol: Column, k: Int): DataFrame = {
+    val cg = corpus
+      .select(idCol.as("doc_id"), TextOps.tokens(textCol).as("__toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.shinglesOfTokens(col("__toks"), k))).as("__g"))
+      .select(col("doc_id"), Hashing.hash60(col("__g")).as("gram_h"))
+    val bg = bench
+      .select(TextOps.tokens(benchTextCol).as("__toks"))
+      .select(explode(TextOps.shinglesOfTokens(col("__toks"), k)).as("__g"))
+      .select(Hashing.hash60(col("__g")).as("gram_h"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    cg.join(bg, Seq("gram_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_frac"))
+  }
+
   def exactDedup(df: DataFrame, id: Column, text: Column): DataFrame =
     df.groupBy(TextOps.fingerprint(text).as("fingerprint"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))

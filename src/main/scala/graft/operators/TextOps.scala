@@ -472,6 +472,42 @@ object TextOps {
         when(col("collision_p").isNotNull, lit(1.0) - col("collision_p")))
   }
 
+  /** Natural log of 2 — interpolated verbatim into the oracle twin (the
+    * BM25 convention for shared fp constants) so both engines divide by
+    * the identical double. */
+  val Ln2: Double = math.log(2.0)
+
+  /** Shannon entropy of the per-document CHARACTER distribution, in bits
+    * per char — the classic gibberish/binary-junk detector: natural prose
+    * sits ~3.5–4.5 bits, single-char spam at 0, uniform random bytes near
+    * log2(alphabet). Complements [[tokenDiversity]] (token-level Simpson)
+    * with the sub-token view that catches junk *inside* "words".
+    *
+    * H = (ln n − Σ_c cnt_c·ln cnt_c / n) / ln 2. The per-row counting pass
+    * is the native [[graft.functions.CharEntropyStats]] expression — one
+    * compiled loop over code points inside WholeStageCodegen, accumulating
+    * the ln sum in ascending code point order (= the UTF-8 sort order a
+    * run-length fold over `array_sort`ed chars would use; a HOF
+    * formulation of exactly that shape ran interpreted per char and was
+    * 10× slower, see the expression's scaladoc). The corpus never shuffles
+    * and the operator is embarrassingly parallel at any scale. Entropy is
+    * emitted unrounded; gate queries round it 6-dp (the t02 convention)
+    * because the ln sum is fp-order-sensitive (Spark accumulates in char
+    * order, an oracle SUM is order-free) and both engines' ≤1-ulp ln
+    * differences vanish at the 1e-6 grid. Single-char docs produce an
+    * exact 0.0 in any engine (n·ln(n)/n ≡ ln n); empty docs → null.
+    * Returns (id, n_chars, n_distinct_chars, entropy_bits). */
+  def charEntropy(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"),
+        call_function("graft_char_stats", textCol).as("__st"))
+      .select(col("id"),
+        col("__st.n_chars").as("n_chars"),
+        col("__st.n_distinct").as("n_distinct_chars"),
+        when(col("__st.n_chars") > 0,
+          (log(col("__st.n_chars").cast("double"))
+            - col("__st.s") / col("__st.n_chars").cast("double")) / lit(Ln2))
+          .as("entropy_bits"))
+
   /** Domain blocklist labeling: each document's URLs are reduced to hosts
     * (the [[extractDomains]] projection), and a host matches a blocklist
     * entry when it EQUALS the entry or is a subdomain of it

@@ -130,6 +130,54 @@ class DedupSpec extends SparkSpec {
     assert(flagged == Set(1L, 4L))
   }
 
+  test("decontamOverlap: exact distinct-gram fractions; gram-less docs absent") {
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // both 5-grams hit: 2/2
+      (2L, "alpha beta gamma delta epsilon noise"), // 1 of 2 distinct grams
+      (3L, "completely different words here now ok"), // 0 of 2
+      (4L, "too short"),                            // < k tokens: absent
+      // repeated gram counted ONCE (distinct): 1 hit / 2 distinct grams
+      (5L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.decontamOverlap(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L)) // 4 has no 5-gram
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0),
+      // doc 5: 10 tokens -> 6 windows, but window 6 repeats window 1 ->
+      // 5 DISTINCT grams (the seam windows are new), 1 benchmark hit
+      (5L, 5L, 1L, 1.0 / 5.0)))
+  }
+
+  test("charEntropy: exact landmarks and a driver-side differential") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aaaa"),         // single char: exactly 0 bits
+      (2L, "abab"),         // two equiprobable chars: exactly 1 bit
+      (3L, "abcd"),         // four equiprobable chars: exactly 2 bits
+      (4L, ""),             // empty: null entropy, zero counts
+      (5L, "mississippi")
+    ).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got(0) === ((1L, 4L, 1L, Some(0.0))))
+    assert(got(1)._4.exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(got(2)._4.exists(v => math.abs(v - 2.0) < 1e-12))
+    assert(got(3) === ((4L, 0L, 0L, None)))
+    // driver-side reference for mississippi: m=1 i=4 s=4 p=2, n=11
+    val n = 11.0
+    val want = (math.log(n) -
+      Seq(1.0, 4.0, 4.0, 2.0).map(c => c * math.log(c)).sum / n) / math.log(2.0)
+    assert(got(4)._2 === 11L && got(4)._3 === 4L)
+    assert(got(4)._4.exists(v => math.abs(v - want) < 1e-9))
+  }
+
   test("simhash: identical docs hamming 0, near-dups small, distinct docs large") {
     val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
