@@ -461,6 +461,49 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("decontamOverlap matches brute-force distinct-gram fractions on random corpora") {
+    for (seed <- Seq(7, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      def doc(len: Int): String =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bench = (1 to 8).map(i => (100L + i, doc(6 + rnd.nextInt(6))))
+      // lengths straddle k=3 (some docs have no gram at all); every third
+      // doc gets a random bench snippet spliced in, planting partial
+      // overlap with seam grams around the splice point
+      val corpus = (1 to 60).map { i =>
+        val base = doc(1 + rnd.nextInt(12))
+        val text =
+          if (i % 3 == 0) {
+            val b = bench(rnd.nextInt(bench.size))._2.split(" ")
+            base + " " + b.take(3 + rnd.nextInt(b.length - 2)).mkString(" ")
+          } else base
+        (i.toLong, text)
+      }
+      val k = 3
+      val got = graft.operators.DedupOps.decontamOverlap(
+          corpus.toDF("doc_id", "text"),
+          col("doc_id"), col("text"),
+          bench.toDF("doc_id", "text"), col("text"), k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      def grams(t: String): Set[Seq[String]] =
+        t.split("\\s+").toSeq.sliding(k).filter(_.size == k).toSet
+      val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+      val want = corpus.flatMap { case (id, t) =>
+        val g = grams(t)
+        if (g.isEmpty) None
+        else {
+          val hit = g.count(benchGrams)
+          Some(id -> ((g.size.toLong, hit.toLong, hit.toDouble / g.size.toDouble)))
+        }
+      }.toMap
+      assert(want.values.exists(_._2 > 0), s"seed $seed planted no overlap — fixture broken")
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("winsorize approx band brackets the exact band on random skewed strata") {
     import graft.operators.CurationOps
     for (seed <- Seq(2, 17)) {
