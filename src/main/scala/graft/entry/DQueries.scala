@@ -321,10 +321,12 @@ object DQueries {
           lpad(col("doc_id").cast("string"), 8, "0"),
           lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".0."), pmod(col("doc_id") * 7, lit(256)).cast("string")).as("text"))
-      TextOps.redactPii(pii, col("doc_id"), col("text"))
+      // sort BEFORE the regex chain (the b04 range-sampling lesson): the
+      // redaction projections run once, above the sort, and preserve its
+      // order; text→text width means the shuffle carries no extra bytes
+      TextOps.redactPii(pii.orderBy("doc_id"), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("red_text"),
           col("n_email"), col("n_ip"), col("n_phone"))
-        .orderBy("doc_id")
     }),
 
     "t10_heavy_hitters" -> ((s, dir) => {
@@ -382,10 +384,11 @@ object DQueries {
           lit(TextRepairAug),
           when(pmod(col("doc_id"), lit(3)) === 0, lit("  x")).otherwise(lit(""))
         ).as("text"))
-      TextOps.repairText(dirty, col("doc_id"), col("text"))
+      // sort BEFORE the repair chain (the b04 range-sampling lesson; see
+      // t13) — projections above the sort preserve its order
+      TextOps.repairText(dirty.orderBy("doc_id"), col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_ctrl"), col("n_mojibake"), col("n_wsrun"))
-        .orderBy("doc_id")
     }),
 
     "t22_bigram_pmi" -> ((s, dir) => {
