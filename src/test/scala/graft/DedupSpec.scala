@@ -178,6 +178,34 @@ class DedupSpec extends SparkSpec {
     assert(got(4)._4.exists(v => math.abs(v - want) < 1e-9))
   }
 
+  test("charEntropy: SQL-registered expression; interpreted eval agrees with codegen") {
+    // SQL-string surface: graft_char_stats is injected like graft_dot/hash60
+    val viaSql = spark.sql(
+      "SELECT graft_char_stats('mississippi').n_chars AS n," +
+        " graft_char_stats('mississippi').n_distinct AS d," +
+        " graft_char_stats(CAST(NULL AS STRING)) IS NULL AS nn").head()
+    assert(viaSql.getLong(0) === 11L && viaSql.getLong(1) === 4L && viaSql.getBoolean(2))
+    // non-ASCII spill path: runs sorted after the ASCII block, counts by
+    // code point (the astral char is ONE char)
+    val uni = Seq((1L, "aéé😀")).toDF("doc_id", "text")
+    val r = TextOps.charEntropy(uni, col("doc_id"), col("text")).head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 3L) // 4 chars, 3 distinct
+    // interpreted path (eval) must agree bit-for-bit with codegen
+    val docs = Seq((1L, "the quick brown fox 123  !!")).toDF("doc_id", "text")
+    def run(): Double = TextOps.charEntropy(docs, col("doc_id"), col("text"))
+      .head().getDouble(3)
+    val cg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(java.lang.Double.doubleToLongBits(cg) ==
+        java.lang.Double.doubleToLongBits(run()))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash: identical docs hamming 0, near-dups small, distinct docs large") {
     val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
