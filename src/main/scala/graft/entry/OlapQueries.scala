@@ -185,6 +185,16 @@ object OlapQueries {
         .orderBy("prev_event", "event")
     }),
 
+    "a42_decayed" -> ((s, dir) => {
+      // E83: half-life-weighted activity per event type — anchor one day
+      // past the generated range (2024-02-01 UTC), half-life 7 days.
+      // Micro-unit-quantized contributions make the sums exact longs.
+      AnalyticsOps.decayedAgg(events(s, dir), Seq(col("event_type")),
+          col("ts"), col("value"), halfLifeSeconds = 604800L,
+          anchorEpochSeconds = 1706745600L)
+        .orderBy("event_type")
+    }),
+
     "a40_winsorize" -> ((s, dir) => {
       // E68 oracle path: exact rank-defined p05/p95 clamp of event values
       // per event type. The production percentile_approx plan is benched
@@ -578,6 +588,17 @@ object OlapQueries {
         |SELECT prev_event, event_type AS event, COUNT(*) AS n_transitions
         |FROM t WHERE prev_event IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // twin of AnalyticsOps.decayedAgg: identical per-row weight expression
+    // (same anchor/half-life literals), micro-unit quantization to BIGINT,
+    // exact long sums back to double
+    "a42_decayed" -> {
+      val w = "pow(2.0, -CAST(1706745600 - floor(epoch(ts)) AS DOUBLE) / 604800.0)"
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(round($w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS decayed_count,
+         |  CAST(SUM(CAST(round(value * $w * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS decayed_sum
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // rank-defined quantile clamp: value at 1-based rank floor(q*(n-1))+1
     // in (value, event_id) order per stratum. Mirrors the operator exactly:

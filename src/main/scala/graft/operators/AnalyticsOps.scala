@@ -170,6 +170,40 @@ object AnalyticsOps {
       .drop("__mu", "__sd")
   }
 
+  /** Time-decayed (half-life) aggregate — the feature-store staple: per
+    * key, `Σ value·2^(−age/halfLife)` and the decayed event count, where
+    * age = anchor − event time in seconds. A 7-day half-life means an
+    * event a week old contributes half of a fresh one; recency-weighted
+    * activity scores, trending counters, and decay-weighted CTRs are all
+    * this aggregate with different value columns.
+    *
+    * ONE hash aggregate with map-side partial combine — the weights are
+    * per-row expressions, so a 100 TB event log shuffles only its
+    * per-key partial sums; the anchor is a caller-supplied epoch (pass
+    * "now"), NOT a driver-side action over the data. Per-row
+    * contributions are quantized to micro-units
+    * (`round(value·w·1e6) AS BIGINT`) and summed as exact longs, making
+    * the result order-independent across partitions/retries (the fp-sum
+    * non-associativity note on [[graft.operators.SimilarityOps]]
+    * centroids) and oracle-reproducible; the only cross-engine fp
+    * surface is one `pow` per row, and a ≤1-ulp pow difference only
+    * matters on the vanishing set of values landing exactly on a
+    * half-micro-unit boundary. Returns keys + (n_events, decayed_count,
+    * decayed_sum); null values contribute count weight but no sum. */
+  def decayedAgg(df: DataFrame, keys: Seq[Column], tsCol: Column,
+                 valueCol: Column, halfLifeSeconds: Long,
+                 anchorEpochSeconds: Long): DataFrame = {
+    val age = (lit(anchorEpochSeconds) - unix_timestamp(tsCol)).cast("double")
+    val w = pow(lit(2.0), -age / lit(halfLifeSeconds.toDouble))
+    val micro = lit(1000000.0)
+    val cMicro = round(valueCol * w * micro).cast("long")
+    val wMicro = round(w * micro).cast("long")
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"),
+        (sum(wMicro).cast("double") / micro).as("decayed_count"),
+        (sum(cMicro).cast("double") / micro).as("decayed_sum"))
+  }
+
   /** Membership labeling via semi/anti join: every left row tagged
     * `'present'` or `'absent'` by key existence on the right. Two hash
     * joins of the same shape (Spark plans left_semi/left_anti without

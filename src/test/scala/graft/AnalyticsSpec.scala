@@ -462,6 +462,33 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq === Seq("same"))
   }
 
+  test("decayedAgg: hand-checked half-life weights, null values, order independence") {
+    val anchor = 1000000L
+    val hl = 100L
+    val rows = Seq(
+      ("a", anchor, Some(10.0)),        // age 0: weight 1
+      ("a", anchor - 100L, Some(10.0)), // one half-life: weight 0.5
+      ("a", anchor - 200L, None),       // two half-lives, null value
+      ("b", anchor - 300L, Some(8.0))   // weight 1/8
+    )
+    def frame(r: Seq[(String, Long, Option[Double])]) =
+      r.toDF("k", "t", "value").withColumn("ts", timestamp_seconds(col("t")))
+    val got = AnalyticsOps.decayedAgg(frame(rows), Seq(col("k")),
+        col("ts"), col("value"), halfLifeSeconds = hl,
+        anchorEpochSeconds = anchor)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // a: counts 1 + 0.5 + 0.25 (null value still weighs in the count),
+    //    sum 10 + 5; b: count 0.125, sum 1
+    assert(got.toSeq === Seq(("a", 3L, 1.75, 15.0), ("b", 1L, 0.125, 1.0)))
+    // exact-long quantization => bitwise identical under any partitioning
+    val shuffled = AnalyticsOps.decayedAgg(frame(rows).repartition(7),
+        Seq(col("k")), col("ts"), col("value"), hl, anchor)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(shuffled.toSeq === got.toSeq)
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute
