@@ -254,6 +254,18 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t30_weighted_sample" -> ((s, dir) => {
+      // E84: A-ES weighted sampling without replacement — exactly 20 docs
+      // per language, inclusion probability ∝ (token count + 1), the
+      // hash-derived draw identical in both engines.
+      val docs = documents(s, dir)
+        .withColumn("w", (TextOps.tokenCount(col("text")) + lit(1)).cast("double"))
+      CurationOps.weightedSample(docs, col("doc_id"), col("lang"),
+          col("w"), k = 20)
+        .select(col("doc_id"), col("lang"), col("w"), col("samp_rank"))
+        .orderBy("doc_id")
+    }),
+
     "t19_vocab_oov" -> ((s, dir) => {
       // E45 through the gate: 100-term vocabulary coverage; exact-integer
       // OOV ratio emitted UNROUNDED.
@@ -996,6 +1008,23 @@ object DQueries {
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |    ORDER BY ${h60Sql("'topn_' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+
+    // twin of CurationOps.weightedSample(k=20): identical hash-derived
+    // uniform, identical pow key, identical (key DESC, id) rank
+    "t30_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($toksSql) + 1 AS DOUBLE) AS w
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, w, row_number() OVER (PARTITION BY lang
+         |    ORDER BY pow(
+         |      (CAST(${h60Sql("'ws_' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+         |        / 1152921504606846976.0,
+         |      1.0 / w) DESC, doc_id) AS samp_rank
+         |  FROM d WHERE w > 0)
+         |SELECT doc_id, lang, w, samp_rank FROM r
+         |WHERE samp_rank <= 20 ORDER BY doc_id""".stripMargin,
 
     // twin of TextOps.vocabOov(V=100): same (tf DESC, term) vocabulary
     // rank, same exact-integer OOV division

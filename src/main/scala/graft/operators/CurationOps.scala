@@ -264,6 +264,40 @@ object CurationOps {
       .drop("__h", "__rk")
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k rows per stratum,
+    * inclusion probability proportional to `weightCol` — the data-mixing
+    * primitive behind "sample 10k docs per source, preferring high
+    * quality". Efraimidis–Spirakis A-ES: every row gets sampling key
+    * `u^(1/w)` with `u` uniform in (0, 1]; the k largest keys per stratum
+    * ARE a weighted sample without replacement. `u` is hash-derived from
+    * the id (`(hash60 + 1) / 2^60`), not `rand()` — re-runs, retries, and
+    * other engines draw the IDENTICAL sample (the [[stratifiedTopN]]
+    * determinism contract, weighted).
+    *
+    * Same plan shape as [[stratifiedTopN]]: one shuffle on the stratum,
+    * rank filter planned as WindowGroupLimit so each map task forwards at
+    * most k rows per stratum before the exchange. Cross-engine fp note:
+    * the key involves one `pow` per row; a ≤1-ulp pow difference can only
+    * flip a rank if two keys agree to ~1e-16 relative, while hash-derived
+    * `u` gaps keep keys ~1e-6 apart at gate scale — and ties break by id
+    * regardless. Rows with null or non-positive weight are excluded (no
+    * defined inclusion probability). Returns the input columns plus
+    * `samp_rank` (1..k within each stratum, descending key order). */
+  def weightedSample(df: DataFrame, idCol: Column, strataCol: Column,
+                     weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive: $k")
+    val u = (Hashing.hash60(concat(lit("ws_"), idCol.cast("string")))
+      .cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val key = pow(u, lit(1.0) / weightCol.cast("double"))
+    df.filter(weightCol.isNotNull && weightCol.cast("double") > 0)
+      .withColumn("__sk", key)
+      .withColumn("samp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCol).orderBy(col("__sk").desc, idCol)))
+      .filter(col("samp_rank") <= k)
+      .drop("__sk")
+  }
+
   /** Deterministic dataset split: each row lands in exactly one named
     * split, by hash bucket — `weights` (name → fraction, summing to 1;
     * the last split absorbs rounding remainder) become cumulative bucket

@@ -293,7 +293,15 @@ object EtlOps {
   /** {group}-{slug}-{zero-padded rank}: rank via row_number over an explicit
     * deterministic ordering (the reference pads a positional index, which is
     * only stable single-threaded — an explicit ordering is the distributed
-    * equivalent). */
+    * equivalent).
+    *
+    * The global (unpartitioned) window funnels all rows through one task —
+    * fine for the DIMENSION-sized frames this op exists for (suppliers,
+    * the ~30k-hotel dimension; the reference never ids fact rows). For a
+    * fact-scale id the right plan is range-repartition on `orderKey` +
+    * per-partition row_number + a broadcast per-partition-offset add
+    * (zipWithIndex's shape) — not this window. `orderKey` must be unique
+    * or the rank (and thus the id) is nondeterministic under retries. */
   def surrogateId(group: Column, slug: Column, orderKey: Column): Column =
     concat_ws("-", group, slug,
       lpad(row_number().over(Window.orderBy(orderKey)).cast("string"), 6, "0"))

@@ -245,6 +245,34 @@ class CurationSpec extends SparkSpec {
     assert(s1.filter(_._1 < 50L).subsetOf(sub))
   }
 
+  test("weightedSample: matches the driver-side A-ES reference; weight rules") {
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 10 == 0) 0.0 else (i % 7 + 1).toDouble))
+    val df = rows.toDF("doc_id", "lang", "w")
+    val got = CurationOps.weightedSample(df.repartition(5), col("doc_id"),
+        col("lang"), col("w"), k = 5)
+      .select("doc_id", "lang", "samp_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // driver-side reference: identical hash-derived uniform and pow key
+    val want = rows.filter(_._3 > 0).groupBy(_._2).flatMap { case (lang, rs) =>
+      rs.map { case (id, _, w) =>
+        val u = (graft.functions.Hashing.hash60Scalar(s"ws_$id").toDouble + 1.0) /
+          1152921504606846976.0
+        (id, math.pow(u, 1.0 / w))
+      }.sortBy { case (id, key) => (-key, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (id, lang, i + 1) }
+    }.toSet
+    assert(got === want)
+    // zero-weight rows are never sampled
+    assert(got.forall(_._1 % 10 != 0))
+    // k >= stratum size keeps every positive-weight row
+    val all = CurationOps.weightedSample(df, col("doc_id"), col("lang"),
+        col("w"), k = 100).count()
+    assert(all === rows.count(_._3 > 0))
+  }
+
   test("vocabOov: hand-checked vocabulary cut and OOV ratios") {
     // counts: a=4, b=3, c=2, d=1 -> V=2 vocab {a, b}
     val d = Seq(
