@@ -38,4 +38,34 @@ class OlapPlanSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*r_name[^\\]]*\\].*"),
       s"r_name not pushed:\n$plan")
   }
+
+  private def dPlanOf(key: String): String =
+    graft.entry.DQueries.queries(key)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("t30 weighted sample: rank filter plans as WindowGroupLimit") {
+    val plan = dPlanOf("t30_weighted_sample")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank not pushed into WindowGroupLimit:\n$plan")
+  }
+
+  test("t29 char entropy: native expression stays inside whole-stage codegen") {
+    val df = graft.entry.DQueries.queries("t29_char_entropy")(spark, dir)
+    // AQE prints codegen spans only on the executed final plan — execute
+    // THIS QueryExecution (a write action would plan a fresh one)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_char_stats"), s"native expr missing:\n$plan")
+    // the projection carrying the expression must sit in a codegen'd span,
+    // not a CodegenFallback island (the failure mode of the HOF twin)
+    assert("\\*\\(\\d+\\) Project \\[[^\\]]*graft_char_stats".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined,
+      s"graft_char_stats not inside WholeStageCodegen:\n$plan")
+  }
+
+  test("d10 decontam overlap: benchmark gram set joins as a broadcast") {
+    val plan = dPlanOf("d10_decontam_overlap")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side did not broadcast:\n$plan")
+  }
 }
