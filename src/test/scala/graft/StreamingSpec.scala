@@ -252,6 +252,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DecayedCounter: incremental half-life state matches the batch aggregate") {
+    import graft.streaming.DecayedCounter
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DecayedCounter.Event]
+    val counted = DecayedCounter.count(
+      mem.toDS().withWatermark("ts", "10 seconds").as[DecayedCounter.Event],
+      halfLifeSeconds = 60L)
+    val q = counted.writeStream.outputMode("update")
+      .format("memory").queryName("decay_out").start()
+    try {
+      mem.addData(DecayedCounter.Event(1L, ts("2024-01-01 10:00:00"), 10.0))
+      q.processAllAvailable()
+      // one half-life later: key 1's held sum halves before the new event
+      // folds in; key 2 starts fresh in a later micro-batch
+      mem.addData(
+        DecayedCounter.Event(1L, ts("2024-01-01 10:01:00"), 10.0),
+        DecayedCounter.Event(2L, ts("2024-01-01 10:01:00"), 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("decay_out").as[DecayedCounter.Counter]
+        .collect().groupBy(_.key).map { case (k, rs) =>
+          k -> rs.maxBy(_.asOf.getTime) }
+      assert(math.abs(latest(1L).decayed_sum - 15.0) < 1e-6, s"$latest")
+      assert(math.abs(latest(1L).decayed_count - 1.5) < 1e-6)
+      assert(math.abs(latest(2L).decayed_sum - 4.0) < 1e-6)
+      // batch-twin agreement: decayedAgg anchored at the key's clock sees
+      // the same weights (per-step quantization allows ~1e-6 per event)
+      val batch = graft.operators.AnalyticsOps.decayedAgg(
+        Seq((1L, ts("2024-01-01 10:00:00"), 10.0),
+            (1L, ts("2024-01-01 10:01:00"), 10.0)).toDF("key", "ts", "value"),
+        Seq(col("key")), col("ts"), col("value"), halfLifeSeconds = 60L,
+        anchorEpochSeconds = ts("2024-01-01 10:01:00").getTime / 1000L)
+        .collect().head
+      assert(math.abs(batch.getDouble(3) - latest(1L).decayed_sum) < 1e-5)
+    } finally q.stop()
+  }
+
   test("StreamingFunnel: out-of-order arrival yields the batch fold's stages") {
     import graft.streaming.StreamingFunnel
     import graft.streaming.StreamingFunnel.StepEvent
