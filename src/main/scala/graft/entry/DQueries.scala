@@ -266,6 +266,26 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t31_drift" -> ((s, dir) => {
+      // E86: token-length distribution drift between the even-id
+      // "reference crawl" and the odd-id "current crawl" — per-bucket
+      // PSI/KL on fixed caller-supplied edges (integral values on integral
+      // edges, so bucketing is exact in both engines); ln terms 6-dp
+      // rounded per the fp-sensitivity convention.
+      val docs = documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("double").as("v"))
+      AnalyticsOps.distributionDrift(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("v"), edges = Seq(20.0, 35.0, 50.0, 65.0, 80.0))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          rnd6(col("p_ref")).as("p_ref"), rnd6(col("p_cur")).as("p_cur"),
+          rnd6(col("psi_term")).as("psi_term"),
+          rnd6(col("kl_term")).as("kl_term"))
+        .orderBy("bucket")
+    }),
+
     "t19_vocab_oov" -> ((s, dir) => {
       // E45 through the gate: 100-term vocabulary coverage; exact-integer
       // OOV ratio emitted UNROUNDED.
@@ -544,6 +564,23 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d11_cross_dedup" -> ((s, dir) => {
+      // E85: incremental-ingestion dedup — near-dups of the odd-id "new
+      // shard" against the even-id "corpus" via the cross-table LSH bucket
+      // join; the brute-force cross Jaccard is the oracle (same 32x4
+      // recall argument as d03, so the verified output equals it).
+      val docs = documents(s, dir)
+      val newSh = DedupOps.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"), 3)
+      val corpSh = DedupOps.shingleSets(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        col("doc_id"), col("text"), 3)
+      DedupOps.crossNearDupPairs(newSh, corpSh, JaccardThreshold)
+        .select(col("new_id"), col("corpus_id"), rnd(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "corpus_id")
+    }),
+
     "m02_frame_sample" -> ((s, dir) => {
       // E61: metadata-driven frame explode over binary payloads — every
       // 4th 32-byte "frame" as its own row; content verified via hex (the
@@ -793,6 +830,19 @@ object DQueries {
          |FROM gh LEFT JOIN b ON gh.gram_h = b.gram_h
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // twin of DedupOps.crossNearDupPairs: brute-force cross Jaccard between
+    // the odd-id shard and the even-id corpus (LSH recall makes the banded
+    // plan equal it, as with d03)
+    "d11_cross_dedup" ->
+      s"""WITH $shingleCte,
+         |j AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |    len(list_intersect(a.s, b.s)) * 1.0
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jc
+         |  FROM sh a, sh b WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+         |SELECT new_id, corpus_id, ${rndSql("jc")} AS jaccard FROM j
+         |WHERE jc >= $JaccardThreshold ORDER BY new_id, corpus_id""".stripMargin,
+
     // twin of TextOps.charEntropy: per-char counts via unnest + GROUP BY
     // (the Spark side folds runs of the sorted char array — identical
     // counts), entropy divided by the SAME Ln2 double (TextOps.Ln2
@@ -1025,6 +1075,30 @@ object DQueries {
          |  FROM d WHERE w > 0)
          |SELECT doc_id, lang, w, samp_rank FROM r
          |WHERE samp_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    // twin of AnalyticsOps.distributionDrift: same bucket expression
+    // (count of edges <= value), same eps clamp, same PSI/KL forms; ln
+    // divergence terms 6-dp rounded
+    "t31_drift" -> {
+      val bucket = Seq(20, 35, 50, 65, 80)
+        .map(e => s"CASE WHEN v >= $e THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS v FROM documents),
+         |b AS (SELECT doc_id % 2 AS side, ($bucket) AS bucket FROM d),
+         |c AS (SELECT bucket,
+         |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM b GROUP BY 1),
+         |p AS (SELECT bucket, n_ref, n_cur,
+         |    GREATEST(CAST(n_ref AS DOUBLE) / CAST(SUM(n_ref) OVER () AS DOUBLE), 1e-6) AS pr,
+         |    GREATEST(CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE), 1e-6) AS pc
+         |  FROM c)
+         |SELECT bucket, n_ref, n_cur,
+         |  ${rnd6Sql("pr")} AS p_ref, ${rnd6Sql("pc")} AS p_cur,
+         |  ${rnd6Sql("(pc - pr) * ln(pc / pr)")} AS psi_term,
+         |  ${rnd6Sql("pc * ln(pc / pr)")} AS kl_term
+         |FROM p ORDER BY bucket""".stripMargin
+    },
 
     // twin of TextOps.vocabOov(V=100): same (tf DESC, term) vocabulary
     // rank, same exact-integer OOV division

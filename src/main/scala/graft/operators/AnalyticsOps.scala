@@ -424,4 +424,51 @@ object AnalyticsOps {
         (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
         col("cnt"))
   }
+
+  /** Distribution drift report between a reference and a current snapshot of
+    * the same column — the crawl-over-crawl / release-over-release corpus
+    * monitor. Values bucket against caller-supplied ascending `edges`
+    * (bucket = number of edges ≤ value, so bucket 0 is (-∞, edges(0)) and
+    * bucket `edges.size` is [edges.last, ∞)); per bucket the report carries
+    * both counts, both proportions, and the bucket's PSI and KL(cur‖ref)
+    * contributions — `psi_term = (p_cur − p_ref)·ln(p_cur/p_ref)`,
+    * `kl_term = p_cur·ln(p_cur/p_ref)` — with proportions clamped at `eps`
+    * so one-sided buckets stay finite (the standard PSI convention). Sum
+    * the columns for the scalar indices (PSI > 0.2 ≈ "investigate").
+    *
+    * Edges are a PARAMETER, not derived from the data: at 100 TB you fix
+    * them once (e.g. reference-quantile edges) so every snapshot buckets
+    * identically and reports stay comparable across runs. The plan is the
+    * cheapest possible: tag each side with a literal, union, and run ONE
+    * hash aggregate whose key has ≤ edges.size+1 values — map-side combine
+    * collapses both scans to ≤ B+1 partial rows each, so the shuffle and
+    * everything after it is bucket-sized. The proportion window runs on
+    * that tiny aggregate, never on the fact data. Buckets empty on BOTH
+    * sides are omitted (they contribute zero drift); a bucket present on
+    * one side reports 0 for the other. Null values are excluded. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: Column,
+                        edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"edges must be non-empty ascending: $edges")
+    require(eps > 0.0, s"eps must be positive: $eps")
+    def side(df: DataFrame, tag: Int): DataFrame = df
+      .filter(valueCol.isNotNull)
+      .select(edges.map(e => when(valueCol >= lit(e), 1).otherwise(0))
+        .reduce(_ + _).as("bucket"), lit(tag).as("__side"))
+    val counts = side(ref, 0).unionAll(side(cur, 1))
+      .groupBy("bucket")
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.partitionBy() // global — over the ≤ B+1 aggregated rows
+    val pRef = greatest(col("n_ref").cast("double") / sum("n_ref").over(w), lit(eps))
+    val pCur = greatest(col("n_cur").cast("double") / sum("n_cur").over(w), lit(eps))
+    counts
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"),
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .as("psi_term"),
+        (col("p_cur") * log(col("p_cur") / col("p_ref"))).as("kl_term"))
+  }
 }

@@ -489,6 +489,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(shuffled.toSeq === got.toSeq)
   }
 
+  test("distributionDrift: hand-checked buckets, eps clamp, zero drift on identical sides") {
+    val eps = 1e-6
+    val ref = Seq(1.0, 1.0, 2.0).toDF("v")
+    val cur = Seq(2.0, 3.0).toDF("v")
+    val got = AnalyticsOps.distributionDrift(ref, cur, col("v"),
+        edges = Seq(2.0, 3.0), eps = eps)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // buckets: 0 = (-inf,2) holds ref {1,1}; 1 = [2,3) holds ref {2} and
+    // cur {2}; 2 = [3,inf) holds cur {3}; one-sided buckets clamp at eps
+    def terms(pr: Double, pc: Double) =
+      ((pc - pr) * math.log(pc / pr), pc * math.log(pc / pr))
+    val exp = Seq(
+      (0, 2L, 0L, 2.0 / 3, eps), (1, 1L, 1L, 1.0 / 3, 0.5),
+      (2, 0L, 1L, eps, 0.5))
+    assert(got.length === 3)
+    got.zip(exp).foreach { case ((b, nr, nc, pr, pc, psi, kl),
+                                 (eb, enr, enc, epr, epc)) =>
+      val (epsi, ekl) = terms(epr, epc)
+      assert((b, nr, nc) === ((eb, enr, enc)))
+      assert(math.abs(pr - epr) < 1e-12 && math.abs(pc - epc) < 1e-12)
+      assert(math.abs(psi - epsi) < 1e-12, s"bucket $b psi")
+      assert(math.abs(kl - ekl) < 1e-12, s"bucket $b kl")
+    }
+    // identical sides: every divergence term is exactly ln(1) = 0
+    val zero = AnalyticsOps.distributionDrift(ref, ref, col("v"),
+        edges = Seq(2.0, 3.0)).collect()
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0)
+    }
+  }
+
   // non-ASCII fixtures via escapes so the test source stays ASCII-clean
   private val Bel = "\u0007"
   private val MojEacute = "\u00c3\u00a9"            // mojibake of e-acute

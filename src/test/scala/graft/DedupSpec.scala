@@ -275,4 +275,31 @@ class DedupSpec extends SparkSpec {
     assert(rowwise.toSeq === viaAgg.toSeq)
     assert(rowwise.map(_.head) === Array(1L, 2L, 3L)) // doc 4 absent from both
   }
+
+  test("crossNearDupPairs: all shard-vs-corpus matches, none within a side") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about physical plans and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "unrelated text talking about watermark semantics in streams"),
+      // near-dup of shard doc 1 — must NOT pair (within-shard dedup is
+      // minhashLshPairs' job, not the cross join's)
+      (5L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.crossNearDupPairs(
+        DedupOps.shingleSets(shard, col("doc_id"), col("text"), 3),
+        DedupOps.shingleSets(corpus, col("doc_id"), col("text"), 3),
+        threshold = 0.8)
+      .orderBy("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // shard 1 and 5 (identical) each match corpus 0 exactly and corpus 4
+    // (one extra trailing token: 10 of 11 shingles shared)
+    assert(pairs.map(p => (p._1, p._2)).toSeq ===
+      Seq((1L, 0L), (1L, 4L), (5L, 0L), (5L, 4L)))
+    assert(pairs.filter(_._2 == 0L).forall(_._3 == 1.0))
+    assert(pairs.filter(_._2 == 4L).forall(p => math.abs(p._3 - 10.0 / 11) < 1e-12))
+  }
 }

@@ -68,4 +68,25 @@ class OlapPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark side did not broadcast:\n$plan")
   }
+
+  test("t31 drift: one hash aggregate over the unioned scan; window sits above it") {
+    val plan = dPlanOf("t31_drift")
+    // bucketing + side-tag fold into the scans; counts run partial+final
+    assert(plan.contains("Union") && plan.contains("HashAggregate"),
+      s"expected union + hash aggregate:\n$plan")
+    // the proportion window must consume the AGGREGATE, not fact rows: in
+    // the physical plan the Window's child subtree contains the final
+    // HashAggregate (Window above agg), never the reverse
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window does not sit above the aggregate:\n$plan")
+  }
+
+  test("d11 cross dedup: candidates come from equi-joins, no cartesian product") {
+    val plan = dPlanOf("d11_cross_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus candidates must be bucket equi-joins:\n$plan")
+  }
 }
