@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges sessions across micro-batches and emits on watermark close") {
+    import graft.operators.TemporalOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sessions = TemporalOps.sessionize(
+      mem.toDF().toDF("ts", "user").withWatermark("ts", "10 seconds"),
+      "ts", "5 minutes", Seq($"user"), Seq(count(lit(1)).as("n_events")))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: two events 2 min apart — one open session for u1
+      mem.addData((ts("2024-01-01 10:00:00"), "u1"), (ts("2024-01-01 10:02:00"), "u1"))
+      q.processAllAvailable()
+      // batch 2: a third event inside the gap must MERGE into that session
+      // (state-store session merge across micro-batches), even arriving in
+      // a later batch
+      mem.addData((ts("2024-01-01 10:04:00"), "u1"))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // watermark hasn't closed it
+      // batch 3: push the watermark past 10:09 + gap -> session emits once
+      mem.addData((ts("2024-01-01 10:30:00"), "u2"))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select(date_format($"session_window.start", "HH:mm:ss").as("s"),
+          date_format($"session_window.end", "HH:mm:ss").as("e"),
+          $"user", $"n_events")
+        .as[(String, String, String, Long)].collect().toSet
+      // one merged 3-event session spanning [first, last + gap)
+      assert(out === Set(("10:00:00", "10:09:00", "u1", 3L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("DecayedCounter: incremental half-life state matches the batch aggregate") {
     import graft.streaming.DecayedCounter
     implicit val sqlCtx = spark.sqlContext
