@@ -109,12 +109,16 @@ object GraphOps {
     // one task with no AQE skew split; the agg+equi-join keeps map-side
     // combine and AQE skew handling.) Both deg and the join read the
     // src-partitioned e cache, so neither adds an exchange.
-    // Lazy persist is safe here: eDeg enters each round-job exactly once,
-    // so the first round materializes it and later rounds hit the cache —
-    // no sibling-stage race (that hazard needs two consumers in ONE job
-    // over UNmaterialized lineage; e is already cache-resident by then),
-    // and skipping an eager count() saves a whole prep job.
+    // Eager materialization is NOT optional: with checkpointInterval > 1
+    // the fused checkpoint job references eDeg through one sibling join
+    // stage PER ROUND, and an unmaterialized lazy persist makes those
+    // siblings race and recompute the join lineage each (the d03/d06
+    // lesson — lazy persist is only safe with a single consumer stage).
+    // Measured at sf0.1: lazy 10.2 s → eager 5.0 s warm for the 4-round
+    // query; the extra prep job costs one partition-local join over the
+    // already-cached e.
     val eDeg = e.join(deg, "src").persist(MemDisk)
+    eDeg.count()
     val r0 = UnitPico / n
     val base = (15L * r0) / 100L
     def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
