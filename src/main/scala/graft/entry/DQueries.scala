@@ -286,6 +286,21 @@ object DQueries {
         .orderBy("bucket")
     }),
 
+    "t32_cms_freq" -> ((s, dir) => {
+      // E89: count-min frequency estimate for every distinct token
+      // (depth 4 × width 256 — narrow on purpose so collisions actually
+      // engage the min). The sketch is built once and is mergeable per
+      // shard; estimates are always ≥ truth (graft.functions.CountMin).
+      val toks = documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val sk = graft.functions.CountMin.build(toks, col("term"),
+        depth = 4, width = 256)
+      graft.functions.CountMin.estimate(sk, toks.distinct(), col("term"),
+          depth = 4, width = 256)
+        .withColumnRenamed("key", "term")
+        .orderBy("term")
+    }),
+
     "t19_vocab_oov" -> ((s, dir) => {
       // E45 through the gate: 100-term vocabulary coverage; exact-integer
       // OOV ratio emitted UNROUNDED.
@@ -645,9 +660,7 @@ object DQueries {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
   }
 
-  /** DuckDB twin of Hashing.hash60. */
-  private def h60Sql(e: String): String =
-    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  // h60Sql (the Hashing.hash60 DuckDB twin) comes from QueryHelpers
 
   /** Twin of SimilarityOps.lshTopK (numTables=16, planes=6, dim=64): the
     * ±1 hyperplanes are rebuilt from hash60 exactly as
@@ -1098,6 +1111,25 @@ object DQueries {
          |  ${rnd6Sql("(pc - pr) * ln(pc / pr)")} AS psi_term,
          |  ${rnd6Sql("pc * ln(pc / pr)")} AS kl_term
          |FROM p ORDER BY bucket""".stripMargin
+    },
+
+    // twin of CountMin.build+estimate (depth 4, width 256): the sketch is
+    // rebuilt bucket-for-bucket from the portable md5 hash; every observed
+    // term's 4 buckets are non-empty, so the min needs no zero fallback
+    "t32_cms_freq" -> {
+      val b = h60Sql("'cms' || CAST(t.j AS VARCHAR) || '_' || term")
+      val kb = h60Sql("'cms' || CAST(t.j AS VARCHAR) || '_' || k.term")
+      s"""WITH tk AS (SELECT unnest($toksSql) AS term FROM documents),
+         |sk AS (
+         |  SELECT t.j, $b % 256 AS bucket, COUNT(*) AS cnt
+         |  FROM tk CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+         |k AS (SELECT DISTINCT term FROM tk),
+         |l AS (
+         |  SELECT k.term, sk.cnt
+         |  FROM k CROSS JOIN range(0, 4) t(j)
+         |  JOIN sk ON sk.j = t.j AND sk.bucket = $kb % 256)
+         |SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // twin of TextOps.vocabOov(V=100): same (tf DESC, term) vocabulary

@@ -207,6 +207,31 @@ object OlapQueries {
         .orderBy("event_id")
     }),
 
+    "b53_skew_report" -> ((s, dir) => {
+      // E87: join-key skew diagnostics over the lineitem supplier key —
+      // the salting/broadcast/AQE-skew decision input. Integer share
+      // metrics replay exactly in the oracle (AnalyticsOps.skewReport).
+      AnalyticsOps.skewReport(lineitem(s, dir), col("l_suppkey"), topN = 20)
+        .orderBy(col("cnt").desc, col("key").asc)
+    }),
+
+    "b54_join_estimate" -> ((s, dir) => {
+      // E88: count-min join-cardinality estimate (AMS-style sketch inner
+      // product) for orders ⋈ customer on custkey, against the exact join
+      // count — decide broadcast-vs-salt-vs-merge from two tiny sketches
+      // BEFORE paying for the join (graft.functions.CountMin).
+      val so = graft.functions.CountMin.build(orders(s, dir), col("o_custkey"))
+      val sc = graft.functions.CountMin.build(customer(s, dir), col("c_custkey"))
+      val est = graft.functions.CountMin.innerProduct(so, sc)
+        .select(col("est").cast("long").as("est_join"))
+      val exact = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join"))
+      est.crossJoin(exact)
+        .select(col("est_join"), col("exact_join"),
+          expr("(est_join - exact_join) * 1000000 div exact_join").as("err_ppm"))
+    }),
+
     "b46_pagerank" -> ((s, dir) => {
       // E72: fixed-point PageRank over the supplier→customer ship graph
       // (distinct (l_suppkey, o_custkey) pairs; the customer key space is
@@ -340,6 +365,46 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // integer floor divisions staged through share_ppm exactly as the
+    // operator computes them
+    "b53_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c),
+        |s AS (
+        |  SELECT key, cnt, n_keys, cnt * 1000000 // total AS share_ppm
+        |  FROM c, t)
+        |SELECT key, cnt, n_keys, share_ppm,
+        |  share_ppm * n_keys // 10000 AS xmean_x100
+        |FROM s ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
+
+    // both count-min sketches rebuilt bucket-for-bucket from the portable
+    // md5 hash; est = min over rows of the bucket-count inner product
+    "b54_join_estimate" -> {
+      def cms(table: String, key: String) =
+        s"""SELECT t.j,
+           |    ${h60Sql(s"'cms' || CAST(t.j AS VARCHAR) || '_' || CAST($key AS VARCHAR)")} % 1024 AS bucket,
+           |    COUNT(*) AS cnt
+           |  FROM $table CROSS JOIN range(0, 4) t(j)
+           |  WHERE $key IS NOT NULL GROUP BY 1, 2""".stripMargin
+      s"""WITH sa AS (
+         |  ${cms("orders", "o_custkey")}),
+         |sb AS (
+         |  ${cms("customer", "c_custkey")}),
+         |ip AS (
+         |  SELECT sa.j, CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS ipv
+         |  FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+         |  GROUP BY 1),
+         |e AS (SELECT MIN(ipv) AS est_join FROM ip),
+         |x AS (
+         |  SELECT COUNT(*) AS exact_join
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT est_join, exact_join,
+         |  (est_join - exact_join) * 1000000 // exact_join AS err_ppm
+         |FROM e, x""".stripMargin
+    },
+
     "a32_sliding_window" ->
       s"""WITH hops AS (
          |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start, event_type, value FROM events

@@ -42,6 +42,10 @@ object QueryHelpers {
 
   // ---- DuckDB SQL fragments ------------------------------------------------
 
+  /** DuckDB twin of [[graft.functions.Hashing.hash60]]. */
+  def h60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
   def rndSql(e: String): String = s"round(($e) * 10000) / 10000"
   def rnd3Sql(e: String): String = s"round(($e) * 1000) / 1000"
   def rnd6Sql(e: String): String = s"round(($e) * 1000000) / 1000000"

@@ -471,4 +471,36 @@ object AnalyticsOps {
           .as("psi_term"),
         (col("p_cur") * log(col("p_cur") / col("p_ref"))).as("kl_term"))
   }
+
+  /** Join-key skew report: the top-N heaviest keys of a prospective
+    * join/group key with integer share metrics — the decision input for
+    * salting (E21), broadcast thresholds, and AQE skew-join tuning BEFORE
+    * paying for the 100 TB join itself.
+    *
+    * Per top key: cnt, n_keys (global distinct count, repeated),
+    * share_ppm = cnt·10⁶ div total, and xmean_x100 = share_ppm·n_keys
+    * div 10⁴ (≈ 100 × cnt/mean-count — 100 means "exactly uniform").
+    * All floor integer divisions, bit-reproducible in any engine; staging
+    * through share_ppm keeps every product under int64 up to ~10¹² rows
+    * × 10¹² keys. Null keys are excluded (they never participate in an
+    * equi-join).
+    *
+    * Plan: one hash aggregate on the key (map-side combine — a mega-key
+    * flattens in the partials), a 1-row total re-aggregated from the
+    * key-sized counts (broadcast back), and a top-N that fuses to
+    * TakeOrderedAndProject — each map task forwards ≤ N rows, so the
+    * report never materializes the key population on one node. */
+  def skewReport(df: DataFrame, keyCol: Column, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val counts = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"), col("n_keys"),
+        expr("cnt * 1000000 div __total").as("share_ppm"))
+      .withColumn("xmean_x100", expr("share_ppm * n_keys div 10000"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+  }
 }
