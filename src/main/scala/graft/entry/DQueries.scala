@@ -301,6 +301,21 @@ object DQueries {
         .orderBy("term")
     }),
 
+    "t33_budget_select" -> ((s, dir) => {
+      // E90: token-budget corpus selection — the docs a greedy
+      // (quality desc, doc_id asc) pass admits while the running token
+      // total stays ≤ 10k. Bucket-cumsum plan: the corpus itself is
+      // never globally sorted (CurationOps.tokenBudgetSelect).
+      val docs = documents(s, dir).select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * lit(1000000.0))
+          .cast("long").as("q_micro"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CurationOps.tokenBudgetSelect(docs, col("doc_id"), col("q_micro"),
+          col("n_tokens"), budget = 10000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t19_vocab_oov" -> ((s, dir) => {
       // E45 through the gate: 100-term vocabulary coverage; exact-integer
       // OOV ratio emitted UNROUNDED.
@@ -1112,6 +1127,23 @@ object DQueries {
          |  ${rnd6Sql("pc * ln(pc / pr)")} AS kl_term
          |FROM p ORDER BY bucket""".stripMargin
     },
+
+    // twin of CurationOps.tokenBudgetSelect: the oracle states the greedy
+    // prefix rule directly (global cumsum in (quality desc, id) order);
+    // the engine's bucket-cumsum plan must select the identical set
+    "t33_budget_select" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CAST(round(($qualitySqlExpr) * 1000000) AS BIGINT) AS q_micro,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, q_micro, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM r)
+         |SELECT doc_id, q_micro, n_tokens FROM o
+         |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
 
     // twin of CountMin.build+estimate (depth 4, width 256): the sketch is
     // rebuilt bucket-for-bucket from the portable md5 hash; every observed

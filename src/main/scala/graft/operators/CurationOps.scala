@@ -321,4 +321,55 @@ object CurationOps {
     }.otherwise(weights.last._1)
     df.withColumn("split", assign)
   }
+
+  /** Token-budget corpus selection: the docs a greedy pass in
+    * (quality desc, id asc) order admits while the running token total
+    * stays ≤ `budget` — the "best data that fits the training budget"
+    * primitive (prefix rule: a doc is in iff the cumulative tokens
+    * through it, in that order, is ≤ budget).
+    *
+    * `qMicroCol` is the quality score pre-quantized to an integer grid
+    * (e.g. `round(q·10⁶)` — the caller owns the grid, matching the gate's
+    * 6-dp rounding convention), which is what makes the selection
+    * bit-reproducible AND gives the scale plan its bucket key.
+    *
+    * Scale shape — the global greedy NEVER sorts the corpus: per-quality
+    * token sums aggregate map-side to a ≤ grid-size frame; the running
+    * bucket totals are a window over THAT tiny frame (single-partition,
+    * bounded by the grid — ≤ 10⁶+1 rows for a [0,1] score at 6 dp, and
+    * only buckets before the budget crossing survive the broadcast); rows
+    * then join the broadcast bounds: buckets fully inside pass with no
+    * further work, and ONLY the single boundary bucket pays a per-row
+    * running sum (partitioned on its quality value, ordered by id). A
+    * corpus where billions of docs share the boundary quality value
+    * degenerates that one partition — sharpen the grid (more dp) rather
+    * than salt: the order inside a quality tie is id-deterministic and
+    * must stay so. */
+  def tokenBudgetSelect(df: DataFrame, idCol: Column, qMicroCol: Column,
+                        tokCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val rows = df.select(idCol.as("id"), qMicroCol.cast("long").as("q_micro"),
+        tokCol.cast("long").as("n_tokens"))
+      .filter(col("id").isNotNull && col("q_micro").isNotNull &&
+        col("n_tokens").isNotNull)
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_micro").desc)
+    val bounds = rows.groupBy("q_micro").agg(sum(col("n_tokens")).as("__btoks"))
+      .withColumn("__cum", sum(col("__btoks")).over(wq))
+      .withColumn("__before", col("__cum") - col("__btoks"))
+      // <= not <: a zero-token doc whose preceding total EQUALS the budget
+      // still satisfies the prefix rule
+      .filter(col("__before") <= budget)
+      .select(col("q_micro"), col("__before"), col("__cum"))
+    val joined = rows.join(broadcast(bounds), "q_micro")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_micro")).orderBy(col("id").asc)
+    val full = joined.filter(col("__cum") <= budget)
+      .select(col("id"), col("q_micro"), col("n_tokens"))
+    val boundary = joined.filter(col("__cum") > budget)
+      .withColumn("__run", col("__before") + sum(col("n_tokens")).over(wb))
+      .filter(col("__run") <= budget)
+      .select(col("id"), col("q_micro"), col("n_tokens"))
+    full.unionByName(boundary)
+  }
 }

@@ -437,4 +437,54 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == None)
     assert(got.size == 5)
   }
+
+  /** Driver-side greedy-prefix reference for tokenBudgetSelect. */
+  private def budgetRef(rows: Seq[(Long, Long, Long)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, q, _) => (-q, id) }.flatMap { case (id, _, t) =>
+      cum += t
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  test("tokenBudgetSelect matches the greedy prefix rule, boundary ties by id") {
+    // quality ties on purpose: the boundary bucket must admit by id order
+    val rows = Seq(
+      (1L, 900L, 40L), (2L, 900L, 40L), (3L, 900L, 40L),
+      (4L, 800L, 30L), (5L, 800L, 30L), (6L, 700L, 100L), (7L, 600L, 1L))
+    val got = CurationOps.tokenBudgetSelect(rows.toDF("doc_id", "q", "t"),
+        col("doc_id"), col("q"), col("t"), budget = 150L)
+      .collect().map(_.getLong(0)).toSet
+    // 40+40+40=120 (bucket 900 full), +30 (id 4) = 150, id 5 would be 180
+    assert(got == Set(1L, 2L, 3L, 4L))
+    assert(got == budgetRef(rows, 150L))
+  }
+
+  test("tokenBudgetSelect randomized differential vs the naive global cumsum") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val rows = (1L to 200L).map(i =>
+        (i, (rnd.nextInt(8) * 100).toLong, (rnd.nextInt(50) + 1).toLong))
+      val budget = 500L + rnd.nextInt(3000)
+      val got = CurationOps.tokenBudgetSelect(rows.toDF("id", "q", "t"),
+          col("id"), col("q"), col("t"), budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == budgetRef(rows, budget), s"trial $trial budget $budget")
+    }
+  }
+
+  test("tokenBudgetSelect edges: zero budget, oversize first doc, zero-token docs") {
+    val df = Seq((1L, 900L, 50L), (2L, 800L, 10L)).toDF("id", "q", "t")
+    assert(CurationOps.tokenBudgetSelect(df, col("id"), col("q"), col("t"), 0L)
+      .count() == 0L)
+    // first doc alone exceeds the budget: prefix rule admits nothing after
+    assert(CurationOps.tokenBudgetSelect(df, col("id"), col("q"), col("t"), 40L)
+      .count() == 0L)
+    // zero-token doc exactly at the budget boundary still qualifies
+    val z = Seq((1L, 900L, 40L), (2L, 800L, 0L), (3L, 700L, 5L))
+      .toDF("id", "q", "t")
+    val got = CurationOps.tokenBudgetSelect(z, col("id"), col("q"), col("t"), 40L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
 }
