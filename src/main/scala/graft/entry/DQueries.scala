@@ -87,6 +87,25 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d12_canonical" -> ((s, dir) => {
+      // E91: keep-best-per-cluster — the drop rule a real dedup pipeline
+      // applies after clustering: argmax integer quality (ties to the
+      // lower id) picks each near-dup cluster's canonical doc. Simhash
+      // pairs feed the clusters here; the stage composes with any miner.
+      val docs = documents(s, dir)
+      val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
+      val pairs = DedupOps.simhashPairs(fp, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = DedupOps.dedupClusters(docs.select("doc_id"), pairs,
+        strict = true)
+      val scores = docs.select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")) * lit(1000000.0))
+          .cast("long").as("q_micro"))
+      DedupOps.canonicalPerCluster(clusters, scores, col("doc_id"),
+          col("q_micro"))
+        .orderBy("doc_id")
+    }),
+
     "d07_decontam" -> ((s, dir) => {
       // E30 through the gate: docs sharing any 5-gram with the doc_id<20
       // "benchmark" slice — semi-join on portable 60-bit gram hashes.
@@ -905,6 +924,38 @@ object DQueries {
         |FROM fp a, fp b
         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // twin of canonicalPerCluster over the d04 simhash pairs: same
+    // fingerprint CTE, recursive-CTE components (the d06 shape), then
+    // (quality desc, id asc) row_number picks the canonical member
+    "d12_canonical" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+         |th AS (SELECT doc_id, ${h60Sql("t")} AS h FROM toks),
+         |votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, (SELECT unnest(range(60)) AS j) t2(j) GROUP BY 1, 2),
+         |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM votes GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS pa, b.doc_id AS pb FROM fp a, fp b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (
+         |  SELECT pa AS s, pb AS d FROM pairs
+         |  UNION ALL SELECT pb, pa FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (SELECT s AS doc_id, min(d) AS rep FROM reach GROUP BY s),
+         |q AS (SELECT doc_id, CAST(round(($qualitySqlExpr) * 1000000) AS BIGINT) AS qm FROM documents),
+         |ranked AS (
+         |  SELECT c.doc_id, c.rep,
+         |    row_number() OVER (PARTITION BY c.rep ORDER BY q.qm DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN q USING (doc_id)),
+         |canon AS (SELECT rep, doc_id AS canon FROM ranked WHERE rn = 1)
+         |SELECT c.doc_id, c.rep, cn.canon,
+         |  CAST(c.doc_id = cn.canon AS INT) AS keep
+         |FROM comp c JOIN canon cn USING (rep) ORDER BY doc_id""".stripMargin,
 
     "d05_embedding_dup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -548,4 +548,33 @@ object DedupOps {
           x => x.getField("line_text"))).as("clean_text"),
         sum(when(col("__bh").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
+
+  /** Canonical-representative selection per dedup cluster: instead of
+    * [[dedupClusters]]' min-id `keep`, keep the BEST member by an integer
+    * score (ties to the lower id) — what a real dedup pipeline does
+    * (keep the highest-quality copy, drop the rest), as a composable
+    * second stage over the cluster assignment.
+    *
+    * `clusters` is a [[dedupClusters]] output (doc_id, rep, ...);
+    * `scores` carries (idCol, scoreCol) with scoreCol an INTEGER grid
+    * (the E90 convention — fp scores don't argmax reproducibly). Output:
+    * (doc_id, rep, canon, keep) where canon is the cluster's argmax doc.
+    *
+    * Plan: one equi-join on doc_id, one `min(struct(-score, id))` hash
+    * aggregate to rep-sized argmax rows (map-side combine — a mega-cluster
+    * flattens in the partials, no per-cluster sort anywhere), one join
+    * back on rep. */
+  def canonicalPerCluster(clusters: DataFrame, scores: DataFrame,
+                          idCol: Column, scoreCol: Column): DataFrame = {
+    val scored = clusters.select(col("doc_id"), col("rep"))
+      .join(scores.select(idCol.as("doc_id"),
+        scoreCol.cast("long").as("__score")), "doc_id")
+    val canon = scored.groupBy(col("rep"))
+      .agg(min(struct((-col("__score")).as("n"), col("doc_id").as("id")))
+        .as("__m"))
+      .select(col("rep"), col("__m.id").as("canon"))
+    scored.join(canon, "rep")
+      .select(col("doc_id"), col("rep"), col("canon"),
+        (col("doc_id") === col("canon")).cast("int").as("keep"))
+  }
 }

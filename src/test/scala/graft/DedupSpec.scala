@@ -302,4 +302,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(_._2 == 0L).forall(_._3 == 1.0))
     assert(pairs.filter(_._2 == 4L).forall(p => math.abs(p._3 - 10.0 / 11) < 1e-12))
   }
+
+  test("canonicalPerCluster keeps the best-scored member, ties to the lower id") {
+    // clusters: {1,2,3} rep 1, {4,5} rep 4, {6} singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("doc_id", "rep")
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 99L), // tie 2 vs 3 -> 2
+      (4L, 7L), (5L, 3L), (6L, 1L)).toDF("doc_id", "q")
+    val got = DedupOps.canonicalPerCluster(clusters, scores,
+        col("doc_id"), col("q"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 0), 2L -> (2L, 1), 3L -> (2L, 0),
+      4L -> (4L, 1), 5L -> (4L, 0),
+      6L -> (6L, 1)))
+  }
 }
