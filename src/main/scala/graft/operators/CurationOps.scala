@@ -334,17 +334,22 @@ object CurationOps {
     * bit-reproducible AND gives the scale plan its bucket key.
     *
     * Scale shape — the global greedy NEVER sorts the corpus: per-quality
-    * token sums aggregate map-side to a ≤ grid-size frame; the running
-    * bucket totals are a window over THAT tiny frame (single-partition,
-    * bounded by the grid — ≤ 10⁶+1 rows for a [0,1] score at 6 dp, and
-    * only buckets before the budget crossing survive the broadcast); rows
-    * then join the broadcast bounds: buckets fully inside pass with no
-    * further work, and ONLY the single boundary bucket pays a per-row
-    * running sum (partitioned on its quality value, ordered by id). A
-    * corpus where billions of docs share the boundary quality value
-    * degenerates that one partition — sharpen the grid (more dp) rather
-    * than salt: the order inside a quality tie is id-deterministic and
-    * must stay so. */
+    * token sums aggregate map-side to a ≤ grid-size frame (≤ 10⁶+1 rows
+    * for a [0,1] score at 6 dp); the running bucket totals are a window
+    * over THAT tiny frame, and the single budget-crossing bucket (the
+    * cum/before columns are monotone, so it is unique) resolves to a
+    * driver-side scalar — the same documented tiny-frame action as
+    * PageRank's node count. Admission is then a plain quality-threshold
+    * filter (`q > boundary` — no join, no ordering), and ONLY the
+    * boundary bucket's rows pay a per-row running sum (partitioned on
+    * that one quality value, ordered by id). The narrow (id, q, tokens)
+    * projection is persisted: the bucket aggregate materializes it alone
+    * (single consumer — the lazy-persist rule), and the two filter
+    * branches then read the cache instead of re-evaluating the quality
+    * expression over the corpus. A corpus where billions of docs share
+    * the boundary quality value degenerates that one window partition —
+    * sharpen the grid (more dp) rather than salt: the order inside a
+    * quality tie is id-deterministic and must stay so. */
   def tokenBudgetSelect(df: DataFrame, idCol: Column, qMicroCol: Column,
                         tokCol: Column, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
@@ -352,24 +357,30 @@ object CurationOps {
         tokCol.cast("long").as("n_tokens"))
       .filter(col("id").isNotNull && col("q_micro").isNotNull &&
         col("n_tokens").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wq = org.apache.spark.sql.expressions.Window
       .orderBy(col("q_micro").desc)
-    val bounds = rows.groupBy("q_micro").agg(sum(col("n_tokens")).as("__btoks"))
+    // ≤ 1 row: the unique bucket whose preceding total fits the budget
+    // (<= not <: zero-token docs exactly AT the budget still qualify)
+    // but whose own total crosses it
+    val boundary = rows.groupBy("q_micro").agg(sum(col("n_tokens")).as("__btoks"))
       .withColumn("__cum", sum(col("__btoks")).over(wq))
       .withColumn("__before", col("__cum") - col("__btoks"))
-      // <= not <: a zero-token doc whose preceding total EQUALS the budget
-      // still satisfies the prefix rule
-      .filter(col("__before") <= budget)
-      .select(col("q_micro"), col("__before"), col("__cum"))
-    val joined = rows.join(broadcast(bounds), "q_micro")
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_micro")).orderBy(col("id").asc)
-    val full = joined.filter(col("__cum") <= budget)
-      .select(col("id"), col("q_micro"), col("n_tokens"))
-    val boundary = joined.filter(col("__cum") > budget)
-      .withColumn("__run", col("__before") + sum(col("n_tokens")).over(wb))
-      .filter(col("__run") <= budget)
-      .select(col("id"), col("q_micro"), col("n_tokens"))
-    full.unionByName(boundary)
+      .filter(col("__before") <= budget && col("__cum") > budget)
+      .select(col("q_micro"), col("__before"))
+      .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+    boundary match {
+      case None => // nothing crosses: the whole (non-null) corpus fits
+        rows
+      case Some((bq, before)) =>
+        val full = rows.filter(col("q_micro") > bq)
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_micro")).orderBy(col("id").asc)
+        val bdry = rows.filter(col("q_micro") === bq)
+          .withColumn("__run", lit(before) + sum(col("n_tokens")).over(wb))
+          .filter(col("__run") <= budget)
+          .select(col("id"), col("q_micro"), col("n_tokens"))
+        full.unionByName(bdry)
+    }
   }
 }
