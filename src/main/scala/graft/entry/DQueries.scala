@@ -335,6 +335,22 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t34_budget_mixture" -> ((s, dir) => {
+      // E92: per-language token budgets — the data-mixing spec as greedy
+      // best-quality prefixes inside each budgeted stratum; unbudgeted
+      // langs (es/fr here) contribute zero tokens by definition.
+      val docs = documents(s, dir).select(col("doc_id"), col("lang"),
+        round(TextOps.qualityScore(col("text")) * lit(1000000.0))
+          .cast("long").as("q_micro"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      CurationOps.tokenBudgetMixture(docs, col("doc_id"), col("lang"),
+          col("q_micro"), col("n_tokens"),
+          budgets = Seq("en" -> 5000L, "de" -> 2000L, "zh" -> 2500L))
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("doc_id")
+    }),
+
     "t19_vocab_oov" -> ((s, dir) => {
       // E45 through the gate: 100-term vocabulary coverage; exact-integer
       // OOV ratio emitted UNROUNDED.
@@ -1195,6 +1211,25 @@ object DQueries {
          |  FROM r)
          |SELECT doc_id, q_micro, n_tokens FROM o
          |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // twin of tokenBudgetMixture: per-stratum global cumsum + per-stratum
+    // budget CASE — the naive rule the vectorized bucket plan must match
+    "t34_budget_mixture" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(round(($qualitySqlExpr) * 1000000) AS BIGINT) AS q_micro,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+         |o AS (
+         |  SELECT doc_id, lang, q_micro, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY q_micro DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM r)
+         |SELECT doc_id, lang, q_micro, n_tokens FROM o
+         |WHERE cum <= CASE lang WHEN 'en' THEN 5000
+         |                       WHEN 'de' THEN 2000 ELSE 2500 END
+         |ORDER BY doc_id""".stripMargin,
 
     // twin of CountMin.build+estimate (depth 4, width 256): the sketch is
     // rebuilt bucket-for-bucket from the portable md5 hash; every observed

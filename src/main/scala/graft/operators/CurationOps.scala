@@ -383,4 +383,77 @@ object CurationOps {
         full.unionByName(bdry)
     }
   }
+
+  /** Per-stratum token budgets — the data-mixing spec "this many tokens
+    * of each source/language, best quality first": [[tokenBudgetSelect]]'s
+    * greedy prefix rule applied independently inside every budgeted
+    * stratum. Strata absent from `budgets` are excluded entirely (an
+    * unbudgeted source contributes zero tokens — the mixture IS the
+    * budget list).
+    *
+    * Same scale shape as the single-budget form, vectorized over strata:
+    * ONE (stratum, quality)-bucket aggregate, running totals windowed
+    * per stratum over the tiny bucket frame, and ≤ one crossing row per
+    * stratum collected driver-side (crossings are a ≤ |strata|-row
+    * scalar set, the PageRank-n convention). Admission compiles to a
+    * literal predicate per stratum (threshold filter — no join), and
+    * only the |strata| boundary buckets pay a per-row running sum. */
+  def tokenBudgetMixture(df: DataFrame, idCol: Column, strataCol: Column,
+                         qMicroCol: Column, tokCol: Column,
+                         budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMixture: no budgets given")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"tokenBudgetMixture: duplicate strata in $budgets")
+    require(budgets.forall(_._2 >= 0),
+      s"tokenBudgetMixture: negative budget in $budgets")
+    val rows = df.select(idCol.as("id"), strataCol.cast("string").as("stratum"),
+        qMicroCol.cast("long").as("q_micro"), tokCol.cast("long").as("n_tokens"))
+      .filter(col("id").isNotNull && col("q_micro").isNotNull &&
+        col("n_tokens").isNotNull)
+      .filter(col("stratum").isin(budgets.map(_._1): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bmap = budgets.toMap
+    val budgetOf = budgets.tail.foldLeft(
+      when(col("stratum") === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (s, b)) => acc.when(col("stratum") === s, lit(b))
+    }
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("q_micro").desc)
+    // ≤ one crossing row per stratum (monotone cum/before within stratum)
+    val crossings = rows.groupBy("stratum", "q_micro")
+      .agg(sum(col("n_tokens")).as("__btoks"))
+      .withColumn("__cum", sum(col("__btoks")).over(wq))
+      .withColumn("__before", col("__cum") - col("__btoks"))
+      .withColumn("__budget", budgetOf)
+      .filter(col("__before") <= col("__budget") &&
+        col("__cum") > col("__budget"))
+      .select(col("stratum"), col("q_micro"), col("__before"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fullPred = budgets.map(_._1).map { s =>
+      crossings.get(s) match {
+        case None           => col("stratum") === s // stratum fits whole
+        case Some((bq, _))  => col("stratum") === s && col("q_micro") > bq
+      }
+    }.reduce(_ || _)
+    val full = rows.filter(fullPred)
+    if (crossings.isEmpty) full
+    else {
+      val cs = crossings.toSeq
+      val bdryPred = cs.map { case (s, (bq, _)) =>
+        col("stratum") === s && col("q_micro") === bq
+      }.reduce(_ || _)
+      val remainOf = cs.tail.foldLeft(
+        when(col("stratum") === cs.head._1, lit(bmap(cs.head._1) - cs.head._2._2))) {
+        case (acc, (s, (_, before))) =>
+          acc.when(col("stratum") === s, lit(bmap(s) - before))
+      }
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stratum"), col("q_micro")).orderBy(col("id").asc)
+      val bdry = rows.filter(bdryPred)
+        .withColumn("__run", sum(col("n_tokens")).over(wb))
+        .filter(col("__run") <= remainOf)
+        .select(col("id"), col("stratum"), col("q_micro"), col("n_tokens"))
+      full.unionByName(bdry)
+    }
+  }
 }

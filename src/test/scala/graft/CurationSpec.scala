@@ -487,4 +487,35 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("tokenBudgetMixture: per-stratum prefixes, unbudgeted strata excluded") {
+    val rows = Seq(
+      (1L, "en", 900L, 40L), (2L, "en", 800L, 40L), (3L, "en", 700L, 40L),
+      (4L, "de", 900L, 10L), (5L, "de", 800L, 10L), // de fits whole
+      (6L, "fr", 999L, 1L))                          // no fr budget
+    val got = CurationOps.tokenBudgetMixture(
+        rows.toDF("id", "s", "q", "t"), col("id"), col("s"), col("q"),
+        col("t"), budgets = Seq("en" -> 80L, "de" -> 100L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L, 5L)) // en stops after 80 tokens; no fr
+  }
+
+  test("tokenBudgetMixture randomized differential vs per-stratum greedy") {
+    val rnd = new scala.util.Random(7)
+    val strata = Seq("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val rows = (1L to 300L).map(i => (i, strata(rnd.nextInt(3)),
+        (rnd.nextInt(6) * 100).toLong, (rnd.nextInt(40) + 1).toLong))
+      val budgets = Seq("a" -> (200L + rnd.nextInt(1500)),
+        "b" -> (200L + rnd.nextInt(1500)))
+      val got = CurationOps.tokenBudgetMixture(
+          rows.toDF("id", "s", "q", "t"), col("id"), col("s"), col("q"),
+          col("t"), budgets)
+        .collect().map(_.getLong(0)).toSet
+      val want = budgets.flatMap { case (s, b) =>
+        budgetRef(rows.filter(_._2 == s).map(r => (r._1, r._3, r._4)), b)
+      }.toSet
+      assert(got == want, s"trial $trial budgets $budgets")
+    }
+  }
 }
