@@ -90,6 +90,26 @@ class CountMinSpec extends SparkSpec {
     assert(rep(2).getString(0) == "cold1" && rep(2).getLong(1) == 1L)
   }
 
+  test("CMS builds incrementally on a stream and equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = CountMin.build(mem.toDF.select(col("value").as("k")), col("k"),
+        depth = 2, width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a", "b", "a"); q.processAllAvailable()
+      mem.addData("b", "c", "a"); q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = CountMin.build(Seq("a", "b", "a", "b", "c", "a").toDF("k"),
+          col("k"), depth = 2, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("skewReport plan is a TakeOrderedAndProject over one aggregate") {
     val plan = AnalyticsOps.skewReport((1 to 100).map(i => s"k${i % 7}").toDF("k"),
       col("k"), topN = 5).queryExecution.executedPlan.toString
