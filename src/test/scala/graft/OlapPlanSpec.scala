@@ -89,4 +89,26 @@ class OlapPlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cross-corpus candidates must be bucket equi-joins:\n$plan")
   }
+
+  test("d12 canonical selection: argmax is a hash aggregate, no per-cluster sort") {
+    val plan = dPlanOf("d12_canonical")
+    // simhash candidate pairs come from 15-bit chunk equi-joins; the
+    // canonical argmax is min(struct) — neither may plan a cartesian or
+    // a row_number window (which would sort every cluster)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must stay equi-joins:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("row_number"),
+      s"keep-best must be an aggregate, not a window:\n$plan")
+  }
+
+  test("b54 join estimate: sketch builds are map-combined hash aggregates") {
+    // (the final est x exact combine is a deliberate 1-row x 1-row join —
+    // only the sketch-build and inner-product stages are shape-checked)
+    val plan = planOf("b54_join_estimate")
+    assert("partial_sum".r.findAllIn(plan).nonEmpty,
+      s"sketch build must map-combine:\n$plan")
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"inner product must be an equi-join on (j, bucket):\n$plan")
+  }
 }
