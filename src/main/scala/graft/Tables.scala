@@ -17,17 +17,33 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * and we convert here (integer `div` — double division would lose precision
-    * on int64 nanos). Truncation to micros floors, matching the oracle's
-    * floor(epoch(ts)) convention. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = t(spark, sfDir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** Normalize an events frame's `ts` to TimestampType regardless of how the
+    * parquet stored it. Two formats exist in the wild: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong so it surfaces as int64 nanos and
+    * we convert — integer `div`, double division would lose precision) and
+    * plain timestamp[us], which is already the type we want. Truncation to
+    * micros floors, matching the oracle's floor(epoch(ts)) convention. Works
+    * on batch and streaming frames alike (only consults the schema), so the
+    * gate's streaming harness MUST route through this same function — an
+    * unconditional conversion in either path breaks when the testdata
+    * regenerates with the other format. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] parquet surfaces as TIMESTAMP_NTZ, which
+        // withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        // cast to TIMESTAMP — value-identical under the UTC session
+        // timezone every graft session pins, and the type r1-r5 produced
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(t(spark, sfDir, "events"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "customer")

@@ -30,8 +30,12 @@ object AQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     link.toFile.deleteOnExit()
     streamDir.toFile.deleteOnExit()
-    val stream = s.readStream.schema(raw.schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts normalization MUST be the shared Tables.normalizeEventTs — an
+    // unconditional conversion here silently dropped a05/a27 from the r6
+    // gate when the testdata regenerated with timestamp[us] instead of
+    // int64-nanos (VERDICT r6 §wrong #1).
+    val stream = graft.Tables.normalizeEventTs(
+        s.readStream.schema(raw.schema).parquet(streamDir.toString))
       .withWatermark("ts", "45 seconds")
     val qn = s"${prefix}_out_${streamQueryId.incrementAndGet()}"
     // stateful-shuffle width is a per-query knob: each state partition pays
