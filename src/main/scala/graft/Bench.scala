@@ -79,8 +79,13 @@ object Bench {
       // drop per-query persists so one query's cache doesn't pressure the
       // next, and collect the garbage NOW so allocation debt from this
       // query's explodes/caches isn't paid inside the next query's timed
-      // window; both are outside the timed window
+      // window; both are outside the timed window. clearCache only covers
+      // Dataset-level caches — localCheckpoint blocks (d06/d12 cluster
+      // labels, b46 ranks, the released LSH pair outputs) are plain
+      // persistent RDDs and would otherwise linger until the context
+      // cleaner notices, pressuring every later query's heap.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
       (name, elapsed, ok)
     }

@@ -33,9 +33,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query persists (LSH shingle/pair frames) are scoped to the
-      // returned plan's lifetime; drop them so 76 sequential queries don't
-      // accumulate executor memory
+      // returned plan's lifetime; drop them so 149 sequential queries don't
+      // accumulate executor memory. localCheckpoint blocks are plain
+      // persistent RDDs that clearCache does NOT drop — free those too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

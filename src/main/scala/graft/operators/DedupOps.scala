@@ -165,7 +165,8 @@ object DedupOps {
     * Recall is 1-(1-J^r)^b per pair; defaults (32×4) give miss < 1e-14 at
     * J=0.9, <5e-8 at J=0.8. */
   def minhashLshPairs(shingled: DataFrame, threshold: Double,
-                      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+                      bands: Int = 32, rowsPerBand: Int = 4,
+                      release: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     // the hashed sets feed three plan branches (signatures + both sides of
     // the verification join); persist so shingling+md5 runs once — the
@@ -187,10 +188,27 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
     val sa = hashed.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
     val sb = hashed.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    if (release) materializeReleasing(verified, hashed) else verified
+  }
+
+  /** Materialize `result` into its own storage (eager localCheckpoint — the
+    * at-scale equivalent writes the stage output table) and release the
+    * operator-scoped caches that back it. The checkpoint re-roots the plan,
+    * so the released frames are no longer referenced by the returned frame;
+    * the pair outputs this guards are orders of magnitude smaller than the
+    * shingle caches they free. Without this, a composing pipeline (LSH →
+    * clustering, as in d06) holds the full hashed-shingle cache across its
+    * whole downstream stage — the r6 full-bench d06 ran 2.4× its isolated
+    * time from exactly that pressure. Callers that want the lazy plan
+    * (plan-shape tests, external cache management) pass release = false. */
+  private def materializeReleasing(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    out
   }
 
   /** (doc_id, band, bsig) LSH bucket table from a sig_0..sig_{h-1} signature
@@ -223,7 +241,8 @@ object DedupOps {
     * J=0.8), proven against the brute-force cross join at the gate. */
   def crossNearDupPairs(newShingled: DataFrame, corpusShingled: DataFrame,
                         threshold: Double, bands: Int = 32,
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4,
+                        release: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     // same eager-persist rationale as minhashLshPairs: each hashed side
     // feeds two sibling stages (signatures + its verification join side)
@@ -241,10 +260,11 @@ object DedupOps {
       .select("new_id", "corpus_id").distinct()
     val sa = nh.select(col("doc_id").as("new_id"), col("hs").as("sa"))
     val sb = ch.select(col("doc_id").as("corpus_id"), col("hs").as("sb"))
-    candidates.join(sa, "new_id").join(sb, "corpus_id")
+    val verified = candidates.join(sa, "new_id").join(sb, "corpus_id")
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
+    if (release) materializeReleasing(verified, nh, ch) else verified
   }
 
   /** Duplicate-cluster assignment: connected components over near-dup pairs

@@ -84,10 +84,23 @@ class OlapPlanSpec extends SparkSpec {
   }
 
   test("d11 cross dedup: candidates come from equi-joins, no cartesian product") {
-    val plan = dPlanOf("d11_cross_dedup")
+    // the gate query materializes + releases its caches (the returned plan
+    // re-roots at the checkpoint blocks), so inspect the LAZY operator plan —
+    // same shape the gate executes, with the joins still visible
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val newSh = graft.operators.DedupOps.shingleSets(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), col("doc_id"), col("text"), 3)
+    val corpSh = graft.operators.DedupOps.shingleSets(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), col("doc_id"), col("text"), 3)
+    val plan = graft.operators.DedupOps
+      .crossNearDupPairs(newSh, corpSh, 0.5, release = false)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cross-corpus candidates must be bucket equi-joins:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).nonEmpty, s"no equi-join found:\n$plan")
   }
 
   test("d12 canonical selection: argmax is a hash aggregate, no per-cluster sort") {
