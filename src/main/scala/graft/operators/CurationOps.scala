@@ -51,10 +51,17 @@ object CurationOps {
     * `percentile_approx` sketch (map-side combinable) and broadcast-joins
     * the tiny threshold table back — linear scan, no skew-prone sort, the
     * plan that survives a billion-row English stratum. Both paths emit the
-    * same (id, stratum, score) schema. */
+    * same (id, stratum, score) schema.
+    *
+    * `accuracy` is the approx path's precision/memory knob (per Spark's
+    * percentile_approx contract: rank error ≤ n/accuracy, sketch memory
+    * grows ~linearly with accuracy). The default 10000 bounds the kept-set
+    * rank drift to 0.01% of each stratum; CurationSpec pins the
+    * approx-vs-exact threshold band as a function of this parameter. */
   def qualityTopQuantile(df: DataFrame, idCol: Column, strataCol: Column,
                          score: Column, q: Double,
-                         exact: Boolean = true): DataFrame = {
+                         exact: Boolean = true,
+                         accuracy: Int = 10000): DataFrame = {
     val scored = df.select(idCol.as("id"), strataCol.as("stratum"),
       score.as("score"))
     if (exact) {
@@ -68,7 +75,7 @@ object CurationOps {
         .drop("__rn", "__n")
     } else {
       val thresholds = scored.groupBy(col("stratum").as("__s"))
-        .agg(percentile_approx(col("score"), lit(1.0 - q), lit(10000))
+        .agg(percentile_approx(col("score"), lit(1.0 - q), lit(accuracy))
           .as("__thresh"))
       // null-safe join: a null stratum is a legitimate group (the exact
       // path's window treats it as one partition); a plain equi-join would
@@ -95,10 +102,13 @@ object CurationOps {
     * skew-prone sort. Both emit (id, stratum, value, lo, hi, v_wins);
     * the clamp only ever outputs input values, so results hash-compare
     * unrounded. Null values pass through unclamped (null stratum is a
-    * legitimate group, handled null-safe like qualityTopQuantile). */
+    * legitimate group, handled null-safe like qualityTopQuantile).
+    * `accuracy` = the approx path's rank-error/memory knob, same contract
+    * as [[qualityTopQuantile]] (rank error ≤ n/accuracy). */
   def winsorize(df: DataFrame, idCol: Column, strataCol: Column,
                 valueCol: Column, qLo: Double, qHi: Double,
-                exact: Boolean = true): DataFrame = {
+                exact: Boolean = true,
+                accuracy: Int = 10000): DataFrame = {
     require(0.0 <= qLo && qLo < qHi && qHi <= 1.0,
       s"need 0 <= qLo < qHi <= 1: ($qLo, $qHi)")
     val base = df.select(idCol.as("id"), strataCol.as("stratum"),
@@ -121,8 +131,8 @@ object CurationOps {
           max(when(col("__rn") === kOf(qHi), col("value"))).as("hi"))
     } else {
       nonNull.groupBy(col("stratum").as("__s"))
-        .agg(percentile_approx(col("value"), lit(qLo), lit(10000)).as("lo"),
-          percentile_approx(col("value"), lit(qHi), lit(10000)).as("hi"))
+        .agg(percentile_approx(col("value"), lit(qLo), lit(accuracy)).as("lo"),
+          percentile_approx(col("value"), lit(qHi), lit(accuracy)).as("hi"))
     }
     // left join: an all-null stratum has no threshold row at all. The null
     // guard on v_wins is load-bearing — Spark's greatest/least SKIP nulls,

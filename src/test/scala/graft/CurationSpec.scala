@@ -377,6 +377,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(apLo - exLo) <= 1.0 && math.abs(apHi - exHi) <= 1.0)
   }
 
+  test("winsorize/topQuantile accuracy knob: approx band scales as n/accuracy ranks") {
+    // values = 1..n in one stratum, so |approx - exact| in VALUE space IS the
+    // rank drift; percentile_approx guarantees rank error <= n/accuracy
+    // (+1 rank of slack for the element-of-data snap at the boundary)
+    val n = 2000
+    val df = (1 to n).map(i => (i.toLong, "A", i.toDouble)).toDF("id", "s", "v")
+    def winThresholds(accuracy: Int) =
+      graft.operators.CurationOps.winsorize(df, col("id"), col("s"), col("v"),
+          0.10, 0.90, exact = false, accuracy = accuracy)
+        .select("lo", "hi").distinct().collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).head
+    val exact = (
+      math.floor(0.10 * (n - 1)) + 1,  // the operator's explicit rank def
+      math.floor(0.90 * (n - 1)) + 1)
+    Seq(50, 10000).foreach { acc =>
+      val band = n.toDouble / acc + 1
+      val (lo, hi) = winThresholds(acc)
+      assert(math.abs(lo - exact._1) <= band && math.abs(hi - exact._2) <= band,
+        s"accuracy=$acc band=$band got ($lo,$hi) vs $exact")
+    }
+    // the knob must actually reach the sketch: at accuracy=10000 the drift
+    // collapses to <=2 values while accuracy=50 is only bound by ~41
+    val (tLo, tHi) = winThresholds(10000)
+    assert(math.abs(tLo - exact._1) <= 2 && math.abs(tHi - exact._2) <= 2)
+    // same contract through qualityTopQuantile: kept-set size drifts from
+    // ceil(q*n) by at most the rank band
+    Seq(50, 10000).foreach { acc =>
+      val kept = graft.operators.CurationOps.qualityTopQuantile(
+        df, col("id"), col("s"), col("v"), q = 0.25,
+        exact = false, accuracy = acc).count()
+      assert(math.abs(kept - math.ceil(0.25 * n)) <= n.toDouble / acc + 1,
+        s"accuracy=$acc kept=$kept")
+    }
+  }
+
   test("canonicalizeUrl: hand-checked normalization cases") {
     val cases = Seq(
       // fragment + default port + trailing slash + host case
