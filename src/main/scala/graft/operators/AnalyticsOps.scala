@@ -450,15 +450,30 @@ object AnalyticsOps {
                         edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
     require(edges.nonEmpty && edges == edges.sorted,
       s"edges must be non-empty ascending: $edges")
-    require(eps > 0.0, s"eps must be positive: $eps")
     def side(df: DataFrame, tag: Int): DataFrame = df
       .filter(valueCol.isNotNull)
-      .select(edges.map(e => when(valueCol >= lit(e), 1).otherwise(0))
-        .reduce(_ + _).as("bucket"), lit(tag).as("__side"))
+      .select(driftBucket(valueCol, edges).as("bucket"), lit(tag).as("__side"))
     val counts = side(ref, 0).unionAll(side(cur, 1))
       .groupBy("bucket")
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    driftFromBucketCounts(counts, eps)
+  }
+
+  /** Bucket index of `valueCol` against ascending `edges` (0..edges.size) —
+    * the shared bucketing of [[distributionDrift]] and its streaming
+    * monitor twin. */
+  def driftBucket(valueCol: Column, edges: Seq[Double]): Column =
+    edges.map(e => when(valueCol >= lit(e), 1).otherwise(0)).reduce(_ + _)
+
+  /** Drift report over a PRE-AGGREGATED (bucket, n_ref, n_cur) table.
+    * Bucket counts are additive, so a streaming monitor maintains them
+    * incrementally (per-trigger partial counts merged by bucket-sum in
+    * foreachBatch) and recomputes this bucket-sized report per trigger —
+    * no fact-data rescan; proven equal to the batch operator in
+    * StreamingSpec. */
+  def driftFromBucketCounts(counts: DataFrame, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0, s"eps must be positive: $eps")
     val w = Window.partitionBy() // global — over the ≤ B+1 aggregated rows
     val pRef = greatest(col("n_ref").cast("double") / sum("n_ref").over(w), lit(eps))
     val pCur = greatest(col("n_cur").cast("double") / sum("n_cur").over(w), lit(eps))
@@ -490,10 +505,19 @@ object AnalyticsOps {
     * key-sized counts (broadcast back), and a top-N that fuses to
     * TakeOrderedAndProject — each map task forwards ≤ N rows, so the
     * report never materializes the key population on one node. */
-  def skewReport(df: DataFrame, keyCol: Column, topN: Int = 20): DataFrame = {
+  def skewReport(df: DataFrame, keyCol: Column, topN: Int = 20): DataFrame =
+    skewReportFromCounts(
+      df.filter(keyCol.isNotNull)
+        .groupBy(keyCol.as("key")).agg(count(lit(1)).as("cnt")),
+      topN)
+
+  /** Report stage over a PRE-AGGREGATED (key, cnt) table. Key counts are
+    * additive, so a streaming monitor maintains them incrementally
+    * (per-trigger partial counts merged by key-sum in foreachBatch) and
+    * recomputes this report per trigger without rescanning the stream
+    * history — proven equal to the batch operator in StreamingSpec. */
+  def skewReportFromCounts(counts: DataFrame, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN must be >= 1: $topN")
-    val counts = df.filter(keyCol.isNotNull)
-      .groupBy(keyCol.as("key")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("__total"),
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))

@@ -357,4 +357,68 @@ class StreamingSpec extends SparkSpec {
       assert(out.get(2L) === Some(1)) // event-time order stalls at 1
     } finally q.stop()
   }
+
+  test("skewReport as a foreachBatch monitor: merged per-batch counts equal the batch report") {
+    import graft.operators.AnalyticsOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // per-trigger partial (key, cnt) tables merge additively — the monitor
+    // state is key-sized, never the stream history
+    var state = Seq.empty[(Long, Long)].toDF("key", "cnt")
+    val q = mem.toDF().toDF("key").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = batch.groupBy($"key").agg(count(lit(1)).as("cnt"))
+        state = state.union(partial).groupBy($"key")
+          .agg(sum($"cnt").as("cnt")).localCheckpoint(true)
+      }.start()
+    try {
+      // skewed key 7 split ACROSS batches — a per-batch-only report would
+      // undercount it; the merged state must not
+      mem.addData(Seq(7L, 7L, 7L, 1L, 2L): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(7L, 7L, 3L, 3L, 2L): _*)
+      q.processAllAvailable()
+      val streamed = AnalyticsOps.skewReportFromCounts(state, topN = 3)
+        .collect().map(_.toString).toSeq
+      val batch = AnalyticsOps.skewReport(
+        Seq(7L, 7L, 7L, 1L, 2L, 7L, 7L, 3L, 3L, 2L).toDF("key"), $"key", topN = 3)
+        .collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally q.stop()
+  }
+
+  test("distributionDrift as a foreachBatch monitor: merged bucket counts equal the batch report") {
+    import graft.operators.AnalyticsOps
+    implicit val sqlCtx = spark.sqlContext
+    val edges = Seq(10.0, 20.0)
+    val ref = Seq(5.0, 15.0, 15.0, 25.0).toDF("v")
+    // ref buckets are fixed once; only the cur side streams
+    val refCounts = ref.groupBy(AnalyticsOps.driftBucket($"v", edges).as("bucket"))
+      .agg(count(lit(1)).as("n_ref")).localCheckpoint(true)
+    val mem = MemoryStream[Double]
+    var curCounts = Seq.empty[(Int, Long)].toDF("bucket", "n_cur")
+    val q = mem.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = batch.filter($"v".isNotNull)
+          .groupBy(AnalyticsOps.driftBucket($"v", edges).as("bucket"))
+          .agg(count(lit(1)).as("n_cur"))
+        curCounts = curCounts.union(partial).groupBy($"bucket")
+          .agg(sum($"n_cur").as("n_cur")).localCheckpoint(true)
+      }.start()
+    try {
+      mem.addData(5.0, 25.0, 25.0)
+      q.processAllAvailable()
+      mem.addData(25.0, 15.0)
+      q.processAllAvailable()
+      val merged = refCounts.join(curCounts, Seq("bucket"), "full")
+        .select($"bucket", coalesce($"n_ref", lit(0L)).as("n_ref"),
+          coalesce($"n_cur", lit(0L)).as("n_cur"))
+      val streamed = AnalyticsOps.driftFromBucketCounts(merged)
+        .orderBy("bucket").collect().map(_.toString).toSeq
+      val batch = AnalyticsOps.distributionDrift(ref,
+          Seq(5.0, 25.0, 25.0, 25.0, 15.0).toDF("v"), $"v", edges)
+        .orderBy("bucket").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally q.stop()
+  }
 }
