@@ -106,7 +106,7 @@ object Bench {
       """"d03_minhash_lsh":"eager persist materialization since r05 (lazy persist raced across sibling stages, computing the shared lineage 2-3x); a row-wise signature plan was A/B-profiled and rejected (slower than the aggregate, see SCALING)",""" +
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
-      """"b46_pagerank":"4 distributed rounds; since r06 all rounds between checkpoints fuse into one job (checkpointInterval=4, lazy eDeg persist) - cost is fixed prep+codegen overhead, not graph size"}"""
+      """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size"}"""
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -54,6 +54,19 @@ class GraphSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("node", "rank_pico", "rank"))
   }
 
+  test("pageRank: checkpointInterval is a materialization knob, never a result knob") {
+    // the PageRankAb harness (and the SCALING A/B it records) depends on
+    // this invariance: any interval must yield bit-identical pico-ranks
+    val edges = (0L until 300L).map(i => (i % 31, (i * 11) % 17 + 100L))
+    val expect = referenceRanks(edges, 5)
+    for (ck <- Seq(1, 2, 4, 5)) {
+      val got = GraphOps.pageRank(edges.toDF("s", "d"), col("s"), col("d"),
+          iterations = 5, checkpointInterval = ck)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"checkpointInterval=$ck diverged")
+    }
+  }
+
   test("pageRank: deterministic across input partitionings") {
     val edges = (0L until 200L).map(i => (i % 23, (i * 7) % 19 + 100L))
     val a = GraphOps.pageRank(edges.toDF("s", "d").repartition(7),
