@@ -106,6 +106,15 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d13_substring_dup" -> ((s, dir) => {
+      // E93: substring-level exact-dup stats — strided 40-char windows,
+      // a position is duplicated when its hash60 key occurs in >= 2
+      // distinct docs. Portable keys make the full stat SQL-expressible.
+      DedupOps.substringDupStats(documents(s, dir), col("doc_id"),
+          col("text"), window = 40, stride = 10)
+        .orderBy("doc_id")
+    }),
+
     "d07_decontam" -> ((s, dir) => {
       // E30 through the gate: docs sharing any 5-gram with the doc_id<20
       // "benchmark" slice — semi-join on portable 60-bit gram hashes.
@@ -927,6 +936,26 @@ object DQueries {
          |  ${rnd6Sql(s"(ln(CAST(st.n_chars AS DOUBLE)) - st.s / CAST(st.n_chars AS DOUBLE)) / ${graft.operators.TextOps.Ln2}")} AS entropy_bits
          |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
          |ORDER BY id""".stripMargin,
+
+    "d13_substring_dup" -> {
+      val w = 40; val st = 10
+      s"""WITH wins AS (
+         |  SELECT doc_id, ${h60Sql(s"substr(text, CAST(o * $st + 1 AS INT), $w)")} AS k
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, (length(text) - $w) // $st + 1)) AS o
+         |        FROM documents WHERE length(text) >= $w)),
+         |pkd AS (SELECT k, doc_id, COUNT(*) AS n_occ FROM wins GROUP BY 1, 2),
+         |fl AS (SELECT doc_id, n_occ,
+         |         COUNT(*) OVER (PARTITION BY k) AS n_docs FROM pkd),
+         |st AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS nw,
+         |         CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS nd
+         |       FROM fl GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(st.nw, 0) AS n_windows,
+         |  COALESCE(st.nd, 0) AS n_dup_windows,
+         |  COALESCE(st.nd, 0) * 1000000 // greatest(COALESCE(st.nw, 0), 1) AS dup_ppm
+         |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),

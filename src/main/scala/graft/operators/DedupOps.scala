@@ -597,4 +597,73 @@ object DedupOps {
       .select(col("doc_id"), col("rep"), col("canon"),
         (col("doc_id") === col("canon")).cast("int").as("keep"))
   }
+
+  /** Substring-level exact-duplication stats — the character-window variant
+    * of training-data dedup (find long character spans repeated VERBATIM
+    * across documents; the motivation for suffix-array dedup in the
+    * published pipelines). A full distributed suffix array is overkill for
+    * the decision the pipeline actually makes ("how much of this doc is
+    * copied from elsewhere?"); strided fixed-width windows give the same
+    * per-document duplication signal with a purely relational plan:
+    *
+    * every `stride` characters, take the `window`-char substring, hash it
+    * to a portable 60-bit key ([[Hashing.hash60]] — the shuffle moves
+    * 8-byte keys, never window strings, and the oracle replays every key),
+    * and call a window POSITION duplicated when its key occurs in >= 2
+    * DISTINCT documents (a span repeated only within one doc is repetition,
+    * E29's business — not cross-doc duplication).
+    *
+    * Plan: one exchange on the window key (`repartition(key)`; the
+    * (key, doc) aggregate, the per-key doc count, and the dup flag are all
+    * partition-local on top of it — the pagerank-prep single-exchange
+    * discipline), then one exchange on doc_id for the per-doc rollup, then
+    * a left join from the id-projected corpus to re-admit docs shorter than
+    * `window` with zero counts. Linear in total window count = chars/stride
+    * per doc. A window string shared by B docs contributes B (key, doc)
+    * rows to one key partition — bounded by the corpus's true duplication,
+    * and those rows are the answer itself, not an intermediate blowup; the
+    * per-(key, doc) pre-aggregate map-combines the per-doc repeats away
+    * before the shuffle.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_ppm) with dup_ppm the
+    * exact integer floor of the duplicated-position fraction in parts per
+    * million (the E87 staged-division convention — int64-exact anywhere).
+    */
+  def substringDupStats(docs: DataFrame, idCol: Column, textCol: Column,
+                        window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val wins = docs
+      .select(idCol.as("doc_id"), textCol.as("__t"))
+      .filter(char_length(col("__t")) >= window)
+      .select(col("doc_id"),
+        // `div` (not `/`): integer floor division — fp division would make
+        // the window count a double and drift on long docs
+        explode(sequence(lit(0L),
+          expr(s"(char_length(__t) - $window) div $stride"))).as("__i"),
+        col("__t"))
+      .select(col("doc_id"),
+        Hashing.hash60(
+          col("__t").substr(col("__i") * lit(stride) + lit(1), lit(window)))
+          .as("__k"))
+      .repartition(col("__k"))
+    // everything below up to the doc rollup is partition-local on __k:
+    // HashPartitioning(__k) satisfies the (__k, doc) aggregate's and the
+    // key-window count's clustered distributions
+    val perKeyDoc = wins.groupBy(col("__k"), col("doc_id"))
+      .agg(count(lit(1)).as("__n_occ"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    val flagged = perKeyDoc
+      .withColumn("__n_docs", count(lit(1)).over(w))
+    val stats = flagged.groupBy(col("doc_id"))
+      .agg(sum(col("__n_occ")).as("__nw"),
+        sum(when(col("__n_docs") >= 2, col("__n_occ")).otherwise(0L))
+          .as("__nd"))
+    docs.select(idCol.as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_windows"),
+        expr("coalesce(__nd, 0L) * 1000000 div greatest(coalesce(__nw, 0L), 1)")
+          .as("dup_ppm"))
+  }
 }

@@ -303,6 +303,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(_._2 == 4L).forall(p => math.abs(p._3 - 10.0 / 11) < 1e-12))
   }
 
+  test("substringDupStats counts cross-doc duplicated window positions") {
+    // window=10, stride=5. Doc 10 and 11 share a verbatim 20-char span;
+    // doc 12 is unique; doc 13 is shorter than the window (zero windows);
+    // doc 14 repeats a span only WITHIN itself (not cross-doc dup).
+    val span = "ABCDEFGHIJKLMNOPQRST" // 20 chars
+    val docs = Seq(
+      (10L, span + "uvwxyz0123"),        // 30 chars
+      (11L, span),                        // 20 chars
+      (12L, "zyxwvutsrqponmlkjihgfedcba"), // 26 chars, unique
+      (13L, "short"),                     // < window
+      (14L, "1234512345123451234512345")  // internal repeats only, 25 chars
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringDupStats(docs, col("doc_id"), col("text"),
+        window = 10, stride = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 10: offsets 0,5,10,15,20 -> 5 windows; windows at 0,5,10
+    //   (substrings of the shared 20-char span) also occur in doc 11
+    assert(got(10L) === ((5L, 3L, 600000L)))
+    // doc 11: offsets 0,5,10 -> 3 windows, all shared with doc 10
+    assert(got(11L) === ((3L, 3L, 1000000L)))
+    // doc 12: 4 windows, none shared
+    assert(got(12L) === ((4L, 0L, 0L)))
+    // doc 13: shorter than the window — zero windows, zero ppm (no div-0)
+    assert(got(13L) === ((0L, 0L, 0L)))
+    // doc 14: "1234512345" repeats at offsets 0,5,10,15 within ONE doc —
+    // repetition, not cross-doc duplication
+    assert(got(14L) === ((4L, 0L, 0L)))
+  }
+
   test("canonicalPerCluster keeps the best-scored member, ties to the lower id") {
     // clusters: {1,2,3} rep 1, {4,5} rep 4, {6} singleton
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
