@@ -623,38 +623,61 @@ object DedupOps {
     * rows to one key partition — bounded by the corpus's true duplication,
     * and those rows are the answer itself, not an intermediate blowup; the
     * per-(key, doc) pre-aggregate map-combines the per-doc repeats away
-    * before the shuffle.
+    * before the shuffle. The per-key doc count is a partition-local
+    * `groupBy(key)` joined back on the same hash partitioning — NOT
+    * `count over (partition by key)`: WindowExec buffers each key group
+    * in one task's row array, so a boilerplate window shared by millions
+    * of docs would buffer millions of rows in one group with no AQE skew
+    * split; the hash aggregate streams (one row out per key) and the join
+    * back is exchange-free on both sides.
+    *
+    * Offset generation is chunked (`offsetBlock` offsets per generated
+    * block, outer explode over blocks, inner explode over a bounded
+    * sequence): a single `sequence(0, n_offsets)` would materialize the
+    * whole offset array in one row — at stride 10 a multi-hundred-MB
+    * document would allocate a multi-million-element array per row, an
+    * executor-OOM risk the otherwise linear plan doesn't hint at. Rows are
+    * pipelined through codegen, so the bound is the per-row array, which
+    * chunking caps at `offsetBlock` elements.
     *
     * Output: (doc_id, n_windows, n_dup_windows, dup_ppm) with dup_ppm the
     * exact integer floor of the duplicated-position fraction in parts per
     * million (the E87 staged-division convention — int64-exact anywhere).
     */
   def substringDupStats(docs: DataFrame, idCol: Column, textCol: Column,
-                        window: Int, stride: Int): DataFrame = {
+                        window: Int, stride: Int,
+                        offsetBlock: Int = 4096): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     require(stride >= 1, s"stride must be >= 1: $stride")
+    require(offsetBlock >= 1, s"offsetBlock must be >= 1: $offsetBlock")
     val wins = docs
       .select(idCol.as("doc_id"), textCol.as("__t"))
       .filter(char_length(col("__t")) >= window)
+      // `div` (not `/`): integer floor division — fp division would make
+      // the window count a double and drift on long docs
+      .withColumn("__max_i", expr(s"(char_length(__t) - $window) div $stride"))
+      .select(col("doc_id"), col("__t"), col("__max_i"),
+        explode(sequence(lit(0L), expr(s"__max_i div $offsetBlock")))
+          .as("__blk"))
       .select(col("doc_id"),
-        // `div` (not `/`): integer floor division — fp division would make
-        // the window count a double and drift on long docs
-        explode(sequence(lit(0L),
-          expr(s"(char_length(__t) - $window) div $stride"))).as("__i"),
+        explode(sequence(col("__blk") * offsetBlock,
+          least(col("__blk") * offsetBlock + (offsetBlock - 1),
+            col("__max_i")))).as("__i"),
         col("__t"))
       .select(col("doc_id"),
         Hashing.hash60(
-          col("__t").substr(col("__i") * lit(stride) + lit(1), lit(window)))
+          col("__t").substr((col("__i") * stride + 1).cast("int"), lit(window)))
           .as("__k"))
       .repartition(col("__k"))
     // everything below up to the doc rollup is partition-local on __k:
-    // HashPartitioning(__k) satisfies the (__k, doc) aggregate's and the
-    // key-window count's clustered distributions
+    // HashPartitioning(__k) satisfies the (__k, doc) aggregate's, the
+    // per-key doc count's, and the count-join's clustered distributions
     val perKeyDoc = wins.groupBy(col("__k"), col("doc_id"))
       .agg(count(lit(1)).as("__n_occ"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
-    val flagged = perKeyDoc
-      .withColumn("__n_docs", count(lit(1)).over(w))
+    // one row per (key, doc) going in, so count(*) IS the distinct-doc count
+    val keyDocs = perKeyDoc.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n_docs"))
+    val flagged = perKeyDoc.join(keyDocs, Seq("__k"))
     val stats = flagged.groupBy(col("doc_id"))
       .agg(sum(col("__n_occ")).as("__nw"),
         sum(when(col("__n_docs") >= 2, col("__n_occ")).otherwise(0L))

@@ -333,6 +333,54 @@ class DedupSpec extends SparkSpec {
     assert(got(14L) === ((4L, 0L, 0L)))
   }
 
+  test("substringDupStats plans without a Window node (hot-key safe)") {
+    val docs = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val df = DedupOps.substringDupStats(docs, col("doc_id"), col("text"),
+      window = 10, stride = 5)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "per-key doc count must hash-aggregate (streams), not window (buffers the key group)")
+  }
+
+  test("substringDupStats handles a mega-boilerplate key shared by many docs") {
+    // one 10-char window string shared VERBATIM by 5000 docs — the hot-key
+    // case: the old count-over-window plan buffered all 5000 (key, doc)
+    // rows of that key in one WindowExec group; the groupBy+join plan
+    // streams. Each doc also carries a unique 10-char tail window.
+    val boiler = "BOILERPLAT"
+    val docs = spark.range(5000).selectExpr("id AS doc_id",
+      s"concat('$boiler', lpad(CAST(id AS STRING), 10, '0')) AS text")
+    val got = DedupOps.substringDupStats(docs, col("doc_id"), col("text"),
+        window = 10, stride = 10)
+      .agg(sum(col("n_windows")), sum(col("n_dup_windows")),
+        min(col("dup_ppm")), max(col("dup_ppm")))
+      .collect()(0)
+    // 2 windows/doc; the boilerplate window dups everywhere, the tail never
+    assert(got.getLong(0) === 10000L)
+    assert(got.getLong(1) === 5000L)
+    assert(got.getLong(2) === 500000L && got.getLong(3) === 500000L)
+  }
+
+  test("substringDupStats chunked offsets agree across block boundaries") {
+    // offsetBlock=4 with 11 offsets per doc (text 60 chars, window 10,
+    // stride 5 -> offsets 0..10) spans 3 blocks incl. a partial last one;
+    // results must equal the single-block plan bit-for-bit
+    val base = "The quick brown fox jumps over the lazy dog again and again!"
+    val docs = Seq((1L, base), (2L, base), (3L, base.reverse))
+      .toDF("doc_id", "text")
+    def run(block: Int) = DedupOps.substringDupStats(docs, col("doc_id"),
+        col("text"), window = 10, stride = 5, offsetBlock = block)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val chunked = run(4)
+    assert(chunked === run(1 << 20))
+    // docs 1 and 2 are identical: every window position duplicated
+    assert(chunked.take(2).forall(t => t._2 == 11L && t._3 == 11L && t._4 == 1000000L))
+    assert(chunked(2)._3 === 0L)
+  }
+
   test("canonicalPerCluster keeps the best-scored member, ties to the lower id") {
     // clusters: {1,2,3} rep 1, {4,5} rep 4, {6} singleton
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
