@@ -466,6 +466,18 @@ object DQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    "d14_sparse_sim_frac" -> ((s, dir) => {
+      // E52 scale-relative: df cutoff = floor(0.08 * corpus size), so the
+      // near-dup linking terms (df ~5% of docs in this corpus) survive at
+      // EVERY scale while the ~77%-df stopwords stay pruned — d09's
+      // absolute maxDf=200 empties at sf0.1 (SCALING.md); this key stays
+      // non-empty at 10x.
+      TextOps.sparseCosinePairsFrac(documents(s, dir), col("doc_id"),
+          col("text"), threshold = 0.3, maxDfFrac = 0.08, normRound = Some(6))
+        .select(col("id_a"), col("id_b"), rnd(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "t20_quality_deciles" -> ((s, dir) => {
       // E53: per-language quality deciles (ntile over a deterministic
       // total order) — the exact path; the approx-threshold plan is E17.
@@ -1431,6 +1443,29 @@ object DQueries {
          |w AS (
          |  SELECT tf.id, tf.term, tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) AS w
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |norms AS (SELECT id, ${rnd6Sql("sqrt(SUM(w * w))")} AS norm FROM w GROUP BY 1),
+         |dt AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, ${rndSql("dt.dot / (na.norm * nb.norm)")} AS cos
+         |FROM dt JOIN norms na ON dt.id_a = na.id JOIN norms nb ON dt.id_b = nb.id
+         |WHERE dt.dot / (na.norm * nb.norm) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // twin of sparseCosinePairsFrac(threshold=0.3, maxDfFrac=0.08,
+    // normRound=6): identical to d09 except the df cutoff is
+    // floor(0.08 * n) — same single IEEE-double multiply + floor in both
+    // engines, so the kept term set matches exactly
+    "d14_sparse_sim_frac" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |dfreq AS (SELECT term, COUNT(*) AS df, n.n AS n FROM tf CROSS JOIN n GROUP BY 1, 3
+         |          HAVING COUNT(*) >= 2 AND COUNT(*) <= CAST(floor(0.08 * n.n) AS BIGINT)),
+         |w AS (
+         |  SELECT tf.id, tf.term, tf.tf * ((dfreq.n + 1.0) / (dfreq.df + 1.0)) AS w
+         |  FROM tf JOIN dfreq USING (term)),
          |norms AS (SELECT id, ${rnd6Sql("sqrt(SUM(w * w))")} AS norm FROM w GROUP BY 1),
          |dt AS (
          |  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot

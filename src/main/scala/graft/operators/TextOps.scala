@@ -340,18 +340,49 @@ object TextOps {
     * with id_a < id_b and cos >= threshold. */
   def sparseCosinePairs(df: DataFrame, idCol: Column, textCol: Column,
                         threshold: Double, maxDf: Long,
-                        normRound: Option[Int] = None): DataFrame = {
+                        normRound: Option[Int] = None): DataFrame =
+    sparseCosineImpl(df, idCol, textCol, threshold, lit(maxDf), normRound)
+
+  /** Scale-relative twin of [[sparseCosinePairs]]: the df cutoff is
+    * `floor(maxDfFrac * corpusSize)` instead of an absolute count. An
+    * absolute `maxDf` silently degrades as the corpus grows — a term
+    * linking the same FRACTION of documents (the near-dup signal) crosses
+    * the fixed cutoff at ~10× scale and the query goes empty (the d09 /
+    * SCALING.md sf0.1 finding); a fractional cutoff keeps "discriminative
+    * vs stopword" meaning the same thing at every scale. The tradeoff is
+    * explicit: per-term candidate work is bounded by (frac·n)², quadratic
+    * in corpus size, so frac is the knob that trades recall at scale for
+    * join work — at 100 TB you pick frac from the posting-list budget,
+    * not from a row count measured at test scale. The cutoff is
+    * floor-of-double on the broadcast corpus count, reproduced identically
+    * by any IEEE-double engine (same single multiply + floor). */
+  def sparseCosinePairsFrac(df: DataFrame, idCol: Column, textCol: Column,
+                            threshold: Double, maxDfFrac: Double,
+                            normRound: Option[Int] = None): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1]: $maxDfFrac")
+    sparseCosineImpl(df, idCol, textCol, threshold,
+      floor(lit(maxDfFrac) * col("n")).cast("long"), normRound)
+  }
+
+  /** Shared core: `cutoff` may reference `n` (the broadcast corpus count)
+    * — the df filter therefore sits after the one-row crossJoin, which
+    * costs nothing (broadcast of a single row) and lets the absolute and
+    * fractional variants share one plan shape. */
+  private def sparseCosineImpl(df: DataFrame, idCol: Column, textCol: Column,
+                               threshold: Double, cutoff: Column,
+                               normRound: Option[Int]): DataFrame = {
     def r(c: Column): Column = normRound match {
       case Some(n) => round(c * pow(lit(10.0), n)) / pow(lit(10.0), n)
       case None => c
     }
     val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
     val n = df.agg(count(lit(1)).as("n"))
-    val w = tf.join(dfreq, "term")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df") <= cutoff)
+    val w = tf.join(dfreq, "term")
       .select(col("id"), col("term"),
         (col("tf") * ((col("n") + lit(1.0)) / (col("df") + lit(1.0)))).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

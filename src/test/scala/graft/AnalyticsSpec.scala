@@ -187,6 +187,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Set((1L, 2L))) // only the aa/bb overlap survives
   }
 
+  test("sparseCosinePairsFrac: fractional cutoff scales with corpus size") {
+    import graft.operators.TextOps
+    // 10 docs: 'the' in all 10 (df 1.0), 'link' in 3 (df 0.3). With
+    // frac=0.5 the cutoff is floor(0.5*10)=5: 'link' kept, 'the' pruned —
+    // and doubling the corpus with unique-term docs keeps the SAME verdict
+    // (an absolute cutoff of 5 would not survive the doubling if the
+    // linking df doubled with it).
+    def corpus(extra: Int) = (
+      Seq((1L, "the link aa"), (2L, "the link bb"), (3L, "the link cc")) ++
+      (4L to (7L + extra)).map(i => (i, s"the unique$i only$i"))
+    ).toDF("doc_id", "text")
+    def pairs(docs: org.apache.spark.sql.DataFrame) =
+      TextOps.sparseCosinePairsFrac(docs, col("doc_id"), col("text"),
+          threshold = 0.01, maxDfFrac = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val small = pairs(corpus(3))   // 10 docs, 'link' df 3 <= floor(5)
+    assert(small === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // 20 docs: cutoff floor(0.5*20)=10, 'the' df 20 still pruned,
+    // 'link' df 3 still kept — same pair set
+    assert(pairs(corpus(13)) === small)
+  }
+
   test("repairText: counts and fixes control chars, mojibake, whitespace runs") {
     import graft.operators.TextOps
     // doc 1: mojibake e-acute + a BEL control char; doc 2: mojibake
