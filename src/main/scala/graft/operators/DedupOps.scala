@@ -646,11 +646,28 @@ object DedupOps {
     */
   def substringDupStats(docs: DataFrame, idCol: Column, textCol: Column,
                         window: Int, stride: Int,
-                        offsetBlock: Int = 4096): DataFrame = {
+                        offsetBlock: Int = 4096): DataFrame =
+    substringDupStatsFromCounts(
+      substringWindowCounts(docs, idCol, textCol, window, stride, offsetBlock),
+      docs.select(idCol.as("doc_id")))
+
+  /** Per-(window-key, doc) occurrence counts — the partial stage of
+    * [[substringDupStats]], exposed because the counts are ADDITIVE: a
+    * streaming monitor maintains the (key, doc_id, n_occ) state
+    * incrementally (per-trigger partials merged by (key, doc)-sum in
+    * foreachBatch — the E86/E87 monitor pattern) and recomputes the
+    * report from state per trigger, never rescanning the corpus history;
+    * proven equal to the batch operator in StreamingSpec. State size is
+    * distinct (key, doc) pairs — the same frame the batch plan shuffles.
+    * Output partitioning is HashPartitioning(key), which the report
+    * stage's key-side operations reuse exchange-free. */
+  def substringWindowCounts(docs: DataFrame, idCol: Column, textCol: Column,
+                            window: Int, stride: Int,
+                            offsetBlock: Int = 4096): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     require(stride >= 1, s"stride must be >= 1: $stride")
     require(offsetBlock >= 1, s"offsetBlock must be >= 1: $offsetBlock")
-    val wins = docs
+    docs
       .select(idCol.as("doc_id"), textCol.as("__t"))
       .filter(char_length(col("__t")) >= window)
       // `div` (not `/`): integer floor division — fp division would make
@@ -667,22 +684,32 @@ object DedupOps {
       .select(col("doc_id"),
         Hashing.hash60(
           col("__t").substr((col("__i") * stride + 1).cast("int"), lit(window)))
-          .as("__k"))
-      .repartition(col("__k"))
-    // everything below up to the doc rollup is partition-local on __k:
-    // HashPartitioning(__k) satisfies the (__k, doc) aggregate's, the
-    // per-key doc count's, and the count-join's clustered distributions
-    val perKeyDoc = wins.groupBy(col("__k"), col("doc_id"))
-      .agg(count(lit(1)).as("__n_occ"))
+          .as("key"))
+      .repartition(col("key"))
+      // partition-local: HashPartitioning(key) satisfies the (key, doc)
+      // aggregate's clustered distribution
+      .groupBy(col("key"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Report stage of [[substringDupStats]] over a PRE-AGGREGATED
+    * (key, doc_id, n_occ) table plus the doc-id registry (which re-admits
+    * docs shorter than the window with zero counts — the registry is
+    * additive too, a per-trigger union-distinct in the monitor). The
+    * per-key doc count, dup flag, and count-join are partition-local on
+    * the counts' key partitioning; only the per-doc rollup and the
+    * registry join exchange. */
+  def substringDupStatsFromCounts(counts: DataFrame,
+                                  docIds: DataFrame): DataFrame = {
     // one row per (key, doc) going in, so count(*) IS the distinct-doc count
-    val keyDocs = perKeyDoc.groupBy(col("__k"))
+    val keyDocs = counts.groupBy(col("key"))
       .agg(count(lit(1)).as("__n_docs"))
-    val flagged = perKeyDoc.join(keyDocs, Seq("__k"))
+    val flagged = counts.join(keyDocs, Seq("key"))
     val stats = flagged.groupBy(col("doc_id"))
-      .agg(sum(col("__n_occ")).as("__nw"),
-        sum(when(col("__n_docs") >= 2, col("__n_occ")).otherwise(0L))
+      .agg(sum(col("n_occ")).as("__nw"),
+        sum(when(col("__n_docs") >= 2, col("n_occ")).otherwise(0L))
           .as("__nd"))
-    docs.select(idCol.as("doc_id")).join(stats, Seq("doc_id"), "left")
+    docIds.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__nw"), lit(0L)).as("n_windows"),
         coalesce(col("__nd"), lit(0L)).as("n_dup_windows"),

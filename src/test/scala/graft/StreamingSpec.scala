@@ -421,4 +421,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed === batch)
     } finally q.stop()
   }
+
+  test("substringDupStats as a foreachBatch monitor: merged window counts equal the batch stats") {
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // monitor state: additive (key, doc_id, n_occ) partials + the doc-id
+    // registry (re-admits short docs) — both key/doc-sized, never the
+    // corpus history
+    var counts = Seq.empty[(Long, Long, Long)].toDF("key", "doc_id", "n_occ")
+    var docIds = Seq.empty[Long].toDF("doc_id")
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = DedupOps.substringWindowCounts(batch, $"doc_id",
+          $"text", window = 10, stride = 5)
+        counts = counts.union(partial).groupBy($"key", $"doc_id")
+          .agg(sum($"n_occ").as("n_occ")).localCheckpoint(true)
+        docIds = docIds.union(batch.select($"doc_id")).distinct()
+          .localCheckpoint(true)
+      }.start()
+    try {
+      // the shared 20-char span is SPLIT across batches: doc 11 arrives a
+      // batch after doc 10, so a per-batch-only report would never see the
+      // cross-doc duplication; the merged state must
+      val span = "ABCDEFGHIJKLMNOPQRST"
+      mem.addData((10L, span + "uvwxyz0123"), (13L, "short"))
+      q.processAllAvailable()
+      mem.addData((11L, span), (12L, "zyxwvutsrqponmlkjihgfedcba"))
+      q.processAllAvailable()
+      val streamed = DedupOps.substringDupStatsFromCounts(counts, docIds)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val batchAll = DedupOps.substringDupStats(
+          Seq((10L, span + "uvwxyz0123"), (13L, "short"), (11L, span),
+            (12L, "zyxwvutsrqponmlkjihgfedcba")).toDF("doc_id", "text"),
+          $"doc_id", $"text", window = 10, stride = 5)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batchAll)
+    } finally q.stop()
+  }
 }
