@@ -24,9 +24,18 @@ object Bench {
   private val bruteForceTwins = Set("d02_ngram_jaccard", "d05_embedding_dup", "s01_ann_topk")
 
   def main(args: Array[String]): Unit = {
-    // optional arg: comma-separated key prefixes to bench a subset while
-    // iterating (same convention as Verify); the driver passes no args
+    // optional args: (1) comma-separated key prefixes to bench a subset
+    // while iterating (same convention as Verify; "" = all), (2) trials N
+    // — run the query set N times and report per-query MEDIANS. The last
+    // two rounds' apparent regressions were all sandbox timing variance
+    // (up to 2x minutes apart on identical code); any perf claim in
+    // SCALING should come from `sbt "runMain graft.Bench '' 3"`, not a
+    // single trial. The driver passes no args: trials=1, single pass,
+    // output shape unchanged.
     val prefixes = args.headOption.map(_.split(',').toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val trials = if (args.length > 1) args(1).trim.toInt else 1
+    require(trials >= 1, s"trials must be >= 1: $trials")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -67,27 +76,39 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
-    val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // drop per-query persists so one query's cache doesn't pressure the
-      // next, and collect the garbage NOW so allocation debt from this
-      // query's explodes/caches isn't paid inside the next query's timed
-      // window; both are outside the timed window. clearCache only covers
-      // Dataset-level caches — localCheckpoint blocks (d06/d12 cluster
-      // labels, b46 ranks, the released LSH pair outputs) are plain
-      // persistent RDDs and would otherwise linger until the context
-      // cleaner notices, pressuring every later query's heap.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
-      (name, elapsed, ok)
+    def runOnce(): Seq[(String, Double, Boolean)] =
+      headline.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop per-query persists so one query's cache doesn't pressure the
+        // next, and collect the garbage NOW so allocation debt from this
+        // query's explodes/caches isn't paid inside the next query's timed
+        // window; both are outside the timed window. clearCache only covers
+        // Dataset-level caches — localCheckpoint blocks (d06/d12 cluster
+        // labels, b46 ranks, the released LSH pair outputs) are plain
+        // persistent RDDs and would otherwise linger until the context
+        // cleaner notices, pressuring every later query's heap.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        (name, elapsed, ok)
+      }
+    val runs = (1 to trials).map(_ => runOnce())
+    // per-query median over the trials that succeeded; a query with zero
+    // successful trials is a failure. For trials=1 this reduces to the
+    // single pass exactly.
+    val results = runs.head.map(_._1).map { name =>
+      val times = runs.flatMap(_.collectFirst {
+        case (`name`, t, true) => t
+      }).sorted
+      if (times.isEmpty) (name, 0.0, false)
+      else (name, times(times.size / 2), true)
     }
     // Locale.ROOT formatting: the f interpolator is default-locale-dependent
     // and a comma-decimal locale would emit invalid JSON
@@ -107,7 +128,19 @@ object Bench {
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
       """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size"}"""
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"plan_notes":$planNotes,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"plan_notes":$planNotes,"sf":"$sfDir"}"""
+    println(json)
+    // the driver keeps only the last 2000 chars of stdout, which truncates
+    // the per-query map; persist the complete line so per-query numbers
+    // survive the round without a re-run (full-registry runs only — a
+    // prefix-subset iteration must not overwrite the round's record)
+    if (prefixes.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_latest.json"), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_latest.json write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
