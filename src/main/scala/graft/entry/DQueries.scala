@@ -115,6 +115,17 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d15_substring_contam" -> ((s, dir) => {
+      // E94: character-level decontamination — fraction of each doc's
+      // strided 40-char windows appearing verbatim (stride-1 keys, any
+      // alignment) in the doc_id<20 "benchmark" slice (the d07 slice).
+      val docs = documents(s, dir)
+      DedupOps.crossSubstringContam(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 20), col("text"),
+          window = 40, stride = 10)
+        .orderBy("doc_id")
+    }),
+
     "d07_decontam" -> ((s, dir) => {
       // E30 through the gate: docs sharing any 5-gram with the doc_id<20
       // "benchmark" slice — semi-join on portable 60-bit gram hashes.
@@ -966,6 +977,32 @@ object DQueries {
          |  COALESCE(st.nw, 0) AS n_windows,
          |  COALESCE(st.nd, 0) AS n_dup_windows,
          |  COALESCE(st.nd, 0) * 1000000 // greatest(COALESCE(st.nw, 0), 1) AS dup_ppm
+         |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    // twin of crossSubstringContam(window=40, stride=10) vs the doc_id<20
+    // bench slice: corpus windows replay d13's strided arithmetic, the
+    // bench side keys EVERY offset (stride 1), hit = key in the distinct
+    // bench set
+    "d15_substring_contam" -> {
+      val w = 40; val st = 10
+      s"""WITH dwins AS (
+         |  SELECT doc_id, ${h60Sql(s"substr(text, CAST(o * $st + 1 AS INT), $w)")} AS k
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, (length(text) - $w) // $st + 1)) AS o
+         |        FROM documents WHERE length(text) >= $w)),
+         |pkd AS (SELECT doc_id, k, COUNT(*) AS n_occ FROM dwins GROUP BY 1, 2),
+         |bkeys AS (
+         |  SELECT DISTINCT ${h60Sql(s"substr(text, CAST(o + 1 AS INT), $w)")} AS k
+         |  FROM (SELECT text, unnest(range(0, (length(text) - $w) + 1)) AS o
+         |        FROM documents WHERE doc_id < 20 AND length(text) >= $w)),
+         |st AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS nw,
+         |         CAST(SUM(CASE WHEN b.k IS NOT NULL THEN n_occ ELSE 0 END) AS BIGINT) AS nc
+         |       FROM pkd LEFT JOIN bkeys b USING (k) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(st.nw, 0) AS n_windows,
+         |  COALESCE(st.nc, 0) AS n_contaminated,
+         |  COALESCE(st.nc, 0) * 1000000 // greatest(COALESCE(st.nw, 0), 1) AS contam_ppm
          |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 

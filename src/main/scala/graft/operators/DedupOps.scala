@@ -699,6 +699,58 @@ object DedupOps {
     * per-key doc count, dup flag, and count-join are partition-local on
     * the counts' key partitioning; only the per-doc rollup and the
     * registry join exchange. */
+  /** Cross-corpus substring contamination — the character-level
+    * decontamination signal beside E82's token k-grams (and the
+    * cross-corpus form of [[substringDupStats]], as E85 is to E3): per
+    * corpus document, the fraction of its strided windows that appear
+    * VERBATIM anywhere in a benchmark corpus. Token-gram overlap misses
+    * copies that tokenize differently (punctuation, casing joins);
+    * character windows don't care.
+    *
+    * Alignment: the corpus side strides (that's the linear-scan budget),
+    * but the benchmark side is keyed at stride 1 — every character
+    * offset — so a shared span is caught at ANY alignment of the copy
+    * inside the corpus doc. A strided bench side would only match copies
+    * that happen to land on the same stride residue (proven by the
+    * misalignment fixture in DedupSpec). The benchmark is the SMALL side
+    * by nature (an eval set, not a crawl), so its stride-1 key set —
+    * |bench chars| 8-byte hashes, distinct — is the side a 100 TB run
+    * broadcasts (AQE picks that up from size; a huge bench degrades to a
+    * shuffle equi-join on 8-byte keys, never strings).
+    *
+    * Plan: corpus windows reuse [[substringWindowCounts]] (one exchange
+    * on the key, additive partials — the streaming-monitor split works
+    * here too: merge corpus partials per trigger, re-join the static
+    * bench keys); distinct bench keys left-join in with a hit flag (no
+    * fan-out — keys are distinct); per-doc rollup; the registry join
+    * re-admits short docs with zeros. contam_ppm on the exact int64 grid
+    * (the E87/E93 staged-division convention).
+    *
+    * Output: (doc_id, n_windows, n_contaminated, contam_ppm). A document
+    * that IS in the benchmark scores 1000000 — decontamination wants
+    * that (drop it), and the caller filters by id if it doesn't. */
+  def crossSubstringContam(docs: DataFrame, idCol: Column, textCol: Column,
+                           bench: DataFrame, benchTextCol: Column,
+                           window: Int, stride: Int,
+                           offsetBlock: Int = 4096): DataFrame = {
+    val docWins = substringWindowCounts(docs, idCol, textCol, window, stride,
+      offsetBlock)
+    val benchKeys = substringWindowCounts(bench, lit(0L), benchTextCol,
+        window, stride = 1, offsetBlock)
+      .select(col("key")).distinct()
+    val flagged = docWins
+      .join(benchKeys.withColumn("__hit", lit(1)), Seq("key"), "left")
+    val stats = flagged.groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("__nw"),
+        sum(when(col("__hit") === 1, col("n_occ")).otherwise(0L)).as("__nc"))
+    docs.select(idCol.as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+        expr("coalesce(__nc, 0L) * 1000000 div greatest(coalesce(__nw, 0L), 1)")
+          .as("contam_ppm"))
+  }
+
   def substringDupStatsFromCounts(counts: DataFrame,
                                   docIds: DataFrame): DataFrame = {
     // one row per (key, doc) going in, so count(*) IS the distinct-doc count

@@ -363,6 +363,30 @@ class DedupSpec extends SparkSpec {
     assert(got.getLong(2) === 500000L && got.getLong(3) === 500000L)
   }
 
+  test("crossSubstringContam catches bench spans at any alignment") {
+    // window=10, stride=5 on the corpus side; bench keyed at stride 1.
+    val benchSpan = "0123456789ABCDEFGHIJ" // 20 chars
+    val bench = Seq((0L, benchSpan)).toDF("bid", "text")
+    val docs = Seq(
+      // bench span embedded at offset 2 — NOT a multiple of the doc
+      // stride. Doc windows at 0,5,10: [5,15) and [10,20) fall inside the
+      // span (hits via bench's stride-1 keys); [0,10) straddles the 'xx'
+      // prefix (miss). A strided bench side would score 0 here.
+      (1L, "xx" + benchSpan + "yy"),
+      (2L, benchSpan),                      // verbatim bench member: all hit
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzz"),     // clean
+      (4L, "tiny")                          // shorter than the window
+    ).toDF("doc_id", "text")
+    val got = DedupOps.crossSubstringContam(docs, col("doc_id"), col("text"),
+        bench, col("text"), window = 10, stride = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((3L, 2L, 666666L)))
+    assert(got(2L) === ((3L, 3L, 1000000L)))
+    assert(got(3L) === ((3L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+  }
+
   test("substringDupStats chunked offsets agree across block boundaries") {
     // offsetBlock=4 with 11 offsets per doc (text 60 chars, window 10,
     // stride 5 -> offsets 0..10) spans 3 blocks incl. a partial last one;
