@@ -371,6 +371,15 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t35_negative_sample" -> ((s, dir) => {
+      // E97: deterministic contrastive negatives — 3 per anchor off the
+      // hash ring (dense global index via bucketed prefix sums; a pick
+      // landing on its own anchor advances one ring position). Every pick
+      // is a pure hash60 function, so the oracle replays the exact ids.
+      CurationOps.negativeSample(documents(s, dir), col("doc_id"), k = 3)
+        .orderBy("anchor", "j")
+    }),
+
     "t19_vocab_oov" -> ((s, dir) => {
       // E45 through the gate: 100-term vocabulary coverage; exact-integer
       // OOV ratio emitted UNROUNDED.
@@ -1308,6 +1317,34 @@ object DQueries {
          |WHERE cum <= CASE lang WHEN 'en' THEN 5000
          |                       WHEN 'de' THEN 2000 ELSE 2500 END
          |ORDER BY doc_id""".stripMargin,
+
+    // twin of negativeSample(k=3): global row_number over (h, id) IS the
+    // bucketed prefix-sum index (the bucket is the hash's high bits, so
+    // bucket-major + in-bucket order = global hash order); self-collisions
+    // advance one ring position exactly as the operator does
+    "t35_negative_sample" -> {
+      val candH = h60Sql("'neg:' || CAST(doc_id AS VARCHAR)")
+      val pickH = h60Sql(
+        "'negt:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)")
+      s"""WITH ix AS (
+         |  SELECT doc_id AS cand_id,
+         |    row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+         |  FROM (SELECT doc_id, $candH AS h FROM documents)),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tg AS (
+         |  SELECT d.doc_id AS anchor, g.j AS j, $pickH % nn.n AS pick
+         |  FROM documents d CROSS JOIN generate_series(1, 3) AS g(j)
+         |  CROSS JOIN nn),
+         |p1 AS (
+         |  SELECT tg.anchor, tg.j, tg.pick, ix.cand_id
+         |  FROM tg JOIN ix ON ix.idx = tg.pick)
+         |SELECT p1.anchor, p1.j,
+         |  CASE WHEN p1.cand_id <> p1.anchor THEN p1.cand_id
+         |       ELSE i2.cand_id END AS neg_id
+         |FROM p1 CROSS JOIN nn
+         |LEFT JOIN ix i2 ON i2.idx = (p1.pick + 1) % nn.n
+         |ORDER BY anchor, j""".stripMargin
+    },
 
     // twin of CountMin.build+estimate (depth 4, width 256): the sketch is
     // rebuilt bucket-for-bucket from the portable md5 hash; every observed

@@ -341,6 +341,27 @@ object OlapQueries {
           sup, col("s_suppkey"), col("s_name"), prefixLen = 4)
         .select(col("l_id"), col("r_id"), col("dist"))
         .orderBy("l_id", "r_id")
+    }),
+
+    "a43_mad_outliers" -> ((s, dir) => {
+      // E95: robust per-type outlier stats — rank-defined lower medians
+      // (exact data values, no fp interpolation) so the oracle replays
+      // med/MAD bit-for-bit; flags compare on the unrounded values. The
+      // percentile_approx scale plan is benched instead (benchOverrides).
+      AnalyticsOps.madOutliers(events(s, dir), Seq("event_type"),
+          col("value"), nSigma = 3.0, exact = true)
+        .select(col("event_type"), col("n_vals"), rnd6(col("med")).as("med"),
+          rnd6(col("mad")).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    "b55_cooccur" -> ((s, dir) => {
+      // E96: market-basket co-occurrence over order baskets — pairs of
+      // parts sharing >= 2 orders, with per-item supports and lift (the
+      // fixed-shape double chain replays identically in DuckDB).
+      AnalyticsOps.coOccurrence(lineitem(s, dir), col("l_orderkey"),
+          col("l_partkey"), minPairCount = 2L)
+        .orderBy("item_a", "item_b")
     })
   )
 
@@ -361,6 +382,15 @@ object OlapQueries {
         .select(col("id").as("event_id"), col("stratum").as("event_type"),
           col("value"), col("lo"), col("hi"), col("v_wins"))
         .orderBy("event_id")
+    }),
+    // the 100 TB MAD plan: two percentile_approx hash aggregates, no
+    // per-key sort windows
+    "a43_mad_outliers" -> ((s, dir) => {
+      AnalyticsOps.madOutliers(events(s, dir), Seq("event_type"),
+          col("value"), nSigma = 3.0, exact = false)
+        .select(col("event_type"), col("n_vals"), rnd6(col("med")).as("med"),
+          rnd6(col("mad")).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
     })
   )
 
@@ -404,6 +434,67 @@ object OlapQueries {
          |  (est_join - exact_join) * 1000000 // exact_join AS err_ppm
          |FROM e, x""".stripMargin
     },
+
+    // rank-defined lower medians ((n-1) div 2 + 1 on non-null values, the
+    // winsorize exact-quantile convention); outlier flags compare the
+    // UNROUNDED |v - med| against 3.0 * mad exactly as the operator does
+    "a43_mad_outliers" ->
+      s"""WITH v AS (
+         |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM v),
+         |med AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+         |  FROM r GROUP BY 1),
+         |d AS (
+         |  SELECT v.event_type, v.value, med.med,
+         |    abs(v.value - med.med) AS ad
+         |  FROM v JOIN med USING (event_type)),
+         |r2 AS (
+         |  SELECT event_type, ad,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM d),
+         |mad AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN ad END) AS mad
+         |  FROM r2 GROUP BY 1)
+         |SELECT d.event_type, count(*) AS n_vals,
+         |  ${rnd6Sql("any_value(d.med)")} AS med,
+         |  ${rnd6Sql("any_value(mad.mad)")} AS mad,
+         |  CAST(sum(CASE WHEN d.ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers
+         |FROM d JOIN mad USING (event_type)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pair/item counts over kept baskets; the lift chain mirrors the
+    // operator's double expression shape term for term
+    "b55_cooccur" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |keptb AS (
+        |  SELECT basket FROM it GROUP BY basket HAVING count(*) <= 10000),
+        |kept AS (SELECT it.* FROM it JOIN keptb USING (basket)),
+        |nb AS (SELECT count(*) AS b FROM keptb),
+        |ic AS (SELECT item, count(*) AS n_i FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+        |  FROM kept x JOIN kept y
+        |    ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_ab, a.n_i AS n_a, b2.n_i AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE) * nb.b
+        |      / (CAST(a.n_i AS DOUBLE) * b2.n_i) * 10000) / 10000 AS lift
+        |FROM p
+        |JOIN ic a ON a.item = p.item_a
+        |JOIN ic b2 ON b2.item = p.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "a32_sliding_window" ->
       s"""WITH hops AS (

@@ -527,4 +527,118 @@ object AnalyticsOps {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(topN)
   }
+
+  /** Robust per-key outlier statistics via median absolute deviation — the
+    * data-QA complement of [[zscoreOutliers]]: mean/stddev are themselves
+    * dragged by the outliers they're meant to flag, while the median and
+    * MAD have a 50% breakdown point, so a corrupted feed (a sensor stuck
+    * at 1e9, a currency field parsed in cents) still yields sane
+    * thresholds. A value is an outlier when `|v − med| > nSigma · MAD`
+    * (callers wanting the normal-consistent scale fold 1.4826 into
+    * `nSigma`).
+    *
+    * Medians use the rank-defined LOWER median (rank `(n−1) div 2 + 1` on
+    * non-null values — the [[CurationOps.winsorize]] exact-quantile
+    * convention): an exact data value, no fp interpolation, so the DuckDB
+    * twin replays it bit-for-bit. `exact = true` runs two per-key
+    * sort+rank window passes (each buffers a key group in WindowExec —
+    * right for the oracle and for bounded key groups); at crawl scale set
+    * `exact = false` for two `percentile_approx` hash aggregates (no
+    * sort, map-side combine, same output shape). The per-key stats table
+    * (one row per key) broadcasts back for the flag pass.
+    *
+    * Output: keys :+ (n_vals, med, mad, n_outliers) — nulls are excluded
+    * from ranks, counts, and flags. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: Column,
+                  nSigma: Double = 3.0, exact: Boolean = true,
+                  accuracy: Int = 10000): DataFrame = {
+    require(nSigma > 0, s"nSigma must be positive: $nSigma")
+    val keyCols = keys.map(col)
+    val base = df.select(keyCols :+ valueCol.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    def lowerMedian(d: DataFrame, v: String, out: String): DataFrame =
+      if (exact) {
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(v).asc)
+        d.withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+          .groupBy(keyCols: _*)
+          .agg(max(when(col("__rn") === expr("(__n - 1) div 2") + 1, col(v)))
+            .as(out))
+      } else {
+        d.groupBy(keyCols: _*)
+          .agg(percentile_approx(col(v), lit(0.5), lit(accuracy)).as(out))
+      }
+    val med = lowerMedian(base, "__v", "med")
+    val dev = base.join(broadcast(med), keys)
+      .withColumn("__ad", abs(col("__v") - col("med")))
+    val mad = lowerMedian(dev, "__ad", "mad")
+    dev.join(broadcast(mad), keys)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_vals"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__ad") > lit(nSigma) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Item co-occurrence (market-basket pairs): for every unordered item
+    * pair sharing a basket, the number of baskets containing both, each
+    * item's basket count, and the lift
+    * `(n_ab · B) / (n_a · n_b)` (association strength; 1.0 = independent).
+    * The "co-visited destinations" / "co-purchased products" query, and in
+    * a training-data pipeline the co-occurrence statistics behind
+    * PMI-style association mining on structured logs (the token-level twin
+    * is [[TextOps]] bigram PMI).
+    *
+    * Plan: distinct (basket, item) [one exchange on the pair], basket
+    * sizes via a partition-local-friendly hash aggregate, then a
+    * basket-keyed SELF-join generates each basket's pairs — both sides
+    * arrive hash-partitioned on `basket`, so the join adds no exchange
+    * beyond the re-key. Fan-out per basket is `size²`, which is why
+    * `maxBasketSize` is load-bearing: one degenerate mega-basket (a
+    * crawler session touching every item) would otherwise dominate the
+    * whole job; baskets above the cap are DROPPED (standard market-basket
+    * practice — a basket with thousands of items carries no pairwise
+    * signal anyway), and all counts (n_a, n_b, B) are computed over the
+    * kept baskets so lift stays internally consistent. Pair counts and
+    * item counts are map-side-combined hash aggregates; the lift chain is
+    * a fixed-shape IEEE double expression, deterministic across engines.
+    *
+    * Output: (item_a, item_b, n_ab, n_a, n_b, lift) with item_a < item_b,
+    * pairs below `minPairCount` pruned (prunes the random-collision tail,
+    * which at crawl scale is the bulk of the output). */
+  def coOccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
+                   minPairCount: Long = 2L,
+                   maxBasketSize: Int = 10000): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val items = df.select(basketCol.as("basket"), itemCol.as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    val keptBaskets = items.groupBy(col("basket"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select(col("basket"))
+    val kept = items.join(keptBaskets, "basket")
+    // one scalar action: the kept-basket count anchoring lift (bounded
+    // driver work, same discipline as the token-budget boundary scalars)
+    val nBaskets = keptBaskets.count()
+    val itemCounts = kept.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = kept.select(col("basket"), col("item").as("item_a"))
+      .join(kept.select(col("basket"), col("item").as("item_b")), "basket")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"), col("n_i").as("n_a")),
+        "item_a")
+      .join(itemCounts.select(col("item").as("item_b"), col("n_i").as("n_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab").cast("double") * lit(nBaskets)
+            / (col("n_a").cast("double") * col("n_b")) * lit(10000.0))
+          / lit(10000.0) as "lift")
+  }
 }

@@ -466,4 +466,71 @@ object CurationOps {
       full.unionByName(bdry)
     }
   }
+
+  /** Deterministic uniform negative sampling — the contrastive-training
+    * data op: for every anchor row, `k` pseudo-random "negative" partners
+    * drawn uniformly from the corpus, reproducible bit-for-bit across
+    * re-runs, retries, and engines (no `rand()`; every pick is a pure
+    * function of (anchor id, j) through the portable
+    * [[Hashing.hash60]]).
+    *
+    * Mechanism: each candidate row gets a position on the hash ring
+    * (`h = hash60(salt:id)`); ranking the ring yields a DENSE GLOBAL INDEX
+    * 0..N−1. A global `row_number()` would funnel the corpus through one
+    * task, so the index is built scalably: partition the ring into
+    * `buckets` ranges by the hash's high bits, count per bucket (bounded
+    * driver collect, ≤ `buckets` rows — the prefix-sum pattern), and add
+    * each bucket's offset to its partition-local rank. Hash uniformity
+    * makes the buckets skew-free by construction. Each (anchor, j) then
+    * picks index `hash60(salt t:anchor:j) mod N` — an equi-join on a long,
+    * no candidate explosion; a pick that lands on its own anchor
+    * deterministically advances to the next ring position ((pick+1) mod N,
+    * a second equi-join over only the collided rows, ~k·N/N ≈ k rows).
+    *
+    * The ring index is also the natural place to EXCLUDE known positives
+    * (near-dups from E3/E5): filter the candidate frame before calling.
+    * Output: (anchor, j, neg_id), k rows per anchor. */
+  def negativeSample(df: DataFrame, idCol: Column, k: Int,
+                     buckets: Int = 1024, salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val cand = df.select(idCol.as("cand_id"))
+      .withColumn("__h",
+        Hashing.hash60(concat(lit(s"$salt:"), col("cand_id"))))
+      .withColumn("__b", shiftright(col("__h"), shift))
+    // bounded driver collect: ≤ `buckets` (bucket, count) rows → offsets
+    val counts = cand.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n >= 2, s"need >= 2 candidate rows to draw negatives: $n")
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__b2", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h").asc, col("cand_id").asc)
+    val indexed = cand
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), col("__b") === col("__b2"))
+      .select(col("cand_id"), (col("__rn") - 1 + col("__off")).as("__idx"))
+    val targets = df.select(idCol.as("anchor"))
+      .select(col("anchor"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("__pick", pmod(
+        Hashing.hash60(concat(lit(s"${salt}t:"), col("anchor"), lit(":"),
+          col("j"))),
+        lit(n)))
+    val first = targets.join(indexed, col("__pick") === col("__idx"))
+    val ok = first.filter(col("cand_id") =!= col("anchor"))
+      .select(col("anchor"), col("j"), col("cand_id").as("neg_id"))
+    val collided = first.filter(col("cand_id") === col("anchor"))
+      .select(col("anchor"), col("j"),
+        pmod(col("__pick") + 1, lit(n)).as("__p2"))
+      .join(indexed, col("__p2") === col("__idx"))
+      .select(col("anchor"), col("j"), col("cand_id").as("neg_id"))
+    ok.unionByName(collided)
+  }
 }

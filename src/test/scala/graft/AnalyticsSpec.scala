@@ -552,4 +552,53 @@ class AnalyticsSpec extends SparkSpec {
   private val MojRquote = "\u00e2\u20ac\u2122"     // mojibake right quote
   private val MojRdquote = "\u00e2\u20ac\u009d"     // mojibake right double quote
   private val Rdquote = "\u201d"
+
+  test("madOutliers: hand fixture \u2014 lower medians, MAD, flags") {
+    // key a: values 1,2,3,4,100 \u2192 med = 3 (lower median of 5), |v-med| =
+    // 2,1,0,1,97 \u2192 mad = 1, outliers: |v-3| > 3*1 \u2192 only 100.
+    // key b: values 10,20 (even n) \u2192 lower median = 10, |v-med| = 0,10 \u2192
+    // mad = 0 \u2192 any v != med is an outlier \u2192 20 flagged.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), ("b", 10.0), ("b", 20.0)).toDF("k", "v")
+    val got = AnalyticsOps.madOutliers(df, Seq("k"), col("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("a", 5L, 3.0, 1.0, 1L), ("b", 2L, 10.0, 0.0, 1L)))
+  }
+
+  test("madOutliers: nulls excluded; exact medians resist the outlier") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(1.0)),
+      ("a", Some(1e9))).toDF("k", "v")
+    val r = AnalyticsOps.madOutliers(df, Seq("k"), col("v")).collect().head
+    assert(r.getLong(1) === 3L)       // null dropped
+    assert(r.getDouble(2) === 1.0)    // median unmoved by 1e9
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getLong(4) === 1L)       // only 1e9 flagged
+  }
+
+  test("coOccurrence: pair counts, supports, lift; mega-basket dropped") {
+    // baskets: 1 -> {x,y,z}, 2 -> {x,y}, 3 -> {x}, 4 -> mega (dropped)
+    val rows = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+      (2L, "x"), // dup (basket,item) \u2014 distinct'd away
+      (3L, "x")) ++ (1 to 5).map(i => (4L, s"m$i"))
+    val df = rows.toDF("b", "i")
+    val got = AnalyticsOps.coOccurrence(df, col("b"), col("i"),
+        minPairCount = 2L, maxBasketSize = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // kept baskets B = 3; only (x,y) reaches 2 pairs; n_x = 3, n_y = 2
+    // lift = (2 * 3) / (3 * 2) = 1.0
+    assert(got.toSeq === Seq(("x", "y", 2L, 3L, 2L, 1.0)))
+  }
+
+  test("coOccurrence: deterministic across input partitionings") {
+    val rows = (1L to 40L).flatMap(b =>
+      (0 to (b % 5).toInt).map(k => (b, s"i${(b + k) % 7}")))
+    val a = AnalyticsOps.coOccurrence(rows.toDF("b", "i").repartition(1),
+      col("b"), col("i")).orderBy("item_a", "item_b").collect().toSeq
+    val c = AnalyticsOps.coOccurrence(rows.toDF("b", "i").repartition(7),
+      col("b"), col("i")).orderBy("item_a", "item_b").collect().toSeq
+    assert(a === c && a.nonEmpty)
+  }
 }

@@ -553,4 +553,33 @@ class CurationSpec extends SparkSpec {
       assert(got == want, s"trial $trial budgets $budgets")
     }
   }
+
+  test("negativeSample matches the driver-side ring reference") {
+    import graft.functions.Hashing.hash60Scalar
+    val ids = (0L until 57L).toSeq
+    val df = ids.toDF("id")
+    // reference: global hash-ring order, pick = hash mod n, self advances 1
+    val ring = ids.map(id => (hash60Scalar(s"neg:$id"), id)).sorted
+    val n = ring.size
+    val want = (for (a <- ids; j <- 1 to 3) yield {
+      val pick = (hash60Scalar(s"negt:$a:$j") % n).toInt
+      val c1 = ring(pick)._2
+      (a, j.toLong, if (c1 != a) c1 else ring((pick + 1) % n)._2)
+    }).toSet
+    val got = CurationOps.negativeSample(df, col("id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === ids.size * 3)          // k rows per anchor
+    assert(got.forall { case (a, _, neg) => neg != a })
+  }
+
+  test("negativeSample: deterministic across partitionings and bucket counts") {
+    val df = (0L until 200L).toDF("id")
+    val a = CurationOps.negativeSample(df.repartition(1), col("id"), k = 2)
+      .orderBy("anchor", "j").collect().toSeq
+    val b = CurationOps.negativeSample(df.repartition(13), col("id"), k = 2,
+        buckets = 16)
+      .orderBy("anchor", "j").collect().toSeq
+    assert(a === b && a.size === 400)
+  }
 }
