@@ -106,9 +106,14 @@ object DedupOps {
     * verification step over LSH candidates and the oracle twin at small SF;
     * never the scale path on its own. */
   def jaccardPairsBrute(shingled: DataFrame, threshold: Double): DataFrame = {
+    // BroadcastNestedLoopJoin parallelism = streamed-side partitions (see
+    // SimilarityOps.bruteForceTopK); without the repartition the O(n²)
+    // loop runs on one core when the input is a single parquet split
+    val par = shingled.sparkSession.sparkContext.defaultParallelism
     val a = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .repartition(par)
     val b = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

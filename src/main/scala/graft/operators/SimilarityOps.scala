@@ -43,7 +43,13 @@ object SimilarityOps {
     * sort is per-query over corpus-size rows — the exact-search baseline
     * every ANN variant is measured against. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // the non-equi condition plans as BroadcastNestedLoopJoin, whose
+    // parallelism is the STREAMED side's partition count — a small corpus
+    // arriving as one parquet split would run the O(n·q) loop on a single
+    // core; spread it across the cluster first
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
+      .repartition(par)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
       .select(col("q_id"), col("nn_id"), cosine(col("qe"), col("ce")).as("cos"))
@@ -57,9 +63,14 @@ object SimilarityOps {
   /** Brute-force cosine near-dup pairs (threshold-filtered), the all-pairs
     * twin of [[bruteForceTopK]] — O(n²), verification/oracle use. */
   def cosinePairsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
+    // BroadcastNestedLoopJoin parallelism = streamed-side partitions (see
+    // bruteForceTopK); without the repartition the O(n²) loop runs on one
+    // core when the corpus is a single parquet split
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .repartition(par)
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
