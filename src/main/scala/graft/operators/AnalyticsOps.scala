@@ -610,7 +610,6 @@ object AnalyticsOps {
   def coOccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
                    minPairCount: Long = 2L,
                    maxBasketSize: Int = 10000): DataFrame = {
-    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
     val items = df.select(basketCol.as("basket"), itemCol.as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
@@ -623,14 +622,39 @@ object AnalyticsOps {
     // one scalar action: the kept-basket count anchoring lift (bounded
     // driver work, same discipline as the token-budget boundary scalars)
     val nBaskets = keptBaskets.count()
-    val itemCounts = kept.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-    val pairs = kept.select(col("basket"), col("item").as("item_a"))
+    coOccurrenceFromCounts(
+      coOccurrencePairCounts(kept),
+      kept.groupBy(col("item")).agg(count(lit(1)).as("n_i")),
+      nBaskets, minPairCount)
+  }
+
+  /** Pair-count partial of [[coOccurrence]] over a (basket, item) frame
+    * (distinct rows, oversized baskets already dropped — the `kept` frame
+    * [[coOccurrence]] builds internally). Exposed because pair counts are
+    * ADDITIVE across disjoint basket sets: a streaming monitor computes
+    * per-trigger partials over each micro-batch's baskets and merges by
+    * (item_a, item_b)-sum in foreachBatch — the E86/E87/E93 monitor
+    * pattern; item counts and the basket count merge the same way. The
+    * one assumption is that a basket arrives WHOLE within one trigger
+    * (group the source by basket id, e.g. Kafka-keyed by order id) — a
+    * basket split across triggers would miss its cross-trigger pairs.
+    * Proven batch-equal in StreamingSpec. */
+  def coOccurrencePairCounts(kept: DataFrame): DataFrame =
+    kept.select(col("basket"), col("item").as("item_a"))
       .join(kept.select(col("basket"), col("item").as("item_b")), "basket")
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
+
+  /** Report stage of [[coOccurrence]] over pre-aggregated pair counts
+    * (item_a, item_b, n_ab), item counts (item, n_i), and the basket
+    * count. Two item-keyed joins + the fixed-shape IEEE lift chain. */
+  def coOccurrenceFromCounts(pairCounts: DataFrame, itemCounts: DataFrame,
+                             nBaskets: Long,
+                             minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    pairCounts
       .filter(col("n_ab") >= minPairCount)
-    pairs
       .join(itemCounts.select(col("item").as("item_a"), col("n_i").as("n_a")),
         "item_a")
       .join(itemCounts.select(col("item").as("item_b"), col("n_i").as("n_b")),

@@ -459,4 +459,41 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed === batchAll)
     } finally q.stop()
   }
+
+  test("coOccurrence as a foreachBatch monitor: merged pair counts equal the batch report") {
+    import graft.operators.AnalyticsOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // additive state: (item_a, item_b, n_ab) pairs, (item, n_i) supports,
+    // and the basket count — baskets arrive WHOLE per trigger
+    var pairs = Seq.empty[(String, String, Long)].toDF("item_a", "item_b", "n_ab")
+    var itemCounts = Seq.empty[(String, Long)].toDF("item", "n_i")
+    var nBaskets = 0L
+    val q = mem.toDF().toDF("basket", "item").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = batch.select($"basket", $"item").distinct()
+        pairs = pairs.union(AnalyticsOps.coOccurrencePairCounts(kept))
+          .groupBy($"item_a", $"item_b").agg(sum($"n_ab").as("n_ab"))
+          .localCheckpoint(true)
+        itemCounts = itemCounts
+          .union(kept.groupBy($"item").agg(count(lit(1)).as("n_i")))
+          .groupBy($"item").agg(sum($"n_i").as("n_i")).localCheckpoint(true)
+        nBaskets += kept.select($"basket").distinct().count()
+      }.start()
+    try {
+      mem.addData((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      mem.addData((3L, "x"), (3L, "y"), (4L, "z"), (4L, "x"))
+      q.processAllAvailable()
+      val streamed = AnalyticsOps.coOccurrenceFromCounts(pairs, itemCounts,
+          nBaskets, minPairCount = 1L)
+        .orderBy("item_a", "item_b").collect().map(_.toString).toSeq
+      val batchAll = AnalyticsOps.coOccurrence(
+          Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+            (3L, "x"), (3L, "y"), (4L, "z"), (4L, "x")).toDF("basket", "item"),
+          $"basket", $"item", minPairCount = 1L)
+        .orderBy("item_a", "item_b").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batchAll)
+    } finally q.stop()
+  }
 }
