@@ -32,7 +32,13 @@ object Bench {
     // SCALING should come from `sbt "runMain graft.Bench '' 3"`, not a
     // single trial. The driver passes no args: trials=1, single pass,
     // output shape unchanged.
-    val prefixes = args.headOption.map(_.split(',').toSeq.filter(_.nonEmpty))
+    // sbt's batch command parser hands a '' placeholder through as the
+    // LITERAL two-character token, which would silently filter out every
+    // query — strip surrounding quotes before splitting
+    val prefixes = args.headOption
+      .map(_.trim.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\""))
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)
     val trials = if (args.length > 1) args(1).trim.toInt else 1
     require(trials >= 1, s"trials must be >= 1: $trials")

@@ -631,6 +631,15 @@ object DQueries {
         .orderBy("grp", "pos")
     }),
 
+    "s08_random_proj" -> ((s, dir) => {
+      // E98: JL random projection 64 -> 8 — hash-derived Rademacher signs,
+      // micro-quantized int64 sums; the oracle rebuilds the sign matrix
+      // from the same hash60 parities and replays every sum exactly.
+      SimilarityOps.randomProject(embeddings(s, dir), col("vec_id"),
+          col("embedding"), inDim = 64, outDim = 8)
+        .orderBy("vec_id", "j")
+    }),
+
     "t28_url_canon" -> ((s, dir) => {
       // E75: URL canonicalization over deterministically planted messy
       // URLs — mixed-case hosts, default ports, utm/fbclid params in
@@ -1706,6 +1715,23 @@ object DQueries {
         |SELECT grp, pos, COUNT(*) AS n,
         |  CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000) AS centroid
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sign matrix rebuilt from the same hash60 parities (salt rp:i:j);
+    // micro-quantized signed sums are exact int64 on both engines
+    "s08_random_proj" -> {
+      val signH = h60Sql("'rp:' || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")
+      s"""WITH q AS (
+         |  SELECT vec_id, t.i - 1 AS i,
+         |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings, range(1, 65) t(i)),
+         |s AS (
+         |  SELECT i.i, j.j,
+         |    CASE WHEN $signH % 2 = 0 THEN 1 ELSE -1 END AS s
+         |  FROM range(0, 64) i(i) CROSS JOIN range(0, 8) j(j))
+         |SELECT q.vec_id, s.j, CAST(SUM(q.q * s.s) AS BIGINT) AS proj_micro
+         |FROM q JOIN s ON s.i = q.i
+         |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
+    },
 
     // the same canonicalization sequence in the RE2 dialect (\1 backrefs,
     // 'g' flags); step order is the contract

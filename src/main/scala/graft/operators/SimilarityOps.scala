@@ -89,6 +89,49 @@ object SimilarityOps {
     * flattens under partial aggregation exactly like E63. Use for
     * per-source/per-cluster centroids, drift monitoring, or seeding
     * coarse quantizers. */
+  /** Deterministic random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction — the pre-ANN compression step for embedding tables: project
+    * `inDim`-dim vectors onto `outDim` Rademacher (±1) directions derived
+    * from the portable [[Hashing.hash60]] (sign(i,j) = parity of
+    * `hash60(salt:i:j)`), so the projection matrix is reproducible
+    * bit-for-bit by any engine with no stored artifact. JL preserves
+    * pairwise distances within (1±ε) for outDim = O(log n / ε²); the
+    * conventional 1/√outDim scale is a constant the caller applies (kept
+    * out so the output stays on an exact integer grid).
+    *
+    * Arithmetic is exact: components quantize to micro units
+    * (`round(x·1e6)` — one deterministic IEEE multiply, the centroid
+    * convention), the signed sums run as int64, and the output
+    * (vec_id, j, proj_micro) is order-independent across partitions and
+    * replayed exactly by the DuckDB twin. |sum| ≤ inDim·1e6·max|x| — no
+    * overflow for any sane embedding.
+    *
+    * Plan: the quantized array is materialized in its own projection, then
+    * ONE posexplode to (vec_id, i, q) — inDim rows per vector — a
+    * broadcast join against the inDim×outDim sign table (driver-built,
+    * tiny), and one hash aggregate on (vec_id, j) with map-side combine.
+    * At 100 TB this is a narrow explode + broadcast + combine-heavy agg:
+    * no shuffle grows beyond vectors × outDim output rows. */
+  def randomProject(corpus: DataFrame, idCol: Column, embCol: Column,
+                    inDim: Int, outDim: Int,
+                    salt: String = "rp"): DataFrame = {
+    require(inDim >= 1, s"inDim must be >= 1: $inDim")
+    require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val signs = for (i <- 0 until inDim; j <- 0 until outDim) yield
+      (i, j, if (Hashing.hash60Scalar(s"$salt:$i:$j") % 2 == 0) 1 else -1)
+    val signDf = signs.toDF("__i", "j", "__s")
+    corpus
+      .select(idCol.as("vec_id"),
+        transform(embCol, x => round(x.cast("double") * lit(1.0e6))
+          .cast("long")).as("__q"))
+      .select(col("vec_id"), posexplode(col("__q")).as(Seq("__i", "__qv")))
+      .join(broadcast(signDf), "__i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("__qv") * col("__s")).as("proj_micro"))
+  }
+
   def groupCentroids(df: DataFrame, groupCol: Column, embCol: Column): DataFrame =
     df.select(groupCol.as("grp"),
         posexplode(transform(embCol,

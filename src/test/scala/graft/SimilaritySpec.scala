@@ -188,4 +188,52 @@ class SimilaritySpec extends SparkSpec {
       ("b", 0, 1L, 0.5), ("b", 1, 1L, 0.5)))
     assert(centroids(1).toSeq === got.toSeq) // partitioning-invariant
   }
+
+  test("randomProject matches the driver-side signed-sum reference") {
+    import spark.implicits._
+    import graft.functions.Hashing.hash60Scalar
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 2.0f, -1.0f)),
+      (3L, Seq(-1.5f, 0.5f, 3.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def sign(i: Int, j: Int) = if (hash60Scalar(s"rp:$i:$j") % 2 == 0) 1L else -1L
+    val want = (for ((id, e) <- vecs; j <- 0 until 2) yield {
+      val s = e.zipWithIndex.map { case (x, i) =>
+        math.round(x.toDouble * 1e6) * sign(i, j)
+      }.sum
+      (id, j, s)
+    }).toSet
+    val got = SimilarityOps.randomProject(df, col("vec_id"), col("embedding"),
+        inDim = 3, outDim = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("randomProject: JL projection roughly preserves cosine ranking") {
+    // exactness is pinned by the s08 oracle; here check the PURPOSE — on
+    // the real 64-dim corpus projected to 16, high-cosine pairs stay
+    // closer in projected space than random pairs on average
+    val proj = SimilarityOps.randomProject(emb.limit(60), col("vec_id"),
+        col("embedding"), inDim = 64, outDim = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2).toDouble) }
+    def cosP(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val full = emb.limit(60).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val ids = full.keys.toSeq.sorted
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val scored = pairs.map { case (a, b) =>
+      (cosP(full(a), full(b)), cosP(proj(a).toArray, proj(b).toArray)) }
+    val (hi, lo) = scored.sortBy(-_._1).splitAt(scored.size / 4)
+    val hiProj = hi.map(_._2).sum / hi.size
+    val loProj = lo.map(_._2).sum / lo.size
+    assert(hiProj > loProj,
+      s"projected cosine should track full cosine: hi=$hiProj lo=$loProj")
+  }
 }
