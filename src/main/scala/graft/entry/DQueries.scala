@@ -371,6 +371,15 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t36_bpe_merges" -> ((s, dir) => {
+      // E99: distributed BPE merge training — 8 rounds over the word-freq
+      // table; deterministic argmax (freq desc, pair asc), greedy
+      // left-to-right fusion via delimiter-encoded literal replace. The
+      // oracle unrolls the same 8 rounds (the b46 convention).
+      TextOps.trainBpeMerges(documents(s, dir), col("text"), numMerges = 8)
+        .orderBy("rank")
+    }),
+
     "t35_negative_sample" -> ((s, dir) => {
       // E97: deterministic contrastive negatives — 3 per anchor off the
       // hash ring (dense global index via bucketed prefix sums; a pick
@@ -1326,6 +1335,53 @@ object DQueries {
          |WHERE cum <= CASE lang WHEN 'en' THEN 5000
          |                       WHEN 'de' THEN 2000 ELSE 2500 END
          |ORDER BY doc_id""".stripMargin,
+
+    // unrolled twin of trainBpeMerges(numMerges=8, minPairFreq=2): per
+    // round, symbols from the delimiter-encoded seq (split/strip), pair
+    // counts via shifted list_zip, argmax with the same tie-break, fusion
+    // via the same literal replace. An empty b_k (no pair >= 2) empties
+    // every later round through the cross join — the early-stop twin.
+    "t36_bpe_merges" -> {
+      val n = 8
+      val rounds = (1 to n).map { k =>
+        s"""p_$k AS (
+           |  SELECT freq, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+           |  FROM (SELECT freq,
+           |      list_transform(list_filter(string_split(seq, chr(1)), x -> x <> ''),
+           |        x -> rtrim(x, chr(2))) AS l
+           |    FROM w_${k - 1})),
+           |c_$k AS (
+           |  SELECT z[1] AS l, z[2] AS r,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM p_$k GROUP BY 1, 2),
+           |b_$k AS (
+           |  SELECT l, r, cnt FROM c_$k WHERE cnt >= 2
+           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |w_$k AS (
+           |  SELECT replace(seq,
+           |      chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+           |      chr(1)||b.l||b.r||chr(2)) AS seq, freq
+           |  FROM w_${k - 1}, b_$k b)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to n).map(k =>
+        s"""SELECT $k AS "rank", l AS "left", r AS "right", cnt AS pair_freq FROM b_$k"""
+      ).mkString("\nUNION ALL ")
+      s"""WITH w_0 AS (
+         |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')
+         |      || chr(1)||chr(3)||chr(2) AS seq,
+         |    freq
+         |  FROM (
+         |    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |      FROM documents) t
+         |    WHERE w <> '' AND w NOT LIKE '%'||chr(1)||'%'
+         |      AND w NOT LIKE '%'||chr(2)||'%' AND w NOT LIKE '%'||chr(3)||'%'
+         |    GROUP BY w)),
+         |$rounds
+         |SELECT * FROM (
+         |$union
+         |) ORDER BY "rank"""".stripMargin
+    },
 
     // twin of negativeSample(k=3): global row_number over (h, id) IS the
     // bucketed prefix-sum index (the bucket is the hash's high bits, so

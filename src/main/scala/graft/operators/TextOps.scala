@@ -686,4 +686,135 @@ object TextOps {
         trim(regexp_replace(col("__t2"), wsRunRe, " ")).as("clean_text"))
       .select("id", "clean_text", "n_ctrl", "n_mojibake", "n_wsrun")
   }
+
+  /** Symbol-sequence delimiters for BPE training: each symbol is stored as
+    * `\u0001 sym \u0002` inside one encoded string, and `\u0003` is the
+    * end-of-word marker symbol. The encoding exists so a merge application
+    * is ONE literal string `replace`: the pattern `\u0001 L \u0002 \u0001 R \u0002`
+    * can only match a complete adjacent symbol pair (delimiters make
+    * partial-symbol matches impossible), and literal replace scans
+    * left-to-right non-overlapping — exactly BPE's greedy application
+    * order, on any engine. Words containing the three control chars are
+    * dropped up front (a deterministic rule both engines replay; real text
+    * containing \u0001-\u0003 is corruption by definition). */
+  private val BpeD1 = "\u0001"
+  private val BpeD2 = "\u0002"
+  private val BpeEow = "\u0003"
+
+  /** Distributed BPE merge training — the tokenizer-training algorithm
+    * (Sennrich et al. 2016) on the word-frequency table: per round, count
+    * adjacent symbol pairs weighted by word frequency, adopt the most
+    * frequent pair (ties broken lexicographically — fully deterministic),
+    * and fuse every occurrence greedily left-to-right.
+    *
+    * The scale shape is the point: the corpus is scanned ONCE (word
+    * counting — a map-combined hash aggregate); every training round then
+    * runs over the distinct-WORD table, whose size is the vocabulary, not
+    * the corpus — at 100 TB the rounds cost the same as at 100 GB. Each
+    * round is one explode+aggregate (pair counts; symbol pairs come from a
+    * per-row `zip_with` of the shifted symbol array — no self-join) plus a
+    * 1-row driver collect (the argmax, bounded like the PageRank
+    * convergence scalar) plus one codegen'd `replace` projection, with an
+    * eager localCheckpoint truncating the round-over-round plan exactly
+    * like the PageRank rounds (superseded checkpoint blocks are dropped by
+    * the caller's between-queries cleanup; the frame is vocab-sized).
+    *
+    * Merging stops early when no pair reaches `minPairFreq`. Symbols are
+    * UTF-16 code units via the `(.)` per-char wrap — BMP-safe; a
+    * supplementary-plane corpus would need a codepoint-aware splitter.
+    * Returns the ordered merge table (rank, left, right, pair_freq) — the
+    * artifact a tokenizer ships. Apply it with [[applyBpeMerges]]. */
+  def trainBpeMerges(docs: DataFrame, textCol: Column, numMerges: Int,
+                     minPairFreq: Long = 2L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = bpeWordTable(docs, textCol).localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val best = bpePairCounts(cur)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minPairFreq) done = true
+      else {
+        val (l, rr, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((r, l, rr, cnt))
+        cur = cur.select(
+          replace(col("seq"), lit(BpeD1 + l + BpeD2 + BpeD1 + rr + BpeD2),
+            lit(BpeD1 + l + rr + BpeD2)).as("seq"),
+          col("freq")).localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** (seq, freq): the encoded word-frequency table BPE trains on. */
+  private def bpeWordTable(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(tokens(textCol)).as("w"))
+      .filter(length(col("w")) > 0 &&
+        !col("w").contains(BpeD1) && !col("w").contains(BpeD2) &&
+        !col("w").contains(BpeEow))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat(regexp_replace(col("w"), "(.)", BpeD1 + "$1" + BpeD2),
+          lit(BpeD1 + BpeEow + BpeD2)).as("seq"),
+        col("freq"))
+
+  /** Adjacent-pair frequencies (l, r, cnt) over an encoded word table. */
+  private def bpePairCounts(words: DataFrame): DataFrame = {
+    val syms = transform(
+      filter(split(col("seq"), BpeD1), s => s =!= lit("")),
+      s => rtrim(s, BpeD2))
+    words
+      .select(col("freq"), syms.as("__sy"))
+      .select(col("freq"), explode(zip_with(
+        slice(col("__sy"), lit(1), size(col("__sy")) - 1),
+        slice(col("__sy"), lit(2), size(col("__sy")) - 1),
+        (x, y) => struct(x.as("l"), y.as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Tokenize with a learned merge table: apply the merges in rank order.
+    * The corpus is NOT rewritten per merge — tokenization runs on the
+    * distinct-word table (vocab-sized) as a chain of codegen'd `replace`
+    * projections (checkpoint-truncated every `checkpointEvery` merges so
+    * the expression tree stays bounded), and the corpus gets its token
+    * arrays back through one word-keyed join (broadcast-friendly: the
+    * tokenized vocab is small). Output: one row per (id, word position)
+    * with the word's BPE token array — downstream packing/counting
+    * flattens or aggregates as needed. */
+  def applyBpeMerges(docs: DataFrame, idCol: Column, textCol: Column,
+                     merges: Seq[(String, String)],
+                     checkpointEvery: Int = 64): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+    val positioned = docs.select(idCol.as("id"),
+        posexplode(tokens(textCol)).as(Seq("word_pos", "w")))
+      .filter(length(col("w")) > 0 &&
+        !col("w").contains(BpeD1) && !col("w").contains(BpeD2) &&
+        !col("w").contains(BpeEow))
+    var vocab = positioned.select(col("w")).distinct()
+      .withColumn("seq",
+        concat(regexp_replace(col("w"), "(.)", BpeD1 + "$1" + BpeD2),
+          lit(BpeD1 + BpeEow + BpeD2)))
+    merges.grouped(checkpointEvery).foreach { group =>
+      val applied = group.foldLeft(col("seq")) { case (c, (l, r)) =>
+        replace(c, lit(BpeD1 + l + BpeD2 + BpeD1 + r + BpeD2),
+          lit(BpeD1 + l + r + BpeD2))
+      }
+      vocab = vocab.select(col("w"), applied.as("seq")).localCheckpoint(true)
+    }
+    val tokenized = vocab.select(col("w"),
+      transform(
+        filter(split(col("seq"), BpeD1), s => s =!= lit("")),
+        s => rtrim(s, BpeD2)).as("bpe_tokens"))
+    positioned.join(tokenized, "w")
+      .select(col("id"), col("word_pos"), col("w").as("word"),
+        col("bpe_tokens"))
+  }
 }

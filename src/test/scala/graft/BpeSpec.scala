@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** BPE merge training / application (SURVEY §2E E99): the distributed
+  * trainer must match a straightforward driver-side reference of the
+  * Sennrich algorithm (pair counts weighted by word freq, argmax with
+  * lexicographic tie-break, greedy left-to-right fusion). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Eow = "\u0003"
+
+  /** Reference BPE trainer over a word-frequency map. */
+  private def refBpe(words: Map[String, Long], n: Int,
+                     minFreq: Long): Seq[(Int, String, String, Long)] = {
+    var tbl: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector :+ Eow, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= n && !done) {
+      val counts = tbl.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => p -> f)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty || counts.values.max < minFreq) done = true
+      else {
+        val ((l, rr), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r, l, rr, cnt))
+        def fuse(syms: Vector[String]): Vector[String] = {
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              b += (l + rr); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }
+        tbl = tbl.map { case (syms, f) => (fuse(syms), f) }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordFreqs(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+
+  private def train(texts: Seq[String], n: Int, minFreq: Long = 2L,
+                    parts: Int = 4): Seq[(Int, String, String, Long)] =
+    TextOps.trainBpeMerges(texts.toDF("text").repartition(parts),
+        col("text"), numMerges = n, minPairFreq = minFreq)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("trainBpeMerges matches the driver-side Sennrich reference") {
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "newer newer newest new new new low",
+      "wider wide wide wider widest")
+    val got = train(texts, n = 10)
+    val want = refBpe(wordFreqs(texts), 10, 2L)
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("greedy left-to-right fusion: runs collapse pairwise, not overlapping") {
+    // 'aaaa' under merge (a,a): greedy gives [aa, aa], never [aa, a, a]
+    // with a stranded overlap — round 2 must therefore see (aa, aa)
+    val texts = Seq("aaaa aaaa aaaa")
+    val got = train(texts, n = 3, minFreq = 1L)
+    val want = refBpe(wordFreqs(texts), 3, 1L)
+    assert(got === want)
+    // r1 (a,a) collapses 'aaaa' to [aa, aa, eow] — pairwise, no stranded
+    // overlap. r2 ties (aa,aa) with (aa,eow) at 3 and the control-char
+    // eow wins lexicographically; r3's (aa, aa+eow) therefore only
+    // exists if the r1 collapse was pairwise.
+    assert(got === Seq(
+      (1, "a", "a", 9L), (2, "aa", Eow, 3L), (3, "aa", "aa" + Eow, 3L)))
+  }
+
+  test("training stops when no pair reaches minPairFreq") {
+    val got = train(Seq("ab cd ef"), n = 10, minFreq = 2L)
+    assert(got === refBpe(wordFreqs(Seq("ab cd ef")), 10, 2L))
+    assert(got.isEmpty) // every pair occurs once
+  }
+
+  test("trainBpeMerges is partitioning-invariant") {
+    val texts = Seq("low lower lowest", "low low newer newest", "wide wider")
+    assert(train(texts, n = 6, parts = 1) === train(texts, n = 6, parts = 7))
+  }
+
+  test("applyBpeMerges: tokens rebuild every word and respect the merges") {
+    val texts = Seq("low lower lowest newer", "low low newest wide")
+    val merges = train(texts, n = 6, minFreq = 2L).map(m => (m._2, m._3))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = TextOps.applyBpeMerges(docs, col("doc_id"), col("text"), merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[String](3).toVector))
+    // every word comes back, and its tokens concatenate to word + EOW
+    val byDoc = rows.groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.trim.split("\\s+").toSeq
+      val got = byDoc(i.toLong).sortBy(_._2)
+      assert(got.map(_._3).toSeq === words)
+      got.foreach { case (_, _, w, toks) =>
+        assert(toks.mkString === w + Eow, s"word $w tokens $toks")
+      }
+    }
+    // at least one multi-char token exists (merges actually applied)
+    assert(rows.exists(_._4.exists(_.length > 1)))
+  }
+}
