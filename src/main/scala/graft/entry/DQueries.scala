@@ -640,6 +640,23 @@ object DQueries {
         .orderBy("grp", "pos")
     }),
 
+    "s09_hard_negatives" -> ((s, dir) => {
+      // E100: hard-negative mining — top-5 most-similar vectors per query
+      // excluding same-label pairs (the "known positives"); exclusion runs
+      // BEFORE ranking so positives never occupy rank slots.
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val positives = q.select(col("vec_id").as("q_id"),
+          col("label").as("__l"))
+        .join(emb.select(col("vec_id").as("pos_id"), col("label").as("__l")),
+          "__l")
+        .select("q_id", "pos_id")
+      SimilarityOps.hardNegatives(emb, q, positives, k = 5)
+        .select(col("q_id"), col("rank"), col("nn_id"),
+          rnd(col("cos")).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
     "s08_random_proj" -> ((s, dir) => {
       // E98: JL random projection 64 -> 8 — hash-derived Rademacher signs,
       // micro-quantized int64 sums; the oracle rebuilds the sign matrix
@@ -776,9 +793,19 @@ object DQueries {
     * SimilarityOps.planeWeights does, projections fold left-to-right in
     * DOUBLE (bit-identical to Spark's aggregate()), so bucket ids — and the
     * candidate set — match the Spark plan exactly. */
-  private val lshOracle: String = {
+  private val lshOracle: String = lshOracleOf(excludeSameLabel = false)
+
+  /** Shared LSH-rank oracle: `excludeSameLabel = true` adds the s09
+    * hard-negative exclusion (same-label candidates anti-joined out
+    * BEFORE ranking, exactly as the operator does). */
+  private def lshOracleOf(excludeSameLabel: Boolean): String = {
     val planeBit = h60Sql(
       "CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    val labelJoins = if (excludeSameLabel)
+      """
+        |  JOIN embeddings ql ON ql.vec_id = qb.vec_id
+        |  JOIN embeddings cl ON cl.vec_id = cb.vec_id""".stripMargin else ""
+    val labelFilter = if (excludeSameLabel) " AND ql.label <> cl.label" else ""
     s"""WITH planes AS (
        |  SELECT t, p, list_transform(range(0, 64), d ->
        |    CASE WHEN ($planeBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS w
@@ -791,8 +818,8 @@ object DQueries {
        |  FROM embeddings e, planes pl GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS nn_id
-       |  FROM bk qb JOIN bk cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
-       |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+       |  FROM bk qb JOIN bk cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket$labelJoins
+       |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id$labelFilter),
        |scored AS (
        |  SELECT c.q_id, c.nn_id, ${cosSql("q.embedding", "n.embedding")} AS cs,
        |    row_number() OVER (PARTITION BY c.q_id
@@ -837,6 +864,8 @@ object DQueries {
 
   val oracle: Map[String, String] = Map(
     "s02_ann_lsh" -> lshOracle,
+
+    "s09_hard_negatives" -> lshOracleOf(excludeSameLabel = true),
 
     "s03_ann_ivf" -> ivfOracle,
 

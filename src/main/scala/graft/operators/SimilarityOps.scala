@@ -211,13 +211,47 @@ object SimilarityOps {
     * plane halves their bucket-collision odds almost as fast as a random
     * pair's. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numTables: Int = 16, planes: Int = 6): DataFrame = {
+              numTables: Int = 16, planes: Int = 6): DataFrame =
+    rankCandidates(corpus, queries,
+      lshCandidates(corpus, queries, numTables, planes), k)
+
+  /** Hard-negative mining — the contrastive-training complement of
+    * [[graft.operators.CurationOps.negativeSample]]: random negatives are
+    * easy for a model; the informative ones are the NEAR-misses. Per
+    * query, the top-`k` most-similar corpus vectors EXCLUDING a known
+    * positive/duplicate pair set (`positives`: (q_id, pos_id) — same
+    * label, mined near-dups from E3/E5, same source document, …).
+    *
+    * The exclusion is a left-anti join applied to the LSH candidate set
+    * BEFORE ranking — an excluded vector must not occupy a rank slot
+    * (post-filtering the top-k would silently return fewer than k when a
+    * query's neighborhood is dominated by its positives, exactly the
+    * queries hard-negative mining cares about most). Candidate
+    * generation, scoring, and ranking are [[lshTopK]]'s bucketed plan —
+    * no all-pairs anywhere. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int,
+                    numTables: Int = 16, planes: Int = 6): DataFrame =
+    rankCandidates(corpus, queries,
+      lshCandidates(corpus, queries, numTables, planes)
+        .join(positives.select(col("q_id"), col("pos_id").as("nn_id")),
+          Seq("q_id", "nn_id"), "left_anti"),
+      k)
+
+  /** Distinct LSH bucket-cojoin candidates (q_id, nn_id), self excluded. */
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                            numTables: Int, planes: Int): DataFrame = {
     val cb = lshBuckets(corpus, numTables, planes)
     val qb = lshBuckets(queries, numTables, planes)
       .withColumnRenamed("vec_id", "q_id")
-    val cand = qb.join(cb, Seq("tbl", "bucket"))
+    qb.join(cb, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("nn_id")).distinct()
+  }
+
+  /** Exact-cosine scoring + per-query rank of a candidate pair set. */
+  private def rankCandidates(corpus: DataFrame, queries: DataFrame,
+                             cand: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("ce"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     cand.join(c, "nn_id").join(broadcast(q), "q_id")

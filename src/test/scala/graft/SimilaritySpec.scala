@@ -189,6 +189,31 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids(1).toSeq === got.toSeq) // partitioning-invariant
   }
 
+  test("hardNegatives: positives excluded BEFORE ranking, not after") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 10)
+    val positives = q.select(col("vec_id").as("q_id"), col("label").as("__l"))
+      .join(emb.select(col("vec_id").as("pos_id"), col("label").as("__l")), "__l")
+      .select("q_id", "pos_id")
+    val got = SimilarityOps.hardNegatives(emb, q, positives, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // no same-label survivor
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (qid, _, nn) => labels(qid) != labels(nn) })
+    // equals "rank the filtered candidate set": lshTopK with unbounded k,
+    // drop positives, re-rank, take 5
+    val posSet = positives.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = SimilarityOps.lshTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(_._2).filterNot(r => posSet((qid, r._3))).take(5)
+        .zipWithIndex.map { case (r, i) => (qid, i + 1, r._3) }.toSeq
+    }.toSet
+    assert(got.toSet === want)
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("randomProject matches the driver-side signed-sum reference") {
     import spark.implicits._
     import graft.functions.Hashing.hash60Scalar
