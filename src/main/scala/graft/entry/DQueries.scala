@@ -371,6 +371,18 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t37_bigram_lm" -> ((s, dir) => {
+      // E101: bigram-LM quality scoring (CCNet-style perplexity proxy),
+      // self-trained on the corpus; micro-quantized int64 log-prob sums,
+      // floor-through-double mean (Spark div truncates, DuckDB // floors
+      // — both floor identically through the IEEE double path).
+      val docs = documents(s, dir)
+      TextOps.bigramLmScore(docs, col("text"), docs, col("doc_id"),
+          col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t36_bpe_merges" -> ((s, dir) => {
       // E99: distributed BPE merge training — 8 rounds over the word-freq
       // table; deterministic argmax (freq desc, pair asc), greedy
@@ -1364,6 +1376,42 @@ object DQueries {
          |WHERE cum <= CASE lang WHEN 'en' THEN 5000
          |                       WHEN 'de' THEN 2000 ELSE 2500 END
          |ORDER BY doc_id""".stripMargin,
+
+    // twin of bigramLmScore(a=1.0) self-trained on documents: identical
+    // smoothing expression shape, ln on the same double, micro-rounded
+    // int64 sums, floor-through-double mean
+    "t37_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |uni AS (
+         |  SELECT u AS p, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1),
+         |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+         |bi AS (
+         |  SELECT z[1] AS p, z[2] AS w, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+         |        FROM tk) GROUP BY 1, 2),
+         |db AS (
+         |  SELECT doc_id, z[1] AS p, z[2] AS w
+         |  FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+         |        FROM tk)),
+         |sc AS (
+         |  SELECT db.doc_id,
+         |    CAST(round(ln((coalesce(bi.c2, 0) + 1.0)
+         |        / (coalesce(uni.c1, 0) + 1.0 * vv.v)) * 1000000.0) AS BIGINT) AS lp
+         |  FROM db
+         |  LEFT JOIN bi ON bi.p = db.p AND bi.w = db.w
+         |  LEFT JOIN uni ON uni.p = db.p
+         |  CROSS JOIN vv),
+         |ag AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(lp) AS BIGINT) AS lp_sum_micro
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(ag.lp_sum_micro, 0) AS lp_sum_micro,
+         |  CASE WHEN ag.n_bigrams IS NOT NULL
+         |       THEN CAST(floor(CAST(ag.lp_sum_micro AS DOUBLE) / ag.n_bigrams) AS BIGINT)
+         |  END AS avg_lp_micro
+         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // unrolled twin of trainBpeMerges(numMerges=8, minPairFreq=2): per
     // round, symbols from the delimiter-encoded seq (split/strip), pair

@@ -687,6 +687,76 @@ object TextOps {
       .select("id", "clean_text", "n_ctrl", "n_mojibake", "n_wsrun")
   }
 
+  /** Bigram language-model quality scoring — the CCNet/KenLM-style
+    * perplexity proxy: train add-k-smoothed bigram statistics on a
+    * reference corpus, score each document by its mean bigram
+    * log-probability (fluent text scores high; gibberish, OCR noise, and
+    * wrong-language text score low). The real pipelines use a 5-gram
+    * KenLM; the bigram form is the same relational shape with the same
+    * filtering power per shuffle byte, and the order generalizes by
+    * widening the zip.
+    *
+    * `P(w|prev) = (c(prev,w) + a) / (c(prev) + a·V)` with V = |train
+    * vocabulary|. Counts are exact ints; the probability is one double
+    * division of integer-derived doubles (bit-identical anywhere); each
+    * bigram's `ln(p)` is quantized to micro units BEFORE summing
+    * (`round(ln(p)·1e6)` → int64), so document totals are exact longs —
+    * order-independent and oracle-reproducible. The only cross-engine fp
+    * surface is libm `ln` (≤ 1 ulp apart), which flips a rounded micro
+    * unit only on the measure-zero set of probabilities landing within
+    * ~1e-16 relative of a half-micro boundary — the decayedAgg `pow`
+    * argument.
+    *
+    * Plan: ONE pass over the train corpus builds the unigram and bigram
+    * count tables (map-combined hash aggregates; bigrams via the shifted
+    * `zip_with`, no self-join); scoring explodes each document's bigrams
+    * and left-joins the two count tables (vocab-sized — broadcastable in
+    * practice, plain equi-joins so AQE decides) plus the broadcast 1-row
+    * vocab size. Documents with fewer than 2 tokens come back with zero
+    * bigrams and a null mean. Output:
+    * (id, n_bigrams, lp_sum_micro, avg_lp_micro). */
+  def bigramLmScore(train: DataFrame, trainTextCol: Column,
+                    docs: DataFrame, idCol: Column, textCol: Column,
+                    a: Double = 1.0): DataFrame = {
+    require(a > 0, s"smoothing a must be positive: $a")
+    def bigrams(toks: Column): Column = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => struct(x.as("p"), y.as("w")))
+    val trainToks = train.select(tokens(trainTextCol).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+    val uni = trainToks.select(explode(col("__tk")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bi = trainToks.select(explode(bigrams(col("__tk"))).as("__b"))
+      .select(col("__b.p").as("p"), col("__b.w").as("w"))
+      .groupBy(col("p"), col("w")).agg(count(lit(1)).as("__c2"))
+    val docBi = docs.select(idCol.as("id"), tokens(textCol).as("__tk"))
+      .select(col("id"), explode(bigrams(col("__tk"))).as("__b"))
+      .select(col("id"), col("__b.p").as("p"), col("__b.w").as("w"))
+    val scored = docBi
+      .join(bi, Seq("p", "w"), "left")
+      .join(uni, Seq("p"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        round(log((coalesce(col("__c2"), lit(0L)) + lit(a)) /
+            (coalesce(col("__c1"), lit(0L)) + lit(a) * col("__v"))) *
+          lit(1.0e6)).cast("long").as("__lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("lp_sum_micro"))
+    // the mean floors through ONE double division (exact inputs < 2^53,
+    // identical IEEE op + floor on both engines) — NOT integer `div`:
+    // Spark's div truncates toward zero while DuckDB's // floors, and
+    // log-prob sums are negative, so the two would differ by one micro
+    docs.select(idCol.as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_sum_micro"), lit(0L)).as("lp_sum_micro"),
+        when(col("n_bigrams").isNotNull,
+          floor(col("lp_sum_micro").cast("double") / col("n_bigrams"))
+            .cast("long")).as("avg_lp_micro"))
+  }
+
   /** Symbol-sequence delimiters for BPE training: each symbol is stored as
     * `\u0001 sym \u0002` inside one encoded string, and `\u0003` is the
     * end-of-word marker symbol. The encoding exists so a merge application

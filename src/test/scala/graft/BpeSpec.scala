@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.TextOps
 
-/** BPE merge training / application (SURVEY §2E E99): the distributed
-  * trainer must match a straightforward driver-side reference of the
-  * Sennrich algorithm (pair counts weighted by word freq, argmax with
-  * lexicographic tie-break, greedy left-to-right fusion). */
+/** Tokenizer/LM operators (SURVEY §2E E99/E101): the distributed BPE
+  * trainer must match a driver-side reference of the Sennrich algorithm
+  * (pair counts weighted by word freq, argmax with lexicographic
+  * tie-break, greedy left-to-right fusion); the bigram-LM scorer must
+  * match a driver-side add-k reference on exact micro-quantized sums. */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -115,5 +116,37 @@ class BpeSpec extends SparkSpec {
     }
     // at least one multi-char token exists (merges actually applied)
     assert(rows.exists(_._4.exists(_.length > 1)))
+  }
+
+  test("bigramLmScore matches a driver-side add-one reference") {
+    val trainTexts = Seq("the cat sat", "the cat ran", "the dog sat")
+    val docTexts = Seq((0L, "the cat sat"), (1L, "the dog ran"), (2L, "cat"),
+      (3L, "zz unseen words"))
+    // reference model
+    val toks = trainTexts.map(_.split("\\s+").toSeq)
+    val uni = toks.flatten.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val bi = toks.flatMap(t => t.zip(t.tail))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val v = uni.size
+    def lp(p: String, w: String): Long =
+      math.round(math.log((bi.getOrElse((p, w), 0L) + 1.0) /
+        (uni.getOrElse(p, 0L) + 1.0 * v)) * 1e6)
+    val want = docTexts.map { case (id, t) =>
+      val ts = t.split("\\s+").toSeq
+      val lps = ts.zip(ts.tail).map { case (p, w) => lp(p, w) }
+      val n = lps.size.toLong
+      (id, n, lps.sum,
+        if (n == 0) None else Some(math.floor(lps.sum.toDouble / n).toLong))
+    }
+    val got = TextOps.bigramLmScore(trainTexts.toDF("text"), col("text"),
+        docTexts.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq === want)
+    // single-token doc: zero bigrams, null mean
+    assert(got(2) === ((2L, 0L, 0L, None)))
+    // fluent text scores higher than unseen-word text
+    assert(got(0)._4.get > got(3)._4.get)
   }
 }
