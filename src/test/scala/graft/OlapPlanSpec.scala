@@ -124,4 +124,43 @@ class OlapPlanSpec extends SparkSpec {
     assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
       s"inner product must be an equi-join on (j, bucket):\n$plan")
   }
+
+  test("t35 negative sampling: ring picks are equi-joins, ranks stay bucket-local") {
+    val plan = dPlanOf("t35_negative_sample")
+    // the dense index must come from per-BUCKET ranks + offsets, never a
+    // global row_number (which would funnel the corpus through one task)
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage found:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"picks must resolve as equi-joins:\n$plan")
+  }
+
+  test("b55 co-occurrence: pair generation is a basket equi-join, counts map-combine") {
+    val plan = graft.entry.OlapQueries.queries("b55_cooccur")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay a basket equi-join:\n$plan")
+    assert("partial_count|HashAggregate".r.findAllIn(plan).nonEmpty,
+      s"pair counts must map-combine:\n$plan")
+  }
+
+  test("s08 random projection: broadcast sign join + map-combined aggregate") {
+    val plan = dPlanOf("s08_random_proj")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sign table must broadcast:\n$plan")
+    assert("partial_sum".r.findAllIn(plan).nonEmpty,
+      s"projection sums must map-combine:\n$plan")
+  }
+
+  test("t37 bigram LM: model joins are equi-joins, no cartesian anywhere") {
+    val plan = dPlanOf("t37_bigram_lm")
+    // the 1-row vocab count rides a broadcast nested loop BY DESIGN (a
+    // cross join with one row); the model joins themselves must be hash
+    // or sort-merge equi-joins and nothing may plan a CartesianProduct
+    assert(!plan.contains("CartesianProduct"), s"cartesian found:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).nonEmpty, s"no equi-join found:\n$plan")
+  }
 }

@@ -460,6 +460,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-corpus dedup as incremental ingestion: per-trigger pairs union to the batch result") {
+    // the retrieval-side incremental story: corpus shingle sets are a
+    // STATIC artifact; each trigger scores only its new docs against it
+    // (E85's banded join), and results append — no cross-trigger state
+    // beyond the output itself. The union over triggers must equal one
+    // batch run over all new docs.
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight"),
+      (102L, "red orange yellow green blue indigo violet white"))
+      .toDF("doc_id", "text")
+    val corpSh = DedupOps.shingleSets(corpusDocs, $"doc_id", $"text", 3)
+      .localCheckpoint(true)
+    val newDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // dup of 100
+      (2L, "completely different text with no overlap at all"),
+      (3L, "one two three four five six seven eight"),          // dup of 101
+      (4L, "red orange yellow green blue indigo violet white")) // dup of 102
+    val mem = MemoryStream[(Long, String)]
+    var streamed = Seq.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val nsh = DedupOps.shingleSets(batch, $"doc_id", $"text", 3)
+        streamed = streamed ++ DedupOps
+          .crossNearDupPairs(nsh, corpSh, 0.8, release = false)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.start()
+    try {
+      mem.addData(newDocs(0), newDocs(1))
+      q.processAllAvailable()
+      mem.addData(newDocs(2), newDocs(3))
+      q.processAllAvailable()
+      val batchAll = DedupOps.crossNearDupPairs(
+          DedupOps.shingleSets(newDocs.toDF("doc_id", "text"),
+            $"doc_id", $"text", 3),
+          corpSh, 0.8, release = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSet === batchAll.toSet)
+      assert(streamed.toSet === Set((1L, 100L), (3L, 101L), (4L, 102L)))
+    } finally q.stop()
+  }
+
   test("coOccurrence as a foreachBatch monitor: merged pair counts equal the batch report") {
     import graft.operators.AnalyticsOps
     implicit val sqlCtx = spark.sqlContext
