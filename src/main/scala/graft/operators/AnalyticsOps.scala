@@ -611,9 +611,20 @@ object AnalyticsOps {
                    minPairCount: Long = 2L,
                    maxBasketSize: Int = 10000): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    // ONE exchange on the basket key feeds the whole pair-generation
+    // stage: after repartition(basket), the (basket, item) dedupe, the
+    // basket sizes, the size filter join, and the pair self-join are all
+    // partition-local (HashPartitioning(basket) satisfies every clustered
+    // distribution keyed by basket) — the E93 single-exchange discipline.
+    // The deduped frame is materialized EAGERLY (checkpoint preserves the
+    // partitioning) because four consumers read it: a lazy plan would
+    // recompute the scan+dedupe per consumer (measured: 23 exchanges vs
+    // 10, see OlapPlanSpec).
     val items = df.select(basketCol.as("basket"), itemCol.as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
-      .distinct()
+      .repartition(col("basket"))
+      .dropDuplicates("basket", "item")
+      .localCheckpoint(true)
     val keptBaskets = items.groupBy(col("basket"))
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize)
