@@ -652,6 +652,17 @@ object DQueries {
         .orderBy("grp", "pos")
     }),
 
+    "s10_ann_eval" -> ((s, dir) => {
+      // E102: retrieval-evaluation metrics — recall@5 and reciprocal rank
+      // of the LSH index against the exact baseline, all-integer ppm grid.
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      SimilarityOps.annEvalMetrics(
+          SimilarityOps.lshTopK(emb, q, k = 5),
+          SimilarityOps.bruteForceTopK(emb, q, k = 5))
+        .orderBy("q_id")
+    }),
+
     "s09_hard_negatives" -> ((s, dir) => {
       // E100: hard-negative mining — top-5 most-similar vectors per query
       // excluding same-label pairs (the "known positives"); exclusion runs
@@ -810,7 +821,15 @@ object DQueries {
   /** Shared LSH-rank oracle: `excludeSameLabel = true` adds the s09
     * hard-negative exclusion (same-label candidates anti-joined out
     * BEFORE ranking, exactly as the operator does). */
-  private def lshOracleOf(excludeSameLabel: Boolean): String = {
+  private def lshOracleOf(excludeSameLabel: Boolean): String =
+    s"""WITH ${lshCtes(excludeSameLabel)}
+       |SELECT q_id, rank, nn_id, ${rndSql("cs")} AS cos
+       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** The planes→buckets→candidates→scored CTE chain shared by the s02/s09
+    * twins and the s10 metrics twin (`scored` carries (q_id, nn_id, cs,
+    * rank)). */
+  private def lshCtes(excludeSameLabel: Boolean): String = {
     val planeBit = h60Sql(
       "CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
     val labelJoins = if (excludeSameLabel)
@@ -818,7 +837,7 @@ object DQueries {
         |  JOIN embeddings ql ON ql.vec_id = qb.vec_id
         |  JOIN embeddings cl ON cl.vec_id = cb.vec_id""".stripMargin else ""
     val labelFilter = if (excludeSameLabel) " AND ql.label <> cl.label" else ""
-    s"""WITH planes AS (
+    s"""planes AS (
        |  SELECT t, p, list_transform(range(0, 64), d ->
        |    CASE WHEN ($planeBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS w
        |  FROM range(0, 16) t1(t), range(0, 6) t2(p)),
@@ -838,9 +857,7 @@ object DQueries {
        |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, c.nn_id) AS rank
        |  FROM cand c
        |  JOIN embeddings q ON q.vec_id = c.q_id
-       |  JOIN embeddings n ON n.vec_id = c.nn_id)
-       |SELECT q_id, rank, nn_id, ${rndSql("cs")} AS cos
-       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+       |  JOIN embeddings n ON n.vec_id = c.nn_id)""".stripMargin
   }
 
   /** Twin of SimilarityOps.ivfTopK (nCells=16, nProbe=4, k=5, dim=64): the
@@ -878,6 +895,34 @@ object DQueries {
     "s02_ann_lsh" -> lshOracle,
 
     "s09_hard_negatives" -> lshOracleOf(excludeSameLabel = true),
+
+    // metrics twin: LSH top-5 (the shared CTE chain) semi-joined against
+    // the exact brute-force top-5; integer ppm divisions mirror the
+    // operator's staged `div`s
+    "s10_ann_eval" ->
+      s"""WITH ${lshCtes(excludeSameLabel = false)},
+         |lshr AS (SELECT q_id, nn_id, rank FROM scored WHERE rank <= 5),
+         |exq AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |truth AS (SELECT q_id, nn_id FROM exq WHERE rank <= 5),
+         |hits AS (
+         |  SELECT l.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    MIN(l.rank) AS first_hit_rank
+         |  FROM lshr l JOIN truth t ON t.q_id = l.q_id AND t.nn_id = l.nn_id
+         |  GROUP BY 1),
+         |relc AS (
+         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+         |  FROM truth GROUP BY 1)
+         |SELECT relc.q_id, relc.n_relevant,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) * 1000000 // relc.n_relevant AS recall_ppm,
+         |  h.first_hit_rank,
+         |  coalesce(1000000 // h.first_hit_rank, 0) AS rr_ppm
+         |FROM relc LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin,
 
     "s03_ann_ivf" -> ivfOracle,
 

@@ -238,6 +238,35 @@ object SimilarityOps {
           Seq("q_id", "nn_id"), "left_anti"),
       k)
 
+  /** Retrieval-evaluation metrics — the ANN quality gate as an operator:
+    * per query, recall@k and reciprocal rank of an approximate top-k
+    * `result` against an exact `truth` baseline (both shaped
+    * (q_id, rank, nn_id) — [[lshTopK]]/[[bruteForceTopK]] output). The
+    * check every index build should ship with: recall tells you the
+    * bucket/probe parameters hold on YOUR distribution, not the paper's.
+    *
+    * All-integer outputs on the exact ppm grid: `recall_ppm =
+    * hits·1e6 div |relevant|`, `rr_ppm = 1e6 div first_hit_rank` (floor —
+    * deterministic anywhere, no fp). Queries in `truth` with no result
+    * hits come back with zeros and a null first_hit_rank. Plan: one
+    * (q_id, nn_id) semi-join + two per-query aggregates + a left join —
+    * equi-joins only, metrics tables are query-sized. */
+  def annEvalMetrics(result: DataFrame, truth: DataFrame): DataFrame = {
+    val rel = truth.select(col("q_id"), col("nn_id"))
+    val hits = result.join(rel, Seq("q_id", "nn_id"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rank")).as("first_hit_rank"))
+    val relCounts = rel.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    relCounts.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0L) * 1000000 div n_relevant").as("recall_ppm"),
+        col("first_hit_rank"),
+        coalesce(expr("1000000 div first_hit_rank"), lit(0L)).as("rr_ppm"))
+  }
+
   /** Distinct LSH bucket-cojoin candidates (q_id, nn_id), self excluded. */
   private def lshCandidates(corpus: DataFrame, queries: DataFrame,
                             numTables: Int, planes: Int): DataFrame = {

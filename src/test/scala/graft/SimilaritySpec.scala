@@ -214,6 +214,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.length == 5))
   }
 
+  test("annEvalMetrics: hand fixture — hits, recall, reciprocal rank") {
+    import spark.implicits._
+    // truth q1: {10,11,12}; result q1 ranks: 1->99 (miss), 2->11 (hit),
+    // 3->12 (hit) => hits 2, recall 2/3, first hit rank 2.
+    // truth q2: {20}; result q2: all misses => zeros, null first rank.
+    val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (2L, 1, 20L))
+      .toDF("q_id", "rank", "nn_id")
+    val result = Seq((1L, 1, 99L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 98L), (2L, 2, 97L)).toDF("q_id", "rank", "nn_id")
+    val got = SimilarityOps.annEvalMetrics(result, truth)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 666666L, Some(2), 500000L),
+      (2L, 1L, 0L, 0L, None, 0L)))
+  }
+
   test("randomProject matches the driver-side signed-sum reference") {
     import spark.implicits._
     import graft.functions.Hashing.hash60Scalar
