@@ -392,6 +392,15 @@ object DQueries {
         .orderBy("rank")
     }),
 
+    "t38_bpe_vocab" -> ((s, dir) => {
+      // E103: the tokenizer vocabulary from the trained merges — corpus
+      // chars + EOW in binary order, then merge products by rank.
+      val docs = documents(s, dir)
+      TextOps.bpeVocab(docs, col("text"),
+          TextOps.trainBpeMerges(docs, col("text"), numMerges = 8))
+        .orderBy("token_id")
+    }),
+
     "t35_negative_sample" -> ((s, dir) => {
       // E97: deterministic contrastive negatives — 3 per anchor off the
       // hash ring (dense global index via bucketed prefix sums; a pick
@@ -800,6 +809,52 @@ object DQueries {
        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, ${rndSql("jc")} AS jaccard FROM j
        |WHERE jc >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Unrolled BPE training rounds (t36/t38 twins): w_0 is the
+    * delimiter-encoded word-freq table; per round k, pair counts (p/c),
+    * the argmax with the operator's tie-break (b), and the fused table
+    * (w). An empty b_k empties every later round through the cross join —
+    * the early-stop twin. */
+  private val BpeOracleRounds = 8
+
+  private val bpeCtes: String = {
+    val rounds = (1 to BpeOracleRounds).map { k =>
+      s"""p_$k AS (
+         |  SELECT freq, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+         |  FROM (SELECT freq,
+         |      list_transform(list_filter(string_split(seq, chr(1)), x -> x <> ''),
+         |        x -> rtrim(x, chr(2))) AS l
+         |    FROM w_${k - 1})),
+         |c_$k AS (
+         |  SELECT z[1] AS l, z[2] AS r,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM p_$k GROUP BY 1, 2),
+         |b_$k AS (
+         |  SELECT l, r, cnt FROM c_$k WHERE cnt >= 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |w_$k AS (
+         |  SELECT replace(seq,
+         |      chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+         |      chr(1)||b.l||b.r||chr(2)) AS seq, freq
+         |  FROM w_${k - 1}, b_$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""w_0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')
+       |      || chr(1)||chr(3)||chr(2) AS seq,
+       |    freq
+       |  FROM (
+       |    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents) t
+       |    WHERE w <> '' AND w NOT LIKE '%'||chr(1)||'%'
+       |      AND w NOT LIKE '%'||chr(2)||'%' AND w NOT LIKE '%'||chr(3)||'%'
+       |    GROUP BY w)),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeMergeUnion: String = (1 to BpeOracleRounds).map(k =>
+    s"""SELECT $k AS "rank", l AS "left", r AS "right", cnt AS pair_freq FROM b_$k"""
+  ).mkString("\nUNION ALL ")
 
   /** Sequential-fold double cosine twin of SimilarityOps.cosine (list_sum
     * over list_transform folds left-to-right like Spark's aggregate()). */
@@ -1463,47 +1518,36 @@ object DQueries {
     // counts via shifted list_zip, argmax with the same tie-break, fusion
     // via the same literal replace. An empty b_k (no pair >= 2) empties
     // every later round through the cross join — the early-stop twin.
-    "t36_bpe_merges" -> {
-      val n = 8
-      val rounds = (1 to n).map { k =>
-        s"""p_$k AS (
-           |  SELECT freq, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
-           |  FROM (SELECT freq,
-           |      list_transform(list_filter(string_split(seq, chr(1)), x -> x <> ''),
-           |        x -> rtrim(x, chr(2))) AS l
-           |    FROM w_${k - 1})),
-           |c_$k AS (
-           |  SELECT z[1] AS l, z[2] AS r,
-           |    CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM p_$k GROUP BY 1, 2),
-           |b_$k AS (
-           |  SELECT l, r, cnt FROM c_$k WHERE cnt >= 2
-           |  ORDER BY cnt DESC, l, r LIMIT 1),
-           |w_$k AS (
-           |  SELECT replace(seq,
-           |      chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
-           |      chr(1)||b.l||b.r||chr(2)) AS seq, freq
-           |  FROM w_${k - 1}, b_$k b)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to n).map(k =>
-        s"""SELECT $k AS "rank", l AS "left", r AS "right", cnt AS pair_freq FROM b_$k"""
-      ).mkString("\nUNION ALL ")
-      s"""WITH w_0 AS (
-         |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')
-         |      || chr(1)||chr(3)||chr(2) AS seq,
-         |    freq
-         |  FROM (
-         |    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-         |      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-         |      FROM documents) t
-         |    WHERE w <> '' AND w NOT LIKE '%'||chr(1)||'%'
-         |      AND w NOT LIKE '%'||chr(2)||'%' AND w NOT LIKE '%'||chr(3)||'%'
-         |    GROUP BY w)),
-         |$rounds
-         |SELECT * FROM (
-         |$union
-         |) ORDER BY "rank"""".stripMargin
-    },
+    // NOTE: built by concatenation, NOT an outer stripMargin — the
+    // interpolated CTE block is already margin-stripped and its `||`
+    // continuation lines would lose a pipe to a second stripMargin pass
+    "t36_bpe_merges" ->
+      ("WITH " + bpeCtes + "\nSELECT * FROM (\n" + bpeMergeUnion +
+        "\n) ORDER BY \"rank\""),
+
+    // vocab twin: distinct corpus characters + the end-of-word marker in
+    // binary order (ids 0..B-1), then merge products at B + rank - 1
+    "t38_bpe_vocab" ->
+      ("WITH " + bpeCtes + ",\n" +
+        """chars AS (
+          |  SELECT DISTINCT unnest(string_split(w, '')) AS token FROM (
+          |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          |    FROM documents) t
+          |  WHERE w <> '' AND w NOT LIKE '%'||chr(1)||'%'
+          |    AND w NOT LIKE '%'||chr(2)||'%' AND w NOT LIKE '%'||chr(3)||'%'),
+          |base AS (
+          |  SELECT row_number() OVER (ORDER BY token) - 1 AS token_id, token
+          |  FROM (SELECT token FROM chars UNION SELECT chr(3))),
+          |bc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+          |mg AS (""".stripMargin + "\n" + bpeMergeUnion + "\n" +
+        """)
+          |SELECT * FROM (
+          |  SELECT token_id, token FROM base
+          |  UNION ALL
+          |  SELECT bc.n + mg."rank" - 1 AS token_id,
+          |    mg."left" || mg."right" AS token
+          |  FROM mg, bc
+          |) ORDER BY token_id""".stripMargin),
 
     // twin of negativeSample(k=3): global row_number over (h, id) IS the
     // bucketed prefix-sum index (the bucket is the hash's high bits, so

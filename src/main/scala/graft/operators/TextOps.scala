@@ -850,6 +850,38 @@ object TextOps {
       .agg(sum(col("freq")).as("cnt"))
   }
 
+  /** Vocabulary emission for a trained merge table — the artifact that
+    * turns [[trainBpeMerges]] into a usable tokenizer: base tokens are the
+    * corpus's distinct characters plus the end-of-word marker, id'd
+    * 0..B−1 in binary string order; each merge product `left||right` gets
+    * id `B + rank − 1`. (Two different merges CAN produce the same string
+    * — (a,bc) and (ab,c) both yield "abc"; both rows are kept, as in the
+    * merge table itself.) The char set is alphabet-sized, so the global
+    * rank window's single partition is bounded by the alphabet, not the
+    * corpus — the one place a global window is the right plan. Output:
+    * (token_id, token). */
+  def bpeVocab(docs: DataFrame, textCol: Column,
+               merges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs.select(explode(tokens(textCol)).as("w"))
+      .filter(length(col("w")) > 0 &&
+        !col("w").contains(BpeD1) && !col("w").contains(BpeD2) &&
+        !col("w").contains(BpeEow))
+      .select(explode(split(col("w"), "")).as("token"))
+      .filter(length(col("token")) > 0)
+      .unionByName(Seq(BpeEow).toDF("token"))
+      .distinct()
+    val base = chars.withColumn("token_id",
+      row_number().over(Window.orderBy(col("token"))).cast("long") - 1)
+    val baseCount = base.agg(count(lit(1)).as("__n"))
+    base.select(col("token_id"), col("token"))
+      .unionByName(merges.crossJoin(broadcast(baseCount))
+        .select((col("__n") + col("rank") - 1).as("token_id"),
+          concat(col("left"), col("right")).as("token")))
+  }
+
   /** Tokenize with a learned merge table: apply the merges in rank order.
     * The corpus is NOT rewritten per merge — tokenization runs on the
     * distinct-word table (vocab-sized) as a chain of codegen'd `replace`

@@ -118,6 +118,26 @@ class BpeSpec extends SparkSpec {
     assert(rows.exists(_._4.exists(_.length > 1)))
   }
 
+  test("bpeVocab: chars then merges, contiguous ids, binary char order") {
+    val texts = Seq("low low low lower lowest")
+    val df = texts.toDF("text")
+    val mergesDf = TextOps.trainBpeMerges(df, col("text"), numMerges = 4,
+      minPairFreq = 2L)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val got = TextOps.bpeVocab(df, col("text"), mergesDf)
+      .orderBy("token_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chars = texts.flatMap(_.replaceAll("\\s", "").map(_.toString))
+      .distinct.sorted :+ Eow
+    val base = chars.sorted.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val want = base ++ merges.zipWithIndex.map { case ((l, r), i) =>
+      (base.size.toLong + i, l + r)
+    }
+    assert(got.toSeq === want)
+    assert(got.map(_._1).toSeq === got.indices.map(_.toLong)) // contiguous
+  }
+
   test("bigramLmScore matches a driver-side add-one reference") {
     val trainTexts = Seq("the cat sat", "the cat ran", "the dog sat")
     val docTexts = Seq((0L, "the cat sat"), (1L, "the dog ran"), (2L, "cat"),
