@@ -126,6 +126,15 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "d16_source_overlap" -> ((s, dir) => {
+      // E104: source-overlap audit matrix — exact pairwise shingle-set
+      // Jaccard between sources on the portable 60-bit keys, complete
+      // S·(S-1)/2 matrix with zero-overlap pairs, int64 ppm grid.
+      DedupOps.sourceOverlap(documents(s, dir), col("source"), col("text"),
+          k = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
     "d07_decontam" -> ((s, dir) => {
       // E30 through the gate: docs sharing any 5-gram with the doc_id<20
       // "benchmark" slice — semi-join on portable 60-bit gram hashes.
@@ -440,6 +449,18 @@ object DQueries {
       CurationOps.hashSplit(documents(s, dir), col("doc_id"),
           weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "t39_exact_split" -> ((s, dir) => {
+      // E105: exact-count stratified split — per source, EXACTLY
+      // floor(n_s·w) rows per split, ranked by the portable hash60 via
+      // the bucketed dense rank (no per-stratum sort window).
+      CurationOps.exactSplit(documents(s, dir), col("doc_id"), col("source"),
+          weights = Seq("train" -> 800000L, "val" -> 100000L,
+            "test" -> 100000L))
+        .select(col("id").as("doc_id"), col("stratum").as("source"),
+          col("split"))
         .orderBy("doc_id")
     }),
 
@@ -1174,6 +1195,29 @@ object DQueries {
          |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
+    // twin of sourceOverlap(k=3): per-source distinct shingle HASHES (the
+    // operator's 60-bit keys, so the counts match bit-for-bit), key-equi
+    // pair counts, complete matrix via the source-size self-cross, ppm on
+    // the staged integer division
+    "d16_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT source, list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM (SELECT source, $toksSql AS w FROM documents)),
+         |e AS (SELECT DISTINCT source AS src, ${h60Sql("sg")} AS k
+         |      FROM (SELECT source, unnest(s) AS sg FROM sh)),
+         |ns AS (SELECT src, count(*) AS n FROM e GROUP BY 1),
+         |p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_ab
+         |      FROM e a JOIN e b ON a.k = b.k AND a.src < b.src GROUP BY 1, 2),
+         |ap AS (SELECT x.src AS src_a, y.src AS src_b, x.n AS n_a, y.n AS n_b
+         |       FROM ns x JOIN ns y ON x.src < y.src)
+         |SELECT ap.src_a, ap.src_b, ap.n_a, ap.n_b,
+         |  COALESCE(p.n_ab, 0) AS n_ab,
+         |  COALESCE(p.n_ab, 0) * 1000000
+         |    // (ap.n_a + ap.n_b - COALESCE(p.n_ab, 0)) AS jaccard_ppm
+         |FROM ap LEFT JOIN p USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin,
+
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
         |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks),
@@ -1655,6 +1699,25 @@ object DQueries {
          |       WHEN (${h60Sql("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000) < ${(0.8 + 0.1) * 1000000} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of exactSplit(0.8/0.1/0.1 ppm): the global per-stratum
+    // (h, id) rank IS the operator's bucket-major rank (the bucket key is
+    // the hash's own top bits); boundaries replay the staged int division
+    "t39_exact_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${h60Sql("'xsplit_' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM b)
+         |SELECT doc_id, source,
+         |  CASE WHEN rk < n * 800000 // 1000000 THEN 'train'
+         |       WHEN rk < n * 900000 // 1000000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // twin of TextOps.unigramScore: integer tf/total sums, one double
     // division of exact casts — matches unrounded

@@ -490,6 +490,75 @@ object CurationOps {
     * The ring index is also the natural place to EXCLUDE known positives
     * (near-dups from E3/E5): filter the candidate frame before calling.
     * Output: (anchor, j, neg_id), k rows per anchor. */
+  /** Exact-count stratified split — the eval-set assignment [[hashSplit]]
+    * can't give: per stratum, EXACTLY `floor(n_s·w_k)` rows land in each
+    * split (hashSplit's per-row bucket test is proportional only in
+    * expectation — a 500-doc stratum with a 1% eval weight can draw 0 or
+    * 11 eval docs; an exact split draws 5, every time). Assignment is a
+    * pure function of (salt, id): rows are ordered per stratum by
+    * `hash60(salt_id)` (ties by id) and the first `floor(n_s·cum_1)`
+    * ranks are split 1, the next `floor(n_s·cum_2) − floor(n_s·cum_1)`
+    * split 2, … — deterministic, reproducible, and stable under
+    * partitioning.
+    *
+    * Scale shape — NO per-stratum global sort window (WindowExec buffers
+    * each key group, and strata are few-and-huge by nature — the E93
+    * hot-key lesson): the global per-stratum rank is assembled from the
+    * hash's own bucket structure. `__b` = the hash's top bits (so
+    * bucket-major order IS hash order — the [[negativeSample]] dense-index
+    * argument); per-(stratum, bucket) counts prefix-sum into offsets with
+    * a window over the COUNTS frame (≤ `buckets` rows per stratum group),
+    * and each row pays a row_number only within its (stratum, bucket)
+    * group — n_s/buckets rows, another 2^k of `buckets` away if a stratum
+    * grows. Offsets and stratum sizes are strata×buckets / strata-sized
+    * frames, broadcast back. Split boundaries are exact int64 staged
+    * divisions (`n_s·cum_ppm div 1e6`) — no fp anywhere.
+    *
+    * `weights` are ppm and must sum to exactly 1,000,000.
+    * Output: (id, stratum, split). */
+  def exactSplit(df: DataFrame, idCol: Column, strataCol: Column,
+                 weights: Seq[(String, Long)], salt: String = "xsplit",
+                 buckets: Int = 1024): DataFrame = {
+    require(weights.nonEmpty, "exactSplit: no splits given")
+    require(weights.map(_._2).sum == 1000000L,
+      s"exactSplit: ppm weights must sum to 1000000: $weights")
+    require(weights.forall(_._2 >= 0), s"exactSplit: negative weight: $weights")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"exactSplit: buckets must be a power of two: $buckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val base = df.select(idCol.as("id"), strataCol.as("stratum"))
+      .withColumn("__h",
+        Hashing.hash60(concat(lit(s"${salt}_"), col("id").cast("string"))))
+      .withColumn("__b", shiftright(col("__h"), shift))
+    val counts = base.groupBy(col("stratum"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // prefix offsets over the COUNTS frame: ≤ `buckets` rows per stratum
+    // group — bounded regardless of stratum size
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .select(col("stratum"), col("__b"),
+        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+    val sizes = base.groupBy(col("stratum")).agg(count(lit(1)).as("__n"))
+    // rank within (stratum, bucket) only — n_s/buckets rows per group
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__h").asc, col("id").asc)
+    val ranked = base
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(offsets), Seq("stratum", "__b"))
+      .join(broadcast(sizes), Seq("stratum"))
+      .withColumn("__rk", col("__off") + col("__rn") - 1)
+    val cum = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val assign = weights.init.zip(cum.init).foldLeft(
+      when(lit(false), lit(null).cast("string"))) {
+      case (acc, ((name, _), cumPpm)) =>
+        acc.when(col("__rk") < expr(s"__n * ${cumPpm}L div 1000000L"), name)
+    }.otherwise(weights.last._1)
+    ranked.select(col("id"), col("stratum"), assign.as("split"))
+  }
+
   def negativeSample(df: DataFrame, idCol: Column, k: Int,
                      buckets: Int = 1024, salt: String = "neg"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

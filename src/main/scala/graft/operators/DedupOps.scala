@@ -756,6 +756,61 @@ object DedupOps {
           .as("contam_ppm"))
   }
 
+  /** Source-overlap audit matrix — the dataset-level contamination /
+    * provenance check a corpus audit runs before mixing sources: exact
+    * pairwise shingle-set Jaccard between every pair of sources (how much
+    * of source A's distinct word-k-shingle vocabulary also appears in
+    * source B). Doc-level near-dup mining (E3/E85) answers "which
+    * documents collide"; this answers "which SOURCES overlap, and how
+    * much" — the signal that decides mixture weights and drop lists.
+    *
+    * Plan: one pass shingles and hashes every doc (the [[shingleSets]] /
+    * 60-bit-key convention — set ops compare longs, never strings), ONE
+    * exchange on the key feeds everything downstream: the (key, source)
+    * distinct, the per-source vocabulary sizes, and the key-equi
+    * SELF-join that counts shared keys per source pair are all
+    * partition-local on HashPartitioning(key) (the E93/E96
+    * single-exchange discipline; the distinct frame is checkpointed
+    * eagerly because three plan branches read it). Per-key fan-out is
+    * bounded by the number of sources carrying the key — pairs per key
+    * ≤ S², and S (corpus sources) is small by nature; there is no
+    * doc×doc term anywhere, so the plan is linear in distinct
+    * (key, source) rows at any corpus size. The complete S·(S−1)/2
+    * matrix is emitted (zero-overlap pairs included) by crossing the
+    * source-size table with itself — S rows, broadcast both sides.
+    *
+    * Jaccard lands on the exact int64 ppm grid
+    * (`n_ab·1e6 div (n_a + n_b − n_ab)` — the E87/E93 staged-division
+    * convention; both engines floor non-negative division identically).
+    * Equals string-set Jaccard up to 60-bit collisions (~n²/2^61, the
+    * [[hashedShingleSets]] bound).
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_ab, jaccard_ppm), src_a < src_b. */
+  def sourceOverlap(df: DataFrame, srcCol: Column, textCol: Column,
+                    k: Int): DataFrame = {
+    val srcKeys = shingleSets(df, srcCol, textCol, k)
+      .select(col("doc_id").as("src"), explode(col("shingles")).as("__s"))
+      .select(col("src"), Hashing.hash60(col("__s")).as("key"))
+      .repartition(col("key"))
+      // partition-local: HashPartitioning(key) co-locates (key, src)
+      .dropDuplicates("key", "src")
+      .localCheckpoint(true)
+    val sizes = srcKeys.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val shared = srcKeys.select(col("key"), col("src").as("src_a"))
+      .join(srcKeys.select(col("key"), col("src").as("src_b")), "key")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val allPairs = broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+    allPairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_ab"), lit(0L)).as("n_ab"),
+        expr("coalesce(n_ab, 0L) * 1000000 div (n_a + n_b - coalesce(n_ab, 0L))")
+          .as("jaccard_ppm"))
+  }
+
   def substringDupStatsFromCounts(counts: DataFrame,
                                   docIds: DataFrame): DataFrame = {
     // one row per (key, doc) going in, so count(*) IS the distinct-doc count

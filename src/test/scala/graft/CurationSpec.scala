@@ -582,4 +582,40 @@ class CurationSpec extends SparkSpec {
       .orderBy("anchor", "j").collect().toSeq
     assert(a === b && a.size === 400)
   }
+
+  test("exactSplit: exact per-stratum counts, matches the driver-side rank reference") {
+    // 103 rows in stratum A, 7 in B — both indivisible by the weights
+    val rows = (0L until 103L).map(i => (i, "A")) ++
+      (200L until 207L).map(i => (i, "B"))
+    val df = rows.toDF("doc_id", "src")
+    val got = CurationOps.exactSplit(df, col("doc_id"), col("src"),
+        weights = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exact counts: floor boundaries, remainder to the last split
+    val byStratum = got.groupBy(_._2).map { case (s, g) =>
+      s -> g.groupBy(_._3).map { case (sp, v) => sp -> v.size } }
+    assert(byStratum("A") === Map("train" -> 82, "val" -> 10, "test" -> 11))
+    assert(byStratum("B") === Map("train" -> 5, "val" -> 1, "test" -> 1))
+    // driver-side reference: rank by (hash60, id) within stratum
+    val ref = rows.groupBy(_._2).flatMap { case (s, g) =>
+      val ordered = g.map(_._1).sortBy(id =>
+        (graft.functions.Hashing.hash60Scalar(s"xsplit_$id"), id))
+      val n = ordered.size.toLong
+      val b1 = n * 800000L / 1000000L; val b2 = n * 900000L / 1000000L
+      ordered.zipWithIndex.map { case (id, rk) =>
+        (id, s, if (rk < b1) "train" else if (rk < b2) "val" else "test") }
+    }.toSet
+    assert(got.toSet === ref)
+  }
+
+  test("exactSplit: invariant under partitioning and bucket count") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val a = CurationOps.exactSplit(df.repartition(1), col("doc_id"), col("src"),
+        weights = Seq("train" -> 900000L, "eval" -> 100000L))
+      .orderBy("id").collect().toSeq
+    val b = CurationOps.exactSplit(df.repartition(17), col("doc_id"), col("src"),
+        weights = Seq("train" -> 900000L, "eval" -> 100000L), buckets = 8)
+      .orderBy("id").collect().toSeq
+    assert(a === b && a.size === 500)
+  }
 }

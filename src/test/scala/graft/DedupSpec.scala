@@ -419,4 +419,26 @@ class DedupSpec extends SparkSpec {
       4L -> (4L, 1), 5L -> (4L, 0),
       6L -> (6L, 1)))
   }
+
+  test("sourceOverlap: exact pairwise Jaccard, zero-overlap pairs kept, cross-doc dedup") {
+    val corpus = Seq(
+      // A: two docs sharing "one two three" (must count once in A's vocab)
+      ("A", "one two three four"),        // shingles: {one two three, two three four}
+      ("A", "one two three"),             // {one two three} — already in A
+      // B: overlaps A on "two three four" + has one private shingle
+      ("B", "two three four five"),       // {two three four, three four five}
+      // C: disjoint vocabulary
+      ("C", "alpha beta gamma delta")     // {alpha beta gamma, beta gamma delta}
+    ).toDF("source", "text")
+    val got = DedupOps.sourceOverlap(corpus, col("source"), col("text"), 3)
+      .orderBy("src_a", "src_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // vocab sizes: A=2, B=2, C=2; A∩B = {two three four} = 1
+    assert(got == Map(
+      ("A", "B") -> (2L, 2L, 1L, 1000000L / 3), // 1/(2+2-1) = 333333 ppm
+      ("A", "C") -> (2L, 2L, 0L, 0L),
+      ("B", "C") -> (2L, 2L, 0L, 0L)))
+  }
 }
