@@ -464,6 +464,14 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t40_token_spectrum" -> ((s, dir) => {
+      // E106: token-frequency spectrum — frequency-of-frequency table
+      // with hapax row and cumulative head-coverage shares, all on the
+      // exact int64 ppm grid.
+      TextOps.tokenFrequencySpectrum(documents(s, dir), col("text"))
+        .orderBy(col("f").desc)
+    }),
+
     "t16_unigram_score" -> ((s, dir) => {
       // E41 through the gate: mean corpus frequency per doc — exact
       // integer sums, one double division, emitted UNROUNDED.
@@ -1718,6 +1726,22 @@ object DQueries {
          |       WHEN rk < n * 900000 // 1000000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // twin of tokenFrequencySpectrum: same two aggregates, cumulative
+    // windows over the spectrum frame, staged ppm divisions (sums cast
+    // back to BIGINT — DuckDB widens SUM to HUGEINT)
+    "t40_token_spectrum" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS t FROM documents),
+         |tf AS (SELECT t, count(*) AS f FROM tk GROUP BY 1),
+         |sp AS (SELECT f, count(*) AS n_types FROM tf GROUP BY 1),
+         |x AS (SELECT f, n_types, f * n_types AS mass,
+         |        CAST(SUM(f * n_types) OVER () AS BIGINT) AS total,
+         |        CAST(SUM(n_types) OVER (ORDER BY f DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+         |        CAST(SUM(f * n_types) OVER (ORDER BY f DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
+         |      FROM sp)
+         |SELECT f, n_types, mass * 1000000 // total AS token_ppm, cum_types,
+         |  cum_mass * 1000000 // total AS cum_token_ppm
+         |FROM x ORDER BY f DESC""".stripMargin,
 
     // twin of TextOps.unigramScore: integer tf/total sums, one double
     // division of exact casts — matches unrounded

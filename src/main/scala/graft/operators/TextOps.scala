@@ -919,4 +919,46 @@ object TextOps {
       .select(col("id"), col("word_pos"), col("w").as("word"),
         col("bpe_tokens"))
   }
+
+  /** Token-frequency spectrum — the corpus-health diagnostic behind Zipf
+    * plots, hapax ratios, and tokenizer-vocab sizing: for each occurrence
+    * count f, how many distinct token types occur exactly f times, and
+    * what share of the corpus's token mass those types carry. The f=1 row
+    * is the hapax count (the OOV-pressure signal); the cumulative column
+    * answers "what fraction of tokens do types seen ≥ f times cover" —
+    * the head/tail split that sizes a vocabulary.
+    *
+    * Scale shape: two map-combined hash aggregates (corpus → per-type
+    * counts → frequency-of-frequency), then windows over the SPECTRUM
+    * frame only. |spectrum| = distinct occurrence counts, which is
+    * O(√total_tokens) by the partition-number bound (k distinct counts
+    * need ≥ k(k+1)/2 tokens) — ~1.4M rows even at 10¹² tokens, so the
+    * unpartitioned cumulative window is bounded by arithmetic, not by
+    * corpus size (same argument as the E90 quality-grid window).
+    *
+    * All-integer outputs on the exact ppm grid (`x·1e6 div T` — staged
+    * int64 division; cum·1e6 ≤ 10¹⁸ at a trillion tokens, no overflow).
+    * Output, ordered by f desc: (f, n_types, token_ppm, cum_types,
+    * cum_token_ppm) where cum_* accumulate from the most-frequent row
+    * down — cum_token_ppm at row f = share of tokens covered by types
+    * with frequency ≥ f (reaches 1e6 at f=1). */
+  def tokenFrequencySpectrum(df: DataFrame, textCol: Column): DataFrame = {
+    val tf = df.select(explode(tokens(textCol)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val spec = tf.groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    spec
+      .withColumn("__mass", col("f") * col("n_types"))
+      .withColumn("__total", sum(col("__mass")).over(wAll))
+      .withColumn("__cum_mass", sum(col("__mass")).over(wCum))
+      .select(col("f"), col("n_types"),
+        expr("__mass * 1000000 div __total").as("token_ppm"),
+        sum(col("n_types")).over(wCum).as("cum_types"),
+        expr("__cum_mass * 1000000 div __total").as("cum_token_ppm"))
+  }
 }

@@ -420,6 +420,19 @@ class DedupSpec extends SparkSpec {
       6L -> (6L, 1)))
   }
 
+  test("tokenFrequencySpectrum: hapax row, cumulative coverage reaches 1e6") {
+    val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // f(a)=3, f(b)=2, f(c)=1; total mass 6
+    val got = TextOps.tokenFrequencySpectrum(corpus, col("text"))
+      .orderBy(col("f").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (3L, 1L, 500000L, 1L, 500000L),   // 3·1e6 div 6
+      (2L, 1L, 333333L, 2L, 833333L),   // 2/6; cum 5/6
+      (1L, 1L, 166666L, 3L, 1000000L))) // hapax; full coverage
+  }
+
   test("sourceOverlap: exact pairwise Jaccard, zero-overlap pairs kept, cross-doc dedup") {
     val corpus = Seq(
       // A: two docs sharing "one two three" (must count once in A's vocab)
