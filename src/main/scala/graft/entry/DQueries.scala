@@ -135,6 +135,15 @@ object DQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    "d17_containment" -> ((s, dir) => {
+      // E107: asymmetric-containment pairs — the quote/subset dups that
+      // Jaccard LSH structurally misses; exact inverted-index
+      // intersections on 60-bit keys, df-pruned at 500, 0.6 threshold.
+      DedupOps.containmentPairs(documents(s, dir), col("doc_id"),
+          col("text"), k = 3, thresholdPpm = 600000L, maxDf = 500L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "d07_decontam" -> ((s, dir) => {
       // E30 through the gate: docs sharing any 5-gram with the doc_id<20
       // "benchmark" slice — semi-join on portable 60-bit gram hashes.
@@ -1225,6 +1234,30 @@ object DQueries {
          |    // (ap.n_a + ap.n_b - COALESCE(p.n_ab, 0)) AS jaccard_ppm
          |FROM ap LEFT JOIN p USING (src_a, src_b)
          |ORDER BY src_a, src_b""".stripMargin,
+
+    // twin of containmentPairs(k=3, 0.6, maxDf=500): same pruned key
+    // universe (both |∩| and |S_a| count only df<=500 keys), unordered
+    // intersections fanned out to the ordered rows that pass
+    "d17_containment" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT DISTINCT doc_id, ${h60Sql("sg")} AS k
+         |      FROM (SELECT doc_id, unnest(s) AS sg FROM sh)),
+         |dfk AS (SELECT k, count(*) AS dfc FROM e GROUP BY 1),
+         |kept AS (SELECT e.doc_id, e.k FROM e JOIN dfk USING (k) WHERE dfc <= 500),
+         |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc
+         |      FROM kept a JOIN kept b ON a.k = b.k AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |s2 AS (SELECT i.da, i.db, i.nc, x.n AS na, y.n AS nb FROM i
+         |       JOIN sz x ON x.doc_id = i.da JOIN sz y ON y.doc_id = i.db),
+         |u AS (
+         |  SELECT da AS doc_a, db AS doc_b, nc AS n_common, na AS n_keys_a,
+         |    nc * 1000000 // na AS containment_ppm FROM s2
+         |  UNION ALL
+         |  SELECT db, da, nc, nb, nc * 1000000 // nb FROM s2)
+         |SELECT doc_a, doc_b, n_common, n_keys_a, containment_ppm
+         |FROM u WHERE containment_ppm >= 600000
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),

@@ -811,6 +811,76 @@ object DedupOps {
           .as("jaccard_ppm"))
   }
 
+  /** Containment (asymmetric-Jaccard) pairs — the dedup signal MinHash
+    * LSH structurally misses: a short document quoted verbatim inside a
+    * long one has containment |S_a∩S_b|/|S_a| = 1 but Jaccard
+    * |∩|/|∪| ≈ |S_a|/|S_b| → 0, so no Jaccard threshold catches it
+    * ([[minhashLshPairs]]'s banding is calibrated to Jaccard). This
+    * operator finds every ORDERED pair (a, b) with containment of a's
+    * shingle set inside b's ≥ `thresholdPpm` — quote/subset detection,
+    * the "is this doc already inside the corpus as part of a larger
+    * page" question.
+    *
+    * Plan: inverted index, not signatures — exact intersections come from
+    * the key-equi self-join of the distinct (doc, 60-bit shingle key)
+    * table, counted per pair (`groupBy(a, b).count` IS |S_a∩S_b| because
+    * rows are distinct per doc). ONE exchange on the key feeds the
+    * distinct, the per-key doc frequencies, the df-prune join, and the
+    * pair self-join (all partition-local on HashPartitioning(key) — the
+    * E93/E104 discipline). The df-prune is the scale bound: keys carried
+    * by more than `maxDf` docs are dropped BEFORE pairing, capping
+    * per-key fan-out at maxDf² (the standard inverted-index bound; a
+    * boilerplate key shared by a million docs would otherwise emit 10¹²
+    * pairs). Pruning changes the semantics deterministically — both
+    * |∩| and |S_a| count ONLY keys with df ≤ maxDf (the E52 sparse-cosine
+    * maxDf convention; high-df keys carry no containment signal, they
+    * are corpus-wide boilerplate by definition) — and the oracle twin
+    * replays the same pruned universe. Unordered intersections are
+    * computed once (a < b) and fan out to the ordered rows that pass.
+    *
+    * Containment lands on the exact int64 ppm grid
+    * (`n_common·1e6 div n_keys` — staged division, portable). Docs whose
+    * every key was pruned (or with < k tokens) have no kept keys and
+    * emit nothing — containment over an empty set is undefined, not 1.
+    *
+    * Output: (doc_a, doc_b, n_common, n_keys_a, containment_ppm) for
+    * ordered pairs where doc_a's kept keys sit inside doc_b's at ≥ the
+    * threshold. */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                       k: Int, thresholdPpm: Long,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [0, 1e6]: $thresholdPpm")
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val keys = shingleSets(df, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("shingles")).as("__s"))
+      .select(col("doc_id"), Hashing.hash60(col("__s")).as("key"))
+      .repartition(col("key"))
+      .dropDuplicates("key", "doc_id")
+    val dfk = keys.groupBy(col("key")).agg(count(lit(1)).as("__df"))
+    val kept = keys.join(dfk, Seq("key")).filter(col("__df") <= maxDf)
+      .select(col("key"), col("doc_id"))
+      .localCheckpoint(true)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val inter = kept.select(col("key"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("key"), col("doc_id").as("doc_b")), "key")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sized = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__sz").as("__sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__sz").as("__sz_b")),
+        "doc_b")
+    val fwd = sized.select(col("doc_a"), col("doc_b"), col("n_common"),
+      col("__sz_a").as("n_keys_a"),
+      expr("n_common * 1000000 div __sz_a").as("containment_ppm"))
+    val rev = sized.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+      col("n_common"), col("__sz_b").as("n_keys_a"),
+      expr("n_common * 1000000 div __sz_b").as("containment_ppm"))
+    fwd.unionByName(rev).filter(col("containment_ppm") >= thresholdPpm)
+  }
+
   def substringDupStatsFromCounts(counts: DataFrame,
                                   docIds: DataFrame): DataFrame = {
     // one row per (key, doc) going in, so count(*) IS the distinct-doc count

@@ -420,6 +420,44 @@ class DedupSpec extends SparkSpec {
       6L -> (6L, 1)))
   }
 
+  test("containmentPairs: subset doc scores 1.0 one way, Jaccard-invisible") {
+    val corpus = Seq(
+      (1L, "one two three four five"),                 // 3 shingles, all in doc 2
+      (2L, "zero one two three four five six"),        // 5 shingles
+      (3L, "alpha beta gamma delta")                   // disjoint
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(corpus, col("doc_id"), col("text"),
+        k = 3, thresholdPpm = 700000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 1-in-2 containment = 3/3 = 1.0; 2-in-1 = 3/5 = 0.6 < 0.7 cut;
+    // Jaccard(1,2) = 3/5 — a 0.7 Jaccard threshold would see nothing
+    assert(got.toSeq === Seq((1L, 2L, 3L, 3L, 1000000L)))
+    val both = DedupOps.containmentPairs(corpus, col("doc_id"), col("text"),
+        k = 3, thresholdPpm = 600000L)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(both.toSeq === Seq((1L, 2L, 1000000L), (2L, 1L, 600000L)))
+  }
+
+  test("containmentPairs: maxDf prunes boilerplate keys from both counts") {
+    val corpus = Seq(
+      (1L, "common phrase here aaa bbb ccc"),
+      (2L, "common phrase here ddd eee fff"),
+      (3L, "common phrase here ggg hhh iii")
+    ).toDF("doc_id", "text")
+    // every doc shares exactly "common phrase here" (df=3); all other
+    // shingles are private. Unpruned, each pair intersects on that one key:
+    val loose = DedupOps.containmentPairs(corpus, col("doc_id"), col("text"),
+        k = 3, thresholdPpm = 0L).collect()
+    assert(loose.length === 6 && loose.forall(_.getLong(2) == 1L))
+    // with maxDf=2 the df=3 key is pruned from intersections AND sizes —
+    // nothing intersects, no pair survives even a zero threshold
+    val pruned = DedupOps.containmentPairs(corpus, col("doc_id"), col("text"),
+        k = 3, thresholdPpm = 0L, maxDf = 2L).collect()
+    assert(pruned.isEmpty)
+  }
+
   test("tokenFrequencySpectrum: hapax row, cumulative coverage reaches 1e6") {
     val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     // f(a)=3, f(b)=2, f(c)=1; total mass 6
