@@ -481,6 +481,19 @@ object DQueries {
         .orderBy(col("f").desc)
     }),
 
+    "t41_lr_quality" -> ((s, dir) => {
+      // E108: distributed logistic regression (full-batch GD, 6 rounds,
+      // lr 0.01) predicting lang='en' from three small-integer doc
+      // features; micro-grid weights, exact integer gradient sums.
+      AnalyticsOps.logisticScores(documents(s, dir), col("doc_id"),
+          Seq(expr("length(text) div 100"),
+            expr("size(split(trim(text), '\\\\s+')) div 10"),
+            expr("length(regexp_replace(text, '[A-Za-z0-9\\\\s]', '')) div 10")),
+          col("lang") === "en", rounds = 6, lrPpm = 10000L)
+        .select(col("id").as("doc_id"), col("y"), col("p_micro"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
     "t16_unigram_score" -> ((s, dir) => {
       // E41 through the gate: mean corpus frequency per doc — exact
       // integer sums, one double division, emitted UNROUNDED.
@@ -847,6 +860,44 @@ object DQueries {
        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, ${rndSql("jc")} AS jaccard FROM j
        |WHERE jc >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Unrolled logistic-GD rounds (t41 twin): per round k, the four
+    * micro-quantized gradient sums over the feature frame (g_k) and the
+    * floor-div weight update (w_k) — DuckDB `//` floors exactly like the
+    * operator's BigInt driver arithmetic (Spark's `div` truncates and
+    * would differ one micro on negative gradients). z accumulates
+    * left-to-right in feature order, matching the operator's reduceLeft. */
+  private val lrOracle: String = {
+    val lr = 10000L; val rounds = 6
+    def z(w: String) =
+      s"($w.w0/1000000.0 + $w.w1/1000000.0*x1 + $w.w2/1000000.0*x2 + $w.w3/1000000.0*x3)"
+    def p(w: String) = s"(1.0/(1.0 + exp(-${z(w)})))"
+    val feats = Seq("1.0", "x1", "x2", "x3")
+    val roundCtes = (1 to rounds).map { k =>
+      val wp = s"w${k - 1}"
+      val gs = feats.zipWithIndex.map { case (x, i) =>
+        s"SUM(CAST(round((${p(wp)} - y) * $x * 1000000.0) AS BIGINT)) AS g$i"
+      }.mkString(", ")
+      val upd = (0 to 3).map { i =>
+        s"CAST($wp.w$i - ($lr * g$k.g$i) // (nn.n * 1000000) AS BIGINT) AS w$i"
+      }.mkString(", ")
+      s"g$k AS (SELECT $gs FROM f CROSS JOIN $wp), " +
+        s"w$k AS (SELECT $upd FROM $wp CROSS JOIN g$k CROSS JOIN nn)"
+    }.mkString(", ")
+    "WITH f AS (" +
+      "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
+      "CAST(length(text) // 100 AS DOUBLE) AS x1, " +
+      s"CAST(len($toksSql) // 10 AS DOUBLE) AS x2, " +
+      "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) // 10 AS DOUBLE) AS x3 " +
+      "FROM documents), " +
+      "nn AS (SELECT count(*) AS n FROM f), " +
+      "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+      "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3), " +
+      roundCtes + " " +
+      s"SELECT doc_id, y, CAST(round(${p(s"w$rounds")} * 1000000.0) AS BIGINT) AS p_micro, " +
+      s"CASE WHEN CAST(round(${p(s"w$rounds")} * 1000000.0) AS BIGINT) >= 500000 THEN 1 ELSE 0 END AS pred " +
+      s"FROM f CROSS JOIN w$rounds ORDER BY doc_id"
+  }
 
   /** Unrolled BPE training rounds (t36/t38 twins): w_0 is the
     * delimiter-encoded word-freq table; per round k, pair counts (p/c),
@@ -1759,6 +1810,8 @@ object DQueries {
          |       WHEN rk < n * 900000 // 1000000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t41_lr_quality" -> lrOracle,
 
     // twin of tokenFrequencySpectrum: same two aggregates, cumulative
     // windows over the spectrum frame, staged ppm divisions (sums cast

@@ -676,4 +676,102 @@ object AnalyticsOps {
             / (col("n_a").cast("double") * col("n_b")) * lit(10000.0))
           / lit(10000.0) as "lift")
   }
+
+  /** Distributed logistic regression by full-batch gradient descent — the
+    * quality-classifier training loop (fastText-style doc filters, CCNet's
+    * "looks like Wikipedia" gate) as an engine operator, bit-reproducible
+    * across engines. Each round is ONE map-combined hash aggregate over
+    * the corpus (d+1 gradient sums) + a 1-row driver collect and weight
+    * update (bounded driver work — the PageRank node-count / BPE argmax
+    * convention); `rounds` rounds = `rounds` linear passes, no per-round
+    * corpus rewrite, no driver-side feature rows. 100 TB trains at the
+    * cost of `rounds` scans.
+    *
+    * Numeric discipline (the t37/E101 conventions, extended): weights
+    * live on the int64 MICRO grid; each row's gradient contribution
+    * `(p − y)·x_i` quantizes to micro BEFORE summing, so the sums are
+    * exact integers — order-independent and engine-portable. The sums
+    * accumulate in DECIMAL(38,0) (at 10¹² rows an int64 gradient sum
+    * can overflow; DuckDB widens to HUGEINT on its own), and the update
+    * divides with FLOOR semantics via BigInt driver arithmetic —
+    * matching DuckDB's `//` (Spark's integer `div` truncates toward
+    * zero and would disagree one micro on negative gradients, the t37
+    * division lesson). The per-row sigmoid uses libm `exp` (≤1 ulp
+    * across engines — flips a rounded micro only on a measure-zero
+    * boundary set, the decayedAgg/t37 argument). z accumulates
+    * left-to-right in the feature order, both engines.
+    *
+    * Features should be small-magnitude integers (casts to double are
+    * then exact); the caller owns feature scaling — big features slow
+    * convergence and widen the gradient grid, same as any GD.
+    *
+    * Output: (id, y, p_micro, pred) for every input row, scored with the
+    * final-round weights; `weightsMicro` exposes the trained vector
+    * (bias first) for persisting as a model artifact. */
+  def logisticScores(df: DataFrame, idCol: Column, features: Seq[Column],
+                     labelCol: Column, rounds: Int,
+                     lrPpm: Long): DataFrame = {
+    require(features.nonEmpty, "logisticScores: no features")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(lrPpm >= 1, s"lrPpm must be >= 1: $lrPpm")
+    val d = features.size
+    val base = df.select(
+      Seq(idCol.as("id"), labelCol.cast("int").as("y")) ++
+        features.zipWithIndex.map { case (f, i) =>
+          f.cast("double").as(s"x$i") }: _*)
+      .localCheckpoint(true) // rounds+1 consumers of the feature projection
+    val n = base.count()
+    require(n >= 1, "logisticScores: empty input")
+    val w = trainWeights(base, d, n, rounds, lrPpm)
+    base.select(col("id"), col("y"),
+      round(prob(w, d) * lit(1000000.0)).cast("long").as("p_micro"))
+      .withColumn("pred", (col("p_micro") >= 500000L).cast("int"))
+  }
+
+  /** Trained weight vector (micro grid, bias first) — the model artifact. */
+  def logisticWeightsMicro(df: DataFrame, features: Seq[Column],
+                           labelCol: Column, rounds: Int,
+                           lrPpm: Long): Array[Long] = {
+    val d = features.size
+    val base = df.select(
+      Seq(labelCol.cast("int").as("y")) ++
+        features.zipWithIndex.map { case (f, i) =>
+          f.cast("double").as(s"x$i") }: _*)
+      .localCheckpoint(true)
+    trainWeights(base, d, base.count(), rounds, lrPpm)
+  }
+
+  /** z = w0 + Σ wᵢ·x_{i-1}, left-to-right, weights as exact double
+    * literals off the micro grid; p = 1/(1+exp(−z)). */
+  private def prob(w: Array[Long], d: Int): Column = {
+    val z = (0 to d).map { i =>
+      val wd = lit(w(i).toDouble / 1000000.0)
+      if (i == 0) wd else wd * col(s"x${i - 1}")
+    }.reduceLeft(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  private def trainWeights(base: DataFrame, d: Int, n: Long, rounds: Int,
+                           lrPpm: Long): Array[Long] = {
+    var w = Array.fill(d + 1)(0L)
+    def floorDivBig(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q
+    }
+    for (_ <- 0 until rounds) {
+      val p = prob(w, d)
+      val aggs = (0 to d).map { i =>
+        val xi = if (i == 0) lit(1.0) else col(s"x${i - 1}")
+        sum(round((p - col("y")) * xi * lit(1000000.0)).cast("long")
+          .cast("decimal(38,0)")).as(s"g$i")
+      }
+      val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+      w = w.zipWithIndex.map { case (wm, i) =>
+        val g = BigInt(row.getDecimal(i).toBigInteger)
+        wm - floorDivBig(BigInt(lrPpm) * g,
+          BigInt(n) * BigInt(1000000L)).toLong
+      }
+    }
+    w
+  }
 }

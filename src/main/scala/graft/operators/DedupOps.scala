@@ -787,14 +787,29 @@ object DedupOps {
     *
     * Output: (src_a, src_b, n_a, n_b, n_ab, jaccard_ppm), src_a < src_b. */
   def sourceOverlap(df: DataFrame, srcCol: Column, textCol: Column,
-                    k: Int): DataFrame = {
-    val srcKeys = shingleSets(df, srcCol, textCol, k)
+                    k: Int): DataFrame =
+    sourceOverlapFromKeys(sourceKeySet(df, srcCol, textCol, k)
+      .localCheckpoint(true))
+
+  /** Distinct (key, src) partial of [[sourceOverlap]] — the state a
+    * streaming monitor maintains: per-trigger key sets union into the
+    * running state with a dropDuplicates (set union is the one
+    * idempotent merge — re-delivered rows are absorbed, unlike the
+    * additive-count monitors E86/E87/E96), and the report recomputes
+    * from state per trigger. Proven batch-equal in StreamingSpec.
+    * Output partitioning is HashPartitioning(key). */
+  def sourceKeySet(df: DataFrame, srcCol: Column, textCol: Column,
+                   k: Int): DataFrame =
+    shingleSets(df, srcCol, textCol, k)
       .select(col("doc_id").as("src"), explode(col("shingles")).as("__s"))
       .select(col("src"), Hashing.hash60(col("__s")).as("key"))
       .repartition(col("key"))
       // partition-local: HashPartitioning(key) co-locates (key, src)
       .dropDuplicates("key", "src")
-      .localCheckpoint(true)
+
+  /** Report stage of [[sourceOverlap]] over a distinct (key, src) table
+    * (three plan branches read it — callers materialize it first). */
+  def sourceOverlapFromKeys(srcKeys: DataFrame): DataFrame = {
     val sizes = srcKeys.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val shared = srcKeys.select(col("key"), col("src").as("src_a"))
       .join(srcKeys.select(col("key"), col("src").as("src_b")), "key")
@@ -848,15 +863,29 @@ object DedupOps {
     * threshold. */
   def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
                        k: Int, thresholdPpm: Long,
-                       maxDf: Long = Long.MaxValue): DataFrame = {
-    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
-      s"thresholdPpm must be in [0, 1e6]: $thresholdPpm")
-    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
-    val keys = shingleSets(df, idCol, textCol, k)
+                       maxDf: Long = Long.MaxValue): DataFrame =
+    containmentFromKeys(docKeySet(df, idCol, textCol, k), thresholdPpm, maxDf)
+
+  /** Distinct (key, doc_id) partial of [[containmentPairs]] — the same
+    * set-union streaming state as [[sourceKeySet]] (df-pruning is NOT
+    * additive — a key's document frequency grows as the corpus does, so
+    * the prune must re-run in the report, over state). Output
+    * partitioning is HashPartitioning(key). */
+  def docKeySet(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int): DataFrame =
+    shingleSets(df, idCol, textCol, k)
       .select(col("doc_id"), explode(col("shingles")).as("__s"))
       .select(col("doc_id"), Hashing.hash60(col("__s")).as("key"))
       .repartition(col("key"))
       .dropDuplicates("key", "doc_id")
+
+  /** Report stage of [[containmentPairs]] over a distinct (key, doc_id)
+    * table. */
+  def containmentFromKeys(keys: DataFrame, thresholdPpm: Long,
+                          maxDf: Long = Long.MaxValue): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [0, 1e6]: $thresholdPpm")
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val dfk = keys.groupBy(col("key")).agg(count(lit(1)).as("__df"))
     val kept = keys.join(dfk, Seq("key")).filter(col("__df") <= maxDf)
       .select(col("key"), col("doc_id"))

@@ -601,4 +601,47 @@ class AnalyticsSpec extends SparkSpec {
       col("b"), col("i")).orderBy("item_a", "item_b").collect().toSeq
     assert(a === c && a.nonEmpty)
   }
+
+  test("logisticScores matches the driver-side micro-grid GD reference") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = Seq(
+      (0L, 1, 3.0, 0.0), (1L, 1, 2.0, 1.0), (2L, 0, 0.0, 3.0),
+      (3L, 0, 1.0, 2.0), (4L, 1, 4.0, 1.0), (5L, 0, 0.0, 4.0))
+    val df = rows.toDF("id", "y", "a", "b")
+    val rounds = 5; val lrPpm = 200000L
+    // reference: same micro quantization (HALF_UP away from zero, the
+    // Spark round), same floor-div update, same left-to-right z
+    def roundMicro(v: Double): Long =
+      new JBD(v).setScale(0, RoundingMode.HALF_UP).longValue
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b; if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q
+    }
+    var w = Array(0L, 0L, 0L)
+    def p(x1: Double, x2: Double): Double = {
+      val z = w(0).toDouble / 1e6 + w(1).toDouble / 1e6 * x1 +
+        w(2).toDouble / 1e6 * x2
+      1.0 / (1.0 + math.exp(-z))
+    }
+    for (_ <- 0 until rounds) {
+      val g = Array.fill(3)(BigInt(0))
+      rows.foreach { case (_, y, x1, x2) =>
+        val pr = p(x1, x2)
+        g(0) += BigInt(roundMicro((pr - y) * 1.0 * 1e6))
+        g(1) += BigInt(roundMicro((pr - y) * x1 * 1e6))
+        g(2) += BigInt(roundMicro((pr - y) * x2 * 1e6))
+      }
+      w = w.zipWithIndex.map { case (wm, i) =>
+        wm - floorDiv(BigInt(lrPpm) * g(i), BigInt(rows.size) * BigInt(1000000L)).toLong }
+    }
+    val want = rows.map { case (id, y, x1, x2) =>
+      val pm = roundMicro(p(x1, x2) * 1e6)
+      (id, y, pm, if (pm >= 500000L) 1 else 0) }.toSet
+    val got = AnalyticsOps.logisticScores(df, col("id"),
+        Seq(col("a"), col("b")), col("y"), rounds, lrPpm)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got === want)
+    // the fixture is separable on a - b; trained preds recover the labels
+    assert(got.forall { case (_, y, _, pred) => pred == y })
+  }
 }

@@ -540,4 +540,71 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed === batchAll)
     } finally q.stop()
   }
+
+  test("sourceOverlap as a foreachBatch monitor: set-union key state equals the batch matrix") {
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    // monitor state: the distinct (key, src) SET — union + dropDuplicates
+    // is idempotent, so re-delivered docs are absorbed (unlike the
+    // additive-count monitors, where a replay would double-count)
+    var keys = Seq.empty[(String, Long)].toDF("src", "key")
+    val q = mem.toDF().toDF("src", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = DedupOps.sourceKeySet(batch, $"src", $"text", k = 3)
+        keys = keys.union(partial).dropDuplicates("key", "src")
+          .localCheckpoint(true)
+      }.start()
+    try {
+      // source A's vocabulary arrives across two triggers; the second
+      // trigger re-delivers A's first doc (idempotence) and introduces B
+      mem.addData(("A", "one two three four"))
+      q.processAllAvailable()
+      mem.addData(("A", "one two three four"), ("A", "one two three"),
+        ("B", "two three four five"), ("C", "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val streamed = DedupOps.sourceOverlapFromKeys(keys)
+        .orderBy("src_a", "src_b").collect().map(_.toString).toSeq
+      val batchAll = DedupOps.sourceOverlap(
+          Seq(("A", "one two three four"), ("A", "one two three"),
+            ("B", "two three four five"), ("C", "alpha beta gamma delta"))
+            .toDF("src", "text"),
+          $"src", $"text", k = 3)
+        .orderBy("src_a", "src_b").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batchAll)
+    } finally q.stop()
+  }
+
+  test("containmentPairs as a foreachBatch monitor: df-prune re-runs over state") {
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var keys = Seq.empty[(Long, Long)].toDF("doc_id", "key")
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = DedupOps.docKeySet(batch, $"doc_id", $"text", k = 3)
+        keys = keys.union(partial).dropDuplicates("key", "doc_id")
+          .localCheckpoint(true)
+      }.start()
+    try {
+      // doc 1 is a subset of doc 2, which arrives a trigger later — a
+      // per-batch-only report could never pair them; df counts (and any
+      // maxDf prune) recompute over the merged state, not per batch
+      mem.addData((1L, "one two three four five"))
+      q.processAllAvailable()
+      mem.addData((2L, "zero one two three four five six"),
+        (3L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val streamed = DedupOps.containmentFromKeys(keys,
+          thresholdPpm = 600000L)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      val batchAll = DedupOps.containmentPairs(
+          Seq((1L, "one two three four five"),
+            (2L, "zero one two three four five six"),
+            (3L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+          $"doc_id", $"text", k = 3, thresholdPpm = 600000L)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batchAll)
+    } finally q.stop()
+  }
 }
