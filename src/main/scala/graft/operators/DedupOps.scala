@@ -800,10 +800,7 @@ object DedupOps {
     * Output partitioning is HashPartitioning(key). */
   def sourceKeySet(df: DataFrame, srcCol: Column, textCol: Column,
                    k: Int): DataFrame =
-    shingleSets(df, srcCol, textCol, k)
-      .select(col("doc_id").as("src"), explode(col("shingles")).as("__s"))
-      .select(col("src"), Hashing.hash60(col("__s")).as("key"))
-      .repartition(col("key"))
+    explodedShingleKeys(df, srcCol, textCol, k, "src")
       // partition-local: HashPartitioning(key) co-locates (key, src)
       .dropDuplicates("key", "src")
 
@@ -873,11 +870,32 @@ object DedupOps {
     * partitioning is HashPartitioning(key). */
   def docKeySet(df: DataFrame, idCol: Column, textCol: Column,
                 k: Int): DataFrame =
-    shingleSets(df, idCol, textCol, k)
-      .select(col("doc_id"), explode(col("shingles")).as("__s"))
-      .select(col("doc_id"), Hashing.hash60(col("__s")).as("key"))
-      .repartition(col("key"))
+    explodedShingleKeys(df, idCol, textCol, k, "doc_id")
       .dropDuplicates("key", "doc_id")
+
+  /** (owner, key) stream of hashed word-k-shingles, duplicates INCLUDED —
+    * the exploded feeder for the distinct key-set operators. Deliberately
+    * NOT [[shingleSets]]: exploding the array_distinct'd array is a
+    * measured 25× per-row-cost trap — `InferFiltersFromGenerate` inlines
+    * the whole generator-input expression into a scan-side filter
+    * (evaluating it twice more per row), predicate pushdown slides that
+    * filter below any parallelizing exchange, and `array_distinct` is the
+    * dominant interpreted term (14 s vs 0.6 s over sf0.1 documents for
+    * the identical downstream). The per-doc distinct here is redundant
+    * anyway: every consumer immediately `dropDuplicates` on
+    * (key, owner), which dedups within-doc repeats partition-locally on
+    * the same exchange the plan needs regardless. [[Par.ensure]] spreads
+    * the residual tokenizer/concat cost when the input arrives
+    * under-split (it must wrap the SOURCE, below the inferred filter). */
+  private def explodedShingleKeys(df: DataFrame, ownerCol: Column,
+                                  textCol: Column, k: Int,
+                                  ownerName: String): DataFrame =
+    Par.ensure(df)
+      .select(ownerCol.as(ownerName), TextOps.tokens(textCol).as("__w"))
+      .select(col(ownerName),
+        explode(TextOps.allShinglesOfTokens(col("__w"), k)).as("__s"))
+      .select(col(ownerName), Hashing.hash60(col("__s")).as("key"))
+      .repartition(col("key"))
 
   /** Report stage of [[containmentPairs]] over a distinct (key, doc_id)
     * table. */
