@@ -31,14 +31,19 @@ object DedupOps {
     * `doc_id`s. */
   def decontaminate(corpus: DataFrame, idCol: Column, textCol: Column,
                     bench: DataFrame, benchTextCol: Column, k: Int): DataFrame = {
-    val cg = corpus
+    // allShingles, NOT shinglesOfTokens: per-doc distinctness is
+    // semantically irrelevant here (semi-join + distinct doc_id), and
+    // exploding the array_distinct'd array hits the measured
+    // InferFiltersFromGenerate triple-evaluation trap (see
+    // explodedShingleKeys) — the bench side distincts on hashes anyway
+    val cg = Par.ensure(corpus)
       .select(idCol.as("doc_id"), TextOps.tokens(textCol).as("__toks"))
       .select(col("doc_id"),
-        explode(TextOps.shinglesOfTokens(col("__toks"), k)).as("__g"))
+        explode(TextOps.allShinglesOfTokens(col("__toks"), k)).as("__g"))
       .select(col("doc_id"), Hashing.hash60(col("__g")).as("gram_h"))
-    val bg = bench
+    val bg = Par.ensure(bench)
       .select(TextOps.tokens(benchTextCol).as("__toks"))
-      .select(explode(TextOps.shinglesOfTokens(col("__toks"), k)).as("__g"))
+      .select(explode(TextOps.allShinglesOfTokens(col("__toks"), k)).as("__g"))
       .select(Hashing.hash60(col("__g")).as("gram_h"))
       .distinct()
     cg.join(bg, Seq("gram_h"), "left_semi").select("doc_id").distinct()
