@@ -677,6 +677,51 @@ object AnalyticsOps {
           / lit(10000.0) as "lift")
   }
 
+  /** Per-key HLL distinct-count sketches — the MERGEABLE form of
+    * [[approxDistinctCount]], for when the answer has to update without
+    * rescanning history: approx_count_distinct collapses to a number at
+    * aggregation time, but a 100 TB pipeline wants the sketch ITSELF as
+    * the artifact — built per shard / per micro-batch / per partition-day,
+    * persisted, and unioned at read time ([[hllMergeSketches]]), with new
+    * data folded in by another union instead of a rescan. Fixed-size
+    * state (2^lgK registers per key), map-side combined, Datasketches
+    * wire format (readable outside Spark).
+    *
+    * Honest accuracy contract (asserted, not hidden, in AnalyticsSpec):
+    * estimates are set-semantic approximations. Below the sketch's exact
+    * list/set threshold they EQUAL the precise distinct count and merge
+    * exactly in any order (the streaming-monitor equality StreamingSpec
+    * pins). Past it, a single-pass build reads through the HIP estimator
+    * while merges read through the composite estimator, and the merge
+    * ORDER perturbs how list-mode items fold into dense registers — so
+    * one-pass, merge, and re-ordered merge may each differ by a fraction
+    * of the configured error (all within it; lgK sizes the error,
+    * 1.04/√2^lgK relative). Pipelines that need bit-identical re-runs
+    * fix the shard list and fold order — both deterministic here — or
+    * stay on [[approxDistinctCount]] for one-shot answers. No DuckDB
+    * twin: the oracle engine's HLL is a different implementation;
+    * correctness is spec-gated like the sinks (A27-A30 precedent). */
+  def hllSketches(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"))
+
+  /** Union independently built sketch tables (same lgK) by key — the
+    * shard/micro-batch merge law: estimates after merge equal a single
+    * build over the union of the inputs. */
+  def hllMergeSketches(keyNames: Seq[String],
+                       sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "hllMergeSketches: nothing to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(keyNames.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+  }
+
+  /** Readout: (keys..., uniq) long estimates from a sketch table. */
+  def hllEstimates(sketches: DataFrame): DataFrame =
+    sketches.withColumn("uniq", hll_sketch_estimate(col("sketch")))
+      .drop("sketch")
+
   /** Distributed logistic regression by full-batch gradient descent — the
     * quality-classifier training loop (fastText-style doc filters, CCNet's
     * "looks like Wikipedia" gate) as an engine operator, bit-reproducible

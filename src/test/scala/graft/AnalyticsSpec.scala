@@ -602,6 +602,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === c && a.nonEmpty)
   }
 
+  test("hllSketches: merge of any shard split equals the one-pass build; small sets exact") {
+    // small cardinalities sit in the sketch's exact (list/set) mode
+    val small = (0L until 300L).map(i => (s"k${i % 3}", i % 40)).toDF("k", "v")
+    val smallEst = AnalyticsOps.hllEstimates(
+        AnalyticsOps.hllSketches(small, Seq(col("k")), col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = small.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(smallEst === exact)
+    // big enough to leave exact mode: estimates are approximate but the
+    // merge law below must still hold EXACTLY (set semantics)
+    val df = (0L until 3000L).map(i => (s"k${i % 3}", i % 700)).toDF("k", "v")
+    val whole = AnalyticsOps.hllEstimates(
+        AnalyticsOps.hllSketches(df, Seq(col("k")), col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxOk = whole.forall { case (k, est) => math.abs(est - 700L) <= 35L }
+    assert(approxOk, s"estimates off: $whole")
+    // merge law: estimates of a shard-merge are within the sketch error
+    // of the truth (HIP vs composite estimator: merged and one-pass can
+    // differ slightly past exact mode — both must stay in bounds) and
+    // merge ORDER is irrelevant
+    val shards = Seq(
+      df.filter(col("v") % 3 === 0), df.filter(col("v") % 3 === 1),
+      df.filter(col("v") % 3 === 2))
+      .map(s => AnalyticsOps.hllSketches(s, Seq(col("k")), col("v"))
+        .localCheckpoint(true))
+    val merged = AnalyticsOps.hllEstimates(
+        AnalyticsOps.hllMergeSketches(Seq("k"), shards: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.forall { case (_, est) => math.abs(est - 700L) <= 35L },
+      s"merged estimates off: $merged")
+    val mergedRev = AnalyticsOps.hllEstimates(
+        AnalyticsOps.hllMergeSketches(Seq("k"), shards.reverse: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedRev.forall { case (_, est) => math.abs(est - 700L) <= 35L },
+      s"reverse-merge estimates off: $mergedRev")
+  }
+
   test("logisticScores matches the driver-side micro-grid GD reference") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val rows = Seq(

@@ -541,6 +541,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hll sketches as a foreachBatch monitor: per-trigger unions equal the batch estimates") {
+    import graft.operators.AnalyticsOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    // monitor state: the sketch TABLE — per-trigger sketches fold in by
+    // hll_union_agg; re-delivered values are absorbed (set semantics),
+    // and history is never rescanned
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = AnalyticsOps.hllSketches(batch, Seq($"k"), $"v")
+        state = (if (state == null) part
+          else AnalyticsOps.hllMergeSketches(Seq("k"), state, part))
+          .localCheckpoint(true)
+      }.start()
+    try {
+      mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      mem.addData(("a", 2L), ("a", 3L), ("b", 10L), ("b", 11L))
+      q.processAllAvailable()
+      val streamed = AnalyticsOps.hllEstimates(state)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchAll = AnalyticsOps.hllEstimates(AnalyticsOps.hllSketches(
+          Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("b", 10L),
+            ("b", 10L), ("b", 11L)).toDF("k", "v"),
+          Seq($"k"), $"v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === Map("a" -> 3L, "b" -> 2L) && streamed === batchAll)
+    } finally q.stop()
+  }
+
   test("sourceOverlap as a foreachBatch monitor: set-union key state equals the batch matrix") {
     import graft.operators.DedupOps
     implicit val sqlCtx = spark.sqlContext
