@@ -193,6 +193,17 @@ object DQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "s11_mmr_rerank" -> ((s, dir) => {
+      // E110: MMR diversity re-ranking over the LSH top-10 candidates —
+      // 3 greedy picks at lambda=0.7, integer micro scoring, unrolled
+      // rounds mirroring the BPE/t41 oracle convention.
+      val emb = embeddings(s, dir)
+      val cand = SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 10)
+      SimilarityOps.mmrRerank(cand, emb, k = 3, lambdaPpm = 700000L)
+        .orderBy("q_id", "mmr_rank")
+    }),
+
     "s03_ann_ivf" -> ((s, dir) => {
       // Approximate, but fully deterministic: the codebook anchors are
       // hash60 literals, so the DuckDB twin reproduces the cell assignment.
@@ -1039,6 +1050,51 @@ object DQueries {
     "s02_ann_lsh" -> lshOracle,
 
     "s09_hard_negatives" -> lshOracleOf(excludeSameLabel = true),
+
+    // twin of mmrRerank(k=3, lambda=0.7) over the shared LSH top-10
+    // chain: per round, remaining candidates score the UNDIVIDED integer
+    // 700000*rel - 300000*maxsim (no division — ordering is scale
+    // invariant and Spark div / DuckDB // disagree on negatives)
+    "s11_mmr_rerank" ->
+      s"""WITH ${lshCtes(excludeSameLabel = false)},
+         |cand10 AS (
+         |  SELECT q_id, nn_id, CAST(round(cs * 1000000) AS BIGINT) AS rel
+         |  FROM scored WHERE rank <= 10),
+         |p1 AS (SELECT q_id, nn_id FROM (
+         |    SELECT q_id, nn_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, nn_id) AS rk
+         |    FROM cand10) WHERE rk = 1),
+         |r2 AS (
+         |  SELECT c.q_id, c.nn_id, c.rel,
+         |    MAX(CAST(round(${cosSql("e1.embedding", "e2.embedding")} * 1000000) AS BIGINT)) AS maxsim
+         |  FROM cand10 c
+         |  JOIN p1 p ON p.q_id = c.q_id AND c.nn_id <> p.nn_id
+         |  JOIN embeddings e1 ON e1.vec_id = c.nn_id
+         |  JOIN embeddings e2 ON e2.vec_id = p.nn_id
+         |  GROUP BY 1, 2, 3),
+         |p2 AS (SELECT q_id, nn_id FROM (
+         |    SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY (700000 * rel - 300000 * maxsim) DESC, nn_id) AS rk
+         |    FROM r2) WHERE rk = 1),
+         |pk AS (SELECT q_id, nn_id FROM p1 UNION ALL SELECT q_id, nn_id FROM p2),
+         |r3 AS (
+         |  SELECT c.q_id, c.nn_id, c.rel,
+         |    MAX(CAST(round(${cosSql("e1.embedding", "e2.embedding")} * 1000000) AS BIGINT)) AS maxsim
+         |  FROM cand10 c
+         |  JOIN pk p ON p.q_id = c.q_id
+         |  JOIN embeddings e1 ON e1.vec_id = c.nn_id
+         |  JOIN embeddings e2 ON e2.vec_id = p.nn_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pk x
+         |                    WHERE x.q_id = c.q_id AND x.nn_id = c.nn_id)
+         |  GROUP BY 1, 2, 3),
+         |p3 AS (SELECT q_id, nn_id FROM (
+         |    SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY (700000 * rel - 300000 * maxsim) DESC, nn_id) AS rk
+         |    FROM r3) WHERE rk = 1)
+         |SELECT q_id, 1 AS mmr_rank, nn_id FROM p1
+         |UNION ALL SELECT q_id, 2, nn_id FROM p2
+         |UNION ALL SELECT q_id, 3, nn_id FROM p3
+         |ORDER BY q_id, mmr_rank""".stripMargin,
 
     // metrics twin: LSH top-5 (the shared CTE chain) semi-joined against
     // the exact brute-force top-5; integer ppm divisions mirror the

@@ -238,6 +238,71 @@ object SimilarityOps {
           Seq("q_id", "nn_id"), "left_anti"),
       k)
 
+  /** Maximal-marginal-relevance re-ranking — the diversity pass between
+    * retrieval and consumption: a plain top-k hands back k near-copies of
+    * the same document when the neighborhood is redundant (which, post
+    * near-dup mining, is exactly when it matters); MMR greedily picks
+    * argmax of `λ·relevance − (1−λ)·max-similarity-to-already-picked`,
+    * trading relevance against redundancy per pick.
+    *
+    * Runs over a CANDIDATE frame (q_id, nn_id, cos) — [[lshTopK]]'s
+    * output shape, m candidates per query — never the corpus: the greedy
+    * loop is `k` unrolled DataFrame rounds (the BPE/PageRank convention,
+    * eager checkpoint per round bounds the plan), each one
+    * anti-join + pair-similarity join + per-query argmax window over
+    * ≤ m rows per group. Pair similarities join the vector table by id
+    * (equi-joins; remaining × picked ≤ m·k rows per query).
+    *
+    * Numeric discipline: relevance and pair cosines quantize to the
+    * int64 micro grid BEFORE scoring; the score is the UNDIVIDED integer
+    * `λppm·rel − (1e6−λppm)·maxsim` (ordering is invariant to the 1e6
+    * scale, and skipping the division sidesteps the Spark-div-vs-DuckDB-
+    * floor mismatch on negative scores — the t37 lesson, avoided rather
+    * than patched). Ties break by nn_id. Queries with fewer than k
+    * candidates simply stop early (fewer output rows, never padding).
+    *
+    * Output: (q_id, mmr_rank, nn_id), mmr_rank 1..k in pick order. */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, k: Int,
+                lambdaPpm: Long): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1: $k")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"mmrRerank: lambdaPpm must be in [0, 1e6]: $lambdaPpm")
+    val relC = candidates.select(col("q_id"), col("nn_id"),
+        round(col("cos") * lit(1000000.0)).cast("long").as("rel"))
+      .localCheckpoint(true)
+    val ce = vectors.select(col("vec_id"), col("embedding"))
+    var picked = relC
+      .withColumn("__rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rel").desc, col("nn_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("q_id"), lit(1).as("mmr_rank"), col("nn_id"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val remaining = relC.join(picked.select("q_id", "nn_id"),
+        Seq("q_id", "nn_id"), "left_anti")
+      val scored = remaining
+        .join(picked.select(col("q_id"), col("nn_id").as("p_id")), "q_id")
+        .join(ce.select(col("vec_id").as("nn_id"), col("embedding").as("e1")),
+          "nn_id")
+        .join(ce.select(col("vec_id").as("p_id"), col("embedding").as("e2")),
+          "p_id")
+        .select(col("q_id"), col("nn_id"), col("rel"),
+          round(cosine(col("e1"), col("e2")) * lit(1000000.0)).cast("long")
+            .as("sim"))
+        .groupBy(col("q_id"), col("nn_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumn("score",
+          lit(lambdaPpm) * col("rel") - lit(1000000L - lambdaPpm) * col("maxsim"))
+      val next = scored
+        .withColumn("__rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("nn_id").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("q_id"), lit(r).as("mmr_rank"), col("nn_id"))
+      picked = picked.unionByName(next).localCheckpoint(true)
+    }
+    picked
+  }
+
   /** Retrieval-evaluation metrics — the ANN quality gate as an operator:
     * per query, recall@k and reciprocal rank of an approximate top-k
     * `result` against an exact `truth` baseline (both shaped

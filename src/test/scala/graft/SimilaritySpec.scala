@@ -279,4 +279,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hiProj > loProj,
       s"projected cosine should track full cosine: hi=$hiProj lo=$loProj")
   }
+
+  test("mmrRerank diversifies a redundant top-k; degenerates to top-k at lambda=1") {
+    import spark.implicits._
+    // candidates for query 0: A(10) rel .95, B(11) rel .94 but a near-dup
+    // of A, C(12) rel .80 and orthogonal to both
+    val cand = Seq((0L, 10L, 0.95), (0L, 11L, 0.94), (0L, 12L, 0.80))
+      .toDF("q_id", "nn_id", "cos")
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.1f)),
+      (12L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val mmr = SimilarityOps.mmrRerank(cand, vecs, k = 3, lambdaPpm = 700000L)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    // pick A first; B's redundancy (cos ~0.995 to A) demotes it below C
+    assert(mmr === Seq(10L, 12L, 11L))
+    // lambda=1: pure relevance order — plain top-k
+    val top = SimilarityOps.mmrRerank(cand, vecs, k = 3, lambdaPpm = 1000000L)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(top === Seq(10L, 11L, 12L))
+    // a query with fewer candidates than k stops early, no padding
+    val short = SimilarityOps.mmrRerank(cand.filter(col("nn_id") === 10L),
+      vecs, k = 3, lambdaPpm = 700000L).collect()
+    assert(short.length === 1)
+  }
 }
