@@ -484,6 +484,15 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t42_temperature_mix" -> ((s, dir) => {
+      // E111: temperature-scaled mixture weights (alpha = 0.3) per
+      // source — relative-share pow micro-quantized before the exact
+      // integer normalization.
+      CurationOps.temperatureWeights(documents(s, dir), col("source"),
+          TextOps.tokenCount(col("text")), alphaPpm = 300000L)
+        .orderBy("stratum")
+    }),
+
     "t40_token_spectrum" -> ((s, dir) => {
       // E106: token-frequency spectrum — frequency-of-frequency table
       // with hapax row and cumulative head-coverage shares, all on the
@@ -1868,6 +1877,22 @@ object DQueries {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "t41_lr_quality" -> lrOracle,
+
+    // twin of temperatureWeights(alpha=0.3): relative-share pow, micro
+    // quantization BEFORE the exact integer normalizer, staged ppm div
+    "t42_temperature_mix" ->
+      s"""WITH s AS (
+         |  SELECT source AS stratum, count(*) AS n_docs,
+         |    CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s),
+         |r AS (SELECT stratum, n_docs, n_tokens,
+         |        CAST(round(pow(CAST(n_tokens AS DOUBLE) / tot, 0.3) * 1000000) AS BIGINT) AS r_micro
+         |      FROM s, t),
+         |rt AS (SELECT CAST(SUM(r_micro) AS BIGINT) AS rt FROM r)
+         |SELECT stratum, n_docs, n_tokens, r_micro,
+         |  r_micro * 1000000 // rt.rt AS share_ppm
+         |FROM r, rt ORDER BY stratum""".stripMargin,
 
     // twin of tokenFrequencySpectrum: same two aggregates, cumulative
     // windows over the spectrum frame, staged ppm divisions (sums cast

@@ -559,6 +559,43 @@ object CurationOps {
     ranked.select(col("id"), col("stratum"), assign.as("split"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling-weight rule (w_s ∝ n_s^α, α ∈ (0, 1]) that upweights tail
+    * sources relative to their raw share: α = 1 is proportional sampling,
+    * α → 0 approaches uniform; 0.3 is the usual multilingual temperature.
+    * Produces the weight table that [[mixtureSample]] /
+    * [[tokenBudgetMixture]] consume as their per-stratum shares.
+    *
+    * Numeric discipline: per-stratum token totals are exact int64 sums;
+    * the power is computed on the RELATIVE share (n_s/N ∈ (0, 1], so the
+    * double never overflows at any corpus size) and micro-quantized to
+    * int64 BEFORE normalization — the normalizer is then an exact integer
+    * sum (order-independent) and the final share is a staged integer
+    * division on the ppm grid. The one fp op is libm `pow` (≤1 ulp
+    * across engines — the documented measure-zero boundary risk).
+    * Windows run over the strata frame only (strata-sized by nature).
+    *
+    * Output: (stratum, n_docs, n_tokens, r_micro, share_ppm). */
+  def temperatureWeights(df: DataFrame, strataCol: Column,
+                         tokensCol: Column, alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000L,
+      s"temperatureWeights: alphaPpm must be in [1, 1e6]: $alphaPpm")
+    val alphaD = alphaPpm.toDouble / 1000000.0
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.groupBy(strataCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol.cast("long")).as("n_tokens"))
+      .withColumn("__tot", sum(col("n_tokens")).over(wAll))
+      .withColumn("r_micro",
+        round(pow(col("n_tokens").cast("double") / col("__tot").cast("double"),
+          lit(alphaD)) * lit(1000000.0)).cast("long"))
+      .withColumn("__rt", sum(col("r_micro")).over(wAll))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("r_micro"),
+        expr("r_micro * 1000000 div __rt").as("share_ppm"))
+  }
+
   def negativeSample(df: DataFrame, idCol: Column, k: Int,
                      buckets: Int = 1024, salt: String = "neg"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

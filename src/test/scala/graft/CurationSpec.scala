@@ -583,6 +583,23 @@ class CurationSpec extends SparkSpec {
     assert(a === b && a.size === 400)
   }
 
+  test("temperatureWeights: alpha=1 is proportional, lower alpha upweights the tail") {
+    val df = Seq(("big", 900L), ("big", 0L), ("tail", 100L))
+      .toDF("src", "toks")
+    // alpha = 1: exact proportional ppm shares
+    val prop = CurationOps.temperatureWeights(df, col("src"), col("toks"),
+        alphaPpm = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(prop === Map("big" -> 900000L, "tail" -> 100000L))
+    // alpha = 0.3: tail rises above its raw share, order preserved
+    val temp = CurationOps.temperatureWeights(df, col("src"), col("toks"),
+        alphaPpm = 300000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(temp("tail") > 100000L && temp("tail") < temp("big"))
+    // shares sum to 1e6 up to the floor-division remainder
+    assert(math.abs(temp.values.sum - 1000000L) <= temp.size)
+  }
+
   test("exactSplit: exact per-stratum counts, matches the driver-side rank reference") {
     // 103 rows in stratum A, 7 in B — both indivisible by the weights
     val rows = (0L until 103L).map(i => (i, "A")) ++
