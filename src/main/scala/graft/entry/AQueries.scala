@@ -303,6 +303,23 @@ object AQueries {
         .orderBy("user_id")
     }),
 
+    "a44_attribution" -> ((s, dir) => {
+      // E112: last-touch attribution — each purchase credits the latest
+      // click/view by the same user within a 1-day lookback; one window
+      // pass, no interval self-join. Timestamps emitted as floor-epoch
+      // BIGINTs (the wStart convention).
+      graft.operators.AnalyticsOps.lastTouchAttribution(events(s, dir),
+          tsCol = "ts", userCol = "user_id", typeCol = "event_type",
+          idCol = "event_id", convType = "purchase",
+          touchTypes = Seq("click", "view"), lookbackSec = 86400L)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          col("touch_event_id"),
+          unix_timestamp(col("touch_ts")).as("touch_ts_epoch"),
+          col("touch_type"))
+        .orderBy("event_id")
+    }),
+
     "a28_asof_join" -> ((s, dir) => {
       // Keyed as-of join: each purchase picks up the newest view (<= its ts)
       // by the same user — the "latest quote before booking" shape. Single
@@ -627,6 +644,30 @@ object AQueries {
     // DuckDB's native ASOF JOIN; same-ts ties pre-deduped to the max
     // event_id (ASOF leaves the tie unspecified; TemporalOps.asofJoin
     // resolves it by tieBreak = max event_id)
+    // twin of lastTouchAttribution: three coincident-null IGNORE NULLS
+    // carries over the strictly-preceding frame (null patterns coincide
+    // per row, so the three columns come from the same touch row),
+    // lookback as exact interval arithmetic, epochs floored
+    "a44_attribution" ->
+      s"""WITH t AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+         |      OVER w AS lt_ts,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+         |      OVER w AS lt_id,
+         |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+         |      OVER w AS lt_ty
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+         |  CASE WHEN lt_ts >= ts - INTERVAL 86400 SECOND THEN lt_id END AS touch_event_id,
+         |  CASE WHEN lt_ts >= ts - INTERVAL 86400 SECOND
+         |       THEN CAST(floor(epoch(lt_ts)) AS BIGINT) END AS touch_ts_epoch,
+         |  CASE WHEN lt_ts >= ts - INTERVAL 86400 SECOND THEN lt_ty END AS touch_type
+         |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     "a28_asof_join" ->
       s"""WITH vd AS (
          |  SELECT user_id, ts, event_id, value FROM (

@@ -677,6 +677,52 @@ object AnalyticsOps {
           / lit(10000.0) as "lift")
   }
 
+  /** Last-touch attribution with a lookback window — "which touch gets
+    * credit for this conversion": for every conversion event, the most
+    * recent STRICTLY-EARLIER event of an attributable touch type by the
+    * same user, provided it falls within `lookbackSec` of the conversion;
+    * conversions with no touch in the window come back null-attributed
+    * (organic).
+    *
+    * ONE window pass, NO join: events sort once per user and a running
+    * `last(touch-struct, ignoreNulls)` over the strictly-preceding frame
+    * carries the latest touch forward; the lookback is a filter on the
+    * carried timestamp. The usual formulation — interval self-join then
+    * argmax per conversion — shuffles the touch×conversion fan-out;
+    * this shuffles each event exactly once. Per-user window groups are
+    * bounded by per-user activity (the natural key for the data). Ties
+    * on ts break by event id (struct ordering), so attribution is
+    * deterministic under concurrent events.
+    *
+    * Output: one row per conversion — (event_id, user_id, ts,
+    * touch_event_id, touch_ts, touch_type), touch_* null when organic. */
+  def lastTouchAttribution(events: DataFrame, tsCol: String,
+                           userCol: String, typeCol: String, idCol: String,
+                           convType: String, touchTypes: Seq[String],
+                           lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution: no touch types")
+    require(!touchTypes.contains(convType),
+      "lastTouchAttribution: conversion type cannot also be a touch type")
+    require(lookbackSec > 0, s"lookbackSec must be > 0: $lookbackSec")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsCol).as("t"), col(idCol).as("id"),
+        col(typeCol).as("ty")))
+    events
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        col(tsCol).as("ts"),
+        when(col("__lt.t") >= col(tsCol) - expr(s"INTERVAL $lookbackSec SECOND"),
+          col("__lt.id")).as("touch_event_id"),
+        when(col("__lt.t") >= col(tsCol) - expr(s"INTERVAL $lookbackSec SECOND"),
+          col("__lt.t")).as("touch_ts"),
+        when(col("__lt.t") >= col(tsCol) - expr(s"INTERVAL $lookbackSec SECOND"),
+          col("__lt.ty")).as("touch_type"))
+  }
+
   /** Per-key HLL distinct-count sketches — the MERGEABLE form of
     * [[approxDistinctCount]], for when the answer has to update without
     * rescanning history: approx_count_distinct collapses to a number at

@@ -602,6 +602,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === c && a.nonEmpty)
   }
 
+  test("lastTouchAttribution: window credit, organic conversions, same-ts tie by id") {
+    val rows = Seq(
+      (1L, 0L, 1L, "click"),     // touch
+      (2L, 5L, 1L, "view"),      // later touch -> credited
+      (3L, 10L, 1L, "purchase"), // within lookback 7 of view@5
+      (4L, 99L, 1L, "error"),    // not a touch type
+      (5L, 100L, 1L, "purchase"),// nothing within lookback -> organic
+      (6L, 200L, 2L, "click"),   // same-ts touch, smaller id: in frame
+      (7L, 200L, 2L, "purchase"),
+      (8L, 300L, 3L, "purchase") // user with no touches at all
+    ).toDF("event_id", "sec", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = AnalyticsOps.lastTouchAttribution(rows, "ts", "user_id",
+        "event_type", "event_id", "purchase", Seq("click", "view"),
+        lookbackSec = 7L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(5))))
+    assert(got.toSeq === Seq(
+      (3L, Some(2L), Some("view")),
+      (5L, None, None),
+      (7L, Some(6L), Some("click")),
+      (8L, None, None)))
+  }
+
   test("hllSketches: merge of any shard split equals the one-pass build; small sets exact") {
     // small cardinalities sit in the sketch's exact (list/set) mode
     val small = (0L until 300L).map(i => (s"k${i % 3}", i % 40)).toDF("k", "v")
