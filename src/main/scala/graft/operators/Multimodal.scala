@@ -104,6 +104,56 @@ object Multimodal {
       }
     }
 
+    /** Nearest-neighbor downsample of an uncompressed 24-bpp BMP by an
+      * integer factor: output pixel (x, y) copies source pixel
+      * (x·factor, y·factor) in LOGICAL (top-down image) coordinates,
+      * handling both bottom-up and top-down source row orders; the output
+      * re-encodes as a standard bottom-up 24-bpp BMP with 4-byte row
+      * padding. Returns None for anything that isn't a valid uncompressed
+      * 24-bpp BMP (the caller keeps such rows out of the resized set
+      * rather than guessing). Pure JVM byte arithmetic — the per-partition
+      * batch shape is the operator's concern, not this function's. */
+    def downsampleBmp24(b: Array[Byte], factor: Int): Option[Array[Byte]] = {
+      require(factor >= 1, s"factor must be >= 1: $factor")
+      decodeBmp(b).flatMap { case (w, h, bpp) =>
+        val compression = if (b.length >= 34) u32le(b, 30) else -1L
+        val pixOff = u32le(b, 10)
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        val topDown = i32le(b, 22) < 0
+        if (bpp != 24 || compression != 0L ||
+          pixOff + rowBytes.toLong * h > b.length) None
+        else {
+          val wOut = (w + factor - 1) / factor
+          val hOut = (h + factor - 1) / factor
+          val rowOut = (wOut * 3 + 3) / 4 * 4
+          val out = java.nio.ByteBuffer.allocate(14 + 40 + rowOut * hOut)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put('B'.toByte).put('M'.toByte).putInt(14 + 40 + rowOut * hOut)
+            .putShort(0).putShort(0).putInt(14 + 40)
+          out.putInt(40).putInt(wOut).putInt(hOut).putShort(1).putShort(24)
+            .putInt(0).putInt(rowOut * hOut).putInt(2835).putInt(2835)
+            .putInt(0).putInt(0)
+          val arr = out.array()
+          var y = 0
+          while (y < hOut) {
+            val sy = y * factor // logical row
+            val srcRow = if (topDown) sy else h - 1 - sy
+            val dstRow = hOut - 1 - y // bottom-up output
+            var x = 0
+            while (x < wOut) {
+              val src = (pixOff + srcRow.toLong * rowBytes).toInt + x * factor * 3
+              val dst = 14 + 40 + dstRow * rowOut + x * 3
+              arr(dst) = b(src); arr(dst + 1) = b(src + 1)
+              arr(dst + 2) = b(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          Some(arr)
+        }
+      }
+    }
+
     /** Full decode: byte-level features always, plus the format-specific
       * header fields when the payload is a valid BMP or WAV. */
     def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
@@ -141,6 +191,55 @@ object Multimodal {
       // per-partition decoder setup would happen here (once per batch)
       rows.map(r => MediaDecoder.decode(r.doc_id, r.payload))
     }.toDF()
+  }
+
+  case class ResizedImage(doc_id: Long, w_in: Int, h_in: Int, w_out: Int,
+                          h_out: Int, n_bytes_out: Int, sum_b: Long,
+                          sum_g: Long, sum_r: Long, payload: Array[Byte])
+
+  /** Image resize over binary payloads — the downsample step of a
+    * multimodal ingest (thumbnail/feature-input normalization), as a
+    * typed mapPartitions batch like [[extractFeatures]]: per-partition
+    * setup amortizes across rows, rows flow one at a time (no
+    * per-partition materialization), and the output is again an opaque
+    * binary column + typed stats, so the downstream plumbing
+    * (partitioning, writes, further decode stages) is ordinary Spark.
+    * Non-BMP / compressed payloads are dropped from the resized set —
+    * resizing what you can't decode is a silent-corruption bug, not a
+    * fallback (callers left-join the output back if they need the
+    * original rows). Channel sums over the OUTPUT pixels are exact
+    * integers — the deterministic check a spec (or a downstream monitor)
+    * compares against a reference loop. */
+  def resizeImages(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resizeImages: factor must be >= 1: $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"),
+        lit("image/bmp").as("media_type")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          for {
+            (w, h, _) <- MediaDecoder.decodeBmp(r.payload)
+            out <- MediaDecoder.downsampleBmp24(r.payload, factor)
+            (wo, ho, _) <- MediaDecoder.decodeBmp(out)
+          } yield {
+            val rowOut = (wo * 3 + 3) / 4 * 4
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var y = 0
+            while (y < ho) {
+              var x = 0
+              while (x < wo) {
+                val off = 14 + 40 + y * rowOut + x * 3
+                sb += out(off) & 0xFF; sg += out(off + 1) & 0xFF
+                sr += out(off + 2) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            ResizedImage(r.doc_id, w, h, wo, ho, out.length, sb, sg, sr, out)
+          }
+        }
+      }.toDF()
   }
 
   /** Frame sampling over "video" payloads: every `stride`-th frame of a

@@ -175,4 +175,47 @@ class EtlSpec extends SparkSpec {
     assert(out.forall(_.getString(4) === "raw"))
     assert(out.head.getInt(1) === 0 && out.head.getInt(2) === -1)
   }
+
+  test("multimodal: BMP nearest-neighbor downsample matches the reference loop") {
+    import spark.implicits._
+    val src = bmpFixture(5, 4) // deterministic i%251 pixel pattern
+    // reference: logical pixel (x, y) of a bottom-up 24-bpp BMP
+    def pix(b: Array[Byte], w: Int, h: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val off = 54 + (h - 1 - y) * rowBytes + x * 3
+      ((b(off) & 0xFF), (b(off + 1) & 0xFF), (b(off + 2) & 0xFF))
+    }
+    val media = Seq((1L, src), (2L, "not a bitmap".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(media, factor = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length === 1) // the non-BMP row is dropped, not guessed at
+    val r = out(0)
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) === (5, 4, 3, 2))
+    val resized = r.getAs[Array[Byte]]("payload")
+    assert(graft.operators.Multimodal.MediaDecoder.decodeBmp(resized)
+      === Some((3, 2, 24)))
+    // every output pixel equals source pixel (x*2, y*2); sums agree
+    var (sb, sg, sr) = (0L, 0L, 0L)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val want = pix(src, 5, 4, x * 2, y * 2)
+      val got = pix(resized, 3, 2, x, y)
+      assert(got === want, s"pixel ($x,$y)")
+      sb += want._1; sg += want._2; sr += want._3
+    }
+    assert((r.getLong(6), r.getLong(7), r.getLong(8)) === (sb, sg, sr))
+    // factor 1: identity on dims and channel sums
+    val id = Multimodal.resizeImages(media, factor = 1)
+      .orderBy("doc_id").collect()(0)
+    assert((id.getInt(3), id.getInt(4)) === (5, 4))
+    val idSums = (id.getLong(6), id.getLong(7), id.getLong(8))
+    val srcSums = {
+      var (b2, g2, r2) = (0L, 0L, 0L)
+      for (y <- 0 until 4; x <- 0 until 5) {
+        val p = pix(src, 5, 4, x, y); b2 += p._1; g2 += p._2; r2 += p._3
+      }
+      (b2, g2, r2)
+    }
+    assert(idSums === srcSums)
+  }
 }
