@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, Hash60}
+import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -30,6 +30,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"graft_char_stats expects 1 argument, got ${children.size}")
         CharEntropyStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_kll_agg expects (value, k), got ${children.size} args")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_agg: k must be an integer literal, got $other")
+        }
+        KllSketchAgg(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_kll_merge expects 1 argument, got ${children.size}")
+        KllMergeAgg(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_kll_quantiles expects (sketch, quantiles), got ${children.size} args")
+        KllQuantiles(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),

@@ -768,6 +768,40 @@ object AnalyticsOps {
     sketches.withColumn("uniq", hll_sketch_estimate(col("sketch")))
       .drop("sketch")
 
+  /** Per-key KLL quantile sketches — the quantile twin of [[hllSketches]]
+    * (E109) and the mergeable form of the percentile_approx plans used
+    * across the winsorize/MAD/top-quantile operators: the sketch is the
+    * ARTIFACT (built per shard/micro-batch, persisted as bytes, unioned
+    * at read time, new data folded by union — no rescan). Backed by the
+    * native [[graft.functions.KllSketchAgg]] TypedImperativeAggregate
+    * (Datasketches KLL, fixed-size state, map-side combined).
+    *
+    * Honesty contract (see KllQuantiles' scaladoc): KLL compaction is
+    * randomized by design — past ~k retained items, re-runs may differ
+    * within the published rank-error bound; below it the sketch is exact
+    * and merge-invariant, which is what the specs pin. */
+  def kllSketches(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                  k: Int = 200): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(call_function("graft_kll_agg", valueCol.cast("double"), lit(k))
+        .as("sketch"))
+
+  /** Union independently built KLL sketch tables by key. */
+  def kllMergeSketches(keyNames: Seq[String],
+                       sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "kllMergeSketches: nothing to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(keyNames.map(col): _*)
+      .agg(call_function("graft_kll_merge", col("sketch")).as("sketch"))
+  }
+
+  /** Readout: (keys..., quantiles array<double>) for the given ranks. */
+  def kllQuantiles(sketches: DataFrame, qs: Seq[Double]): DataFrame =
+    sketches.withColumn("quantiles",
+        call_function("graft_kll_quantiles", col("sketch"),
+          array(qs.map(lit): _*)))
+      .drop("sketch")
+
   /** Distributed logistic regression by full-batch gradient descent — the
     * quality-classifier training loop (fastText-style doc filters, CCNet's
     * "looks like Wikipedia" gate) as an engine operator, bit-reproducible

@@ -666,6 +666,34 @@ class AnalyticsSpec extends SparkSpec {
       s"reverse-merge estimates off: $mergedRev")
   }
 
+  test("kllSketches: exact below compaction, shard-merge exact, bounded above") {
+    // inclusive-rank reference on fully-retained sketches
+    def ref(sorted: Seq[Double], q: Double): Double =
+      if (q <= 0.0) sorted.head
+      else sorted(math.ceil(q * sorted.size).toInt - 1)
+    val vals = (0 until 100).map(_.toDouble)
+    val df = vals.map(v => ("a", v)).toDF("k", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val onePass = AnalyticsOps.kllQuantiles(
+        AnalyticsOps.kllSketches(df, Seq(col("k")), col("v")), qs)
+      .collect()(0).getSeq[Double](1)
+    assert(onePass === qs.map(q => ref(vals, q)))
+    // shard merge below the compaction threshold: exact and identical
+    val shards = Seq(df.filter(col("v") < 50), df.filter(col("v") >= 50))
+      .map(s => AnalyticsOps.kllSketches(s, Seq(col("k")), col("v"))
+        .localCheckpoint(true))
+    val merged = AnalyticsOps.kllQuantiles(
+        AnalyticsOps.kllMergeSketches(Seq("k"), shards: _*), qs)
+      .collect()(0).getSeq[Double](1)
+    assert(merged === onePass)
+    // past compaction: median within the published rank-error bound
+    val big = (0 until 50000).map(_.toDouble).map(v => ("a", v)).toDF("k", "v")
+    val med = AnalyticsOps.kllQuantiles(
+        AnalyticsOps.kllSketches(big, Seq(col("k")), col("v")), Seq(0.5))
+      .collect()(0).getSeq[Double](1).head
+    assert(med > 50000 * 0.47 && med < 50000 * 0.53, s"median off: $med")
+  }
+
   test("logisticScores matches the driver-side micro-grid GD reference") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val rows = Seq(

@@ -572,6 +572,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kll sketches as a foreachBatch monitor: per-trigger unions equal the batch quantiles") {
+    import graft.operators.AnalyticsOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = AnalyticsOps.kllSketches(batch, Seq($"k"), $"v")
+        state = (if (state == null) part
+          else AnalyticsOps.kllMergeSketches(Seq("k"), state, part))
+          .localCheckpoint(true)
+      }.start()
+    try {
+      mem.addData((0 until 40).map(v => ("a", v.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((40 until 80).map(v => ("a", v.toDouble)): _*)
+      q.processAllAvailable()
+      val qs = Seq(0.1, 0.5, 0.99)
+      val streamed = AnalyticsOps.kllQuantiles(state, qs)
+        .collect()(0).getSeq[Double](1)
+      val batchAll = AnalyticsOps.kllQuantiles(AnalyticsOps.kllSketches(
+          (0 until 80).map(v => ("a", v.toDouble)).toDF("k", "v"),
+          Seq($"k"), $"v"), qs)
+        .collect()(0).getSeq[Double](1)
+      // 80 items < k = 200: exact mode, bit-identical across the split
+      assert(streamed === batchAll && streamed === Seq(7.0, 39.0, 79.0))
+    } finally q.stop()
+  }
+
   test("sourceOverlap as a foreachBatch monitor: set-union key state equals the batch matrix") {
     import graft.operators.DedupOps
     implicit val sqlCtx = spark.sqlContext
