@@ -163,4 +163,43 @@ class OlapPlanSpec extends SparkSpec {
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
       .findAllIn(plan).nonEmpty, s"no equi-join found:\n$plan")
   }
+
+  test("d17 containment: pairing is a key equi-join, no cartesian/BNLJ") {
+    val plan = dPlanOf("d17_containment")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment pairing must stay a key equi-join:\n$plan")
+  }
+
+  test("t39 exact split: no per-stratum sort window — every Window is (stratum, bucket)-keyed") {
+    val plan = dPlanOf("t39_exact_split")
+    // the row_number windows must partition by TWO expressions (stratum +
+    // hash bucket); a single-column partitionBy would be the mega-stratum
+    // buffering trap the operator exists to avoid. The prefix-offset
+    // window over the counts frame is also (stratum)-partitioned but
+    // bounded by `buckets` rows per group — identified by its running
+    // frame over __c, not row_number.
+    val rowNumWindows = "Window \\[row_number\\(\\)[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(rowNumWindows.nonEmpty, s"no row_number window found:\n$plan")
+    rowNumWindows.foreach { parts =>
+      assert(parts.split(",").length >= 2,
+        s"row_number window partitions by a single column ($parts):\n$plan")
+    }
+  }
+
+  test("a44 attribution: one window pass, no self-join") {
+    val df = graft.entry.AQueries.queries("a44_attribution")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct|BroadcastNestedLoopJoin".r
+      .findFirstIn(plan).isDefined,
+      s"attribution must not join — it is one window pass:\n$plan")
+    assert(plan.contains("Window"), s"expected the carry window:\n$plan")
+  }
+
+  test("s11 mmr: candidate and pair-similarity joins stay equi, no cartesian") {
+    val plan = dPlanOf("s11_mmr_rerank")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the MMR rounds:\n$plan")
+  }
 }
