@@ -484,6 +484,20 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "t43_balanced_shards" -> ((s, dir) => {
+      // E115: quality-balanced round-robin shard assignment — every
+      // shard receives the same per-source quality mixture; bucketed
+      // rank on the quality grid, no per-stratum sort window.
+      CurationOps.balancedShards(documents(s, dir), col("doc_id"),
+          col("source"),
+          round(TextOps.qualityScore(col("text")) * lit(1000000.0))
+            .cast("long"),
+          nShards = 4)
+        .select(col("id").as("doc_id"), col("stratum").as("source"),
+          col("q_micro"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     "t42_temperature_mix" -> ((s, dir) => {
       // E111: temperature-scaled mixture weights (alpha = 0.3) per
       // source — relative-share pow micro-quantized before the exact
@@ -1877,6 +1891,21 @@ object DQueries {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "t41_lr_quality" -> lrOracle,
+
+    // twin of balancedShards(nShards=4): the global per-stratum
+    // (q desc, id) rank IS the operator's bucket-major rank (bucket =
+    // high bits of the 1e6-q order value); shard = rank mod 4
+    "t43_balanced_shards" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    CAST(round(($qualitySqlExpr) * 1000000) AS BIGINT) AS q_micro
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, q_micro,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY q_micro DESC, doc_id) - 1 AS rk
+         |      FROM q)
+         |SELECT doc_id, source, q_micro, CAST(rk % 4 AS INT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // twin of temperatureWeights(alpha=0.3): relative-share pow, micro
     // quantization BEFORE the exact integer normalizer, staged ppm div

@@ -559,6 +559,55 @@ object CurationOps {
     ranked.select(col("id"), col("stratum"), assign.as("split"))
   }
 
+  /** Quality-balanced shard assignment — the write-side layout rule for
+    * curriculum-safe training shards: per stratum, rows are ranked by
+    * quality (desc, ties by id) and dealt round-robin to `nShards`, so
+    * EVERY shard receives the same quality mixture from every stratum
+    * (a naive hash shard gives each shard the right size but a random
+    * quality profile; a range shard gives shard 0 all the best docs —
+    * both poison curriculum or mixture assumptions downstream).
+    *
+    * Scale shape — the [[exactSplit]] bucketed-rank argument with the
+    * QUALITY grid as the bucket key: `qMicroCol` lives on the 0..1e6
+    * integer grid (the t02/E90 convention), so its high bits are a
+    * prefix of the (1e6 − q) ordering and the global per-stratum rank
+    * assembles from per-(stratum, bucket) counts + prefix offsets
+    * (window over the ≤`buckets`-row counts frame) + row_number within
+    * (stratum, bucket) — no per-stratum sort window. A corpus where
+    * millions of docs share one quality value concentrates that bucket;
+    * sharpen the quality grid rather than salt (the tokenBudgetSelect
+    * note — order inside a tie must stay id-deterministic).
+    *
+    * Output: (id, stratum, q_micro, shard), shard in 0..nShards−1. */
+  def balancedShards(df: DataFrame, idCol: Column, strataCol: Column,
+                     qMicroCol: Column, nShards: Int,
+                     buckets: Int = 1024): DataFrame = {
+    require(nShards >= 1, s"balancedShards: nShards must be >= 1: $nShards")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"balancedShards: buckets must be a power of two <= 2^20: $buckets")
+    val shift = 20 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val base = df.select(idCol.as("id"), strataCol.as("stratum"),
+        qMicroCol.cast("long").as("q_micro"))
+      .withColumn("__o", lit(1000000L) - col("q_micro")) // asc = best first
+      .withColumn("__b", shiftright(col("__o"), shift))
+    val counts = base.groupBy(col("stratum"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("__b").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("stratum"), col("__b"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("__o").asc, col("id").asc)
+    base
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(offsets), Seq("stratum", "__b"))
+      .select(col("id"), col("stratum"), col("q_micro"),
+        pmod(col("__off") + col("__rn") - 1, lit(nShards.toLong)).cast("int")
+          .as("shard"))
+  }
+
   /** Temperature-scaled mixture weights — the multilingual/multi-source
     * sampling-weight rule (w_s ∝ n_s^α, α ∈ (0, 1]) that upweights tail
     * sources relative to their raw share: α = 1 is proportional sampling,

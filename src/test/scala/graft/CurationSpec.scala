@@ -583,6 +583,25 @@ class CurationSpec extends SparkSpec {
     assert(a === b && a.size === 400)
   }
 
+  test("balancedShards: round-robin by quality rank, ties by id, bucket-invariant") {
+    val df = Seq(
+      (1L, "A", 900000L), (2L, "A", 800000L), (3L, "A", 700000L),
+      (4L, "A", 700000L), // tie with 3 -> id order
+      (5L, "A", 100000L),
+      (6L, "B", 500000L), (7L, "B", 400000L)
+    ).toDF("doc_id", "src", "q")
+    val got = CurationOps.balancedShards(df, col("doc_id"), col("src"),
+        col("q"), nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // A rank order: 1,2,3,4,5 -> shards 0,1,0,1,0; B: 6,7 -> 0,1
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0,
+      6L -> 0, 7L -> 1))
+    val coarse = CurationOps.balancedShards(df.repartition(5), col("doc_id"),
+        col("src"), col("q"), nShards = 2, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(coarse === got)
+  }
+
   test("temperatureWeights: alpha=1 is proportional, lower alpha upweights the tail") {
     val df = Seq(("big", 900L), ("big", 0L), ("tail", 100L))
       .toDF("src", "toks")
