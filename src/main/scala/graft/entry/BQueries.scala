@@ -411,6 +411,32 @@ object BQueries {
         .orderBy("c_custkey")
     }),
 
+    "b56_pit_lookup" -> ((s, dir) => {
+      // E116: point-in-time lookup against the b47 SCD2 history — each
+      // fact (order, at a deterministically shifted seq) picks the
+      // dimension version valid AT ITS OWN seq; facts landing after a
+      // delete tombstone come back null-attributed. One as-of pass.
+      val changelog = orders(s, dir).select(
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        concat(lit("n_"), col("o_orderkey").cast("string")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+      val hist = graft.operators.CdcOps.scd2History(changelog,
+        Seq("c_custkey"), "seq", "op", Seq("c_name", "c_acctbal"))
+      val facts = orders(s, dir).select(
+        col("o_orderkey").as("fact_id"),
+        when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        (col("o_orderkey") + col("o_orderkey") % 3).as("seq"))
+      graft.operators.CdcOps.pointInTime(facts, hist, Seq("c_custkey"),
+          "seq", Seq("c_name", "c_acctbal"))
+        .select(col("fact_id"), col("c_custkey"), col("seq"),
+          col("pit_c_name"), rnd(col("pit_c_acctbal")).as("pit_c_acctbal"))
+        .orderBy("fact_id")
+    }),
+
     "b47_scd2" -> ((s, dir) => {
       // E73: type-2 SCD history over the b34 changelog — one validity
       // interval per upsert, delete tombstones close without opening.
@@ -732,6 +758,34 @@ object BQueries {
     },
 
     // lead-window twin over the same changelog derivation
+    // twin of pointInTime over the b47 history: DuckDB's ASOF LEFT JOIN
+    // picks the greatest seq_from <= fact seq; validity (seq < seq_to,
+    // open intervals unbounded) gates the payload exactly as the operator
+    "b56_pit_lookup" ->
+      s"""WITH ch AS (
+         |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+         |    o_orderkey AS seq,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    'n_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         |    o_totalprice AS c_acctbal
+         |  FROM orders),
+         |v0 AS (
+         |  SELECT *, lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS seq_to
+         |  FROM ch),
+         |v AS (SELECT c_custkey, seq AS seq_from, seq_to, c_name, c_acctbal
+         |      FROM v0 WHERE op <> 'D'),
+         |f AS (
+         |  SELECT o_orderkey AS fact_id,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+         |    o_orderkey + o_orderkey % 3 AS seq
+         |  FROM orders)
+         |SELECT f.fact_id, f.c_custkey, f.seq,
+         |  CASE WHEN v.seq_to IS NULL OR f.seq < v.seq_to THEN v.c_name END AS pit_c_name,
+         |  CASE WHEN v.seq_to IS NULL OR f.seq < v.seq_to THEN ${rndSql("v.c_acctbal")} END AS pit_c_acctbal
+         |FROM f ASOF LEFT JOIN v
+         |  ON f.c_custkey = v.c_custkey AND f.seq >= v.seq_from
+         |ORDER BY fact_id""".stripMargin,
+
     "b47_scd2" ->
       s"""WITH ch AS (
          |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,

@@ -114,6 +114,36 @@ object CdcOps {
         (col("__seq_to").isNull).as("is_current")) ++ payload.map(col): _*)
   }
 
+  /** Point-in-time (as-of) lookup against an SCD2 history — the
+    * "enrich each fact with the dimension version that was valid WHEN THE
+    * FACT HAPPENED" join, the correctness core of any temporal DW: joining
+    * facts to the CURRENT dimension silently rewrites history (a renamed
+    * customer renames their old orders). Facts carry a sequence/timestamp
+    * `seqCol`; each matches the history row with the greatest
+    * `seq_from ≤ seq` (inclusive — a version taking effect at the fact's
+    * own seq is visible), and the match only counts while valid
+    * (`seq < seq_to`, open intervals unbounded) — a fact after a delete
+    * tombstone comes back null-attributed, not matched to the dead
+    * version.
+    *
+    * Plan: ONE [[TemporalOps.asofJoin]] sort-merge pass (no inequality
+    * join, no per-fact interval scan) + a validity projection. Scale cost
+    * = one shuffle of facts ∪ versions on the entity key.
+    *
+    * Output: the fact columns + `pit_<payload>` (null when no valid
+    * version). */
+  def pointInTime(facts: DataFrame, history: DataFrame, key: Seq[String],
+                  seqCol: String, payload: Seq[String]): DataFrame = {
+    val right = history.select(
+      (key.map(col) :+ col("seq_from").as(seqCol) :+ col("seq_to")) ++
+        payload.map(col): _*)
+    val joined = TemporalOps.asofJoin(facts, right, key, seqCol,
+      payload :+ "seq_to", tieBreak = col(seqCol))
+    val valid = col("asof_seq_to").isNull || col(seqCol) < col("asof_seq_to")
+    joined.select(facts.columns.map(col).toIndexedSeq ++
+      payload.map(p => when(valid, col(s"asof_$p")).as(s"pit_$p")): _*)
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): combine a
     * stored aggregate state with a new batch's aggregate of the SAME shape
     * — union + one re-aggregate per mergeable column. For algebraic

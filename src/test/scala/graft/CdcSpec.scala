@@ -140,4 +140,26 @@ class CdcSpec extends SparkSpec {
       (2L, 5L, None, true, "only"),
       (3L, 7L, Some(9L), false, "gone"))) // closed, never current again
   }
+
+  test("pointInTime: inclusive boundary, mid-interval, pre-history and post-delete nulls") {
+    // key A: v1 valid [1, 5), v2 valid [5, 9), delete at 9
+    val changelog = Seq(
+      (1L, 1L, "U", "v1"), (1L, 5L, "U", "v2"), (1L, 9L, "D", "x")
+    ).toDF("k", "seq", "op", "name")
+    val hist = CdcOps.scd2History(changelog, Seq("k"), "seq", "op",
+      Seq("name"))
+    val facts = Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, 1L, 4L),
+      (13L, 1L, 5L), (14L, 1L, 10L), (15L, 2L, 3L))
+      .toDF("fact_id", "k", "seq")
+    val got = CdcOps.pointInTime(facts, hist, Seq("k"), "seq", Seq("name"))
+      .orderBy("fact_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)))
+    assert(got.toSeq === Seq(
+      10L -> None,          // before any version
+      11L -> Some("v1"),    // inclusive at its own seq_from
+      12L -> Some("v1"),    // mid-interval
+      13L -> Some("v2"),    // boundary: v2 takes effect AT 5
+      14L -> None,          // after the delete tombstone
+      15L -> None))         // key with no history at all
+  }
 }
