@@ -65,6 +65,46 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs matches a driver-side set reference on random corpora") {
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 60).map(i => s"w$i")
+      // random docs, some of which embed another doc's token run verbatim
+      val docs = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val quotes = docs.take(6).map { case (i, toks) =>
+        val pad = Seq.fill(rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        (100L + i, pad ++ toks ++ pad.reverse)
+      }
+      val all = docs ++ quotes
+      val df = all.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val k = 3; val maxDf = 8L; val thr = 700000L
+      // reference: pruned-universe containment from first principles
+      val sets = all.map { case (id, t) =>
+        id -> t.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSet
+      }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).map {
+        case (s, occ) => s -> occ.size }
+      val kept = sets.map { case (id, s) =>
+        id -> s.filter(g => dfCount(g) <= maxDf) }
+      val want = (for {
+        (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa & sb).size.toLong
+        ppm = inter * 1000000L / sa.size
+        if ppm >= thr
+      } yield (a, b, inter, sa.size.toLong, ppm)).toSet
+      val got = DedupOps.containmentPairs(df, col("doc_id"), col("text"),
+          k, thr, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(want.nonEmpty, s"seed $seed planted no containment — fixture broken")
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("dedupClusters matches union-find on random graphs") {
     for (seed <- Seq(3, 11)) {
       val rnd = new scala.util.Random(seed)

@@ -572,6 +572,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pointInTime as streaming fact enrichment: per-trigger lookups union to the batch result") {
+    // the E116 streaming story: the SCD2 history is a static artifact
+    // (rebuilt by the dimension pipeline, not by the fact stream); each
+    // trigger enriches only its new facts — per-fact row semantics make
+    // per-batch union trivially equal to the batch run
+    import graft.operators.CdcOps
+    implicit val sqlCtx = spark.sqlContext
+    val hist = CdcOps.scd2History(
+      Seq((1L, 1L, "U", "v1"), (1L, 5L, "U", "v2"), (1L, 9L, "D", "x"))
+        .toDF("k", "seq", "op", "name"),
+      Seq("k"), "seq", "op", Seq("name")).localCheckpoint(true)
+    val mem = MemoryStream[(Long, Long, Long)]
+    var outs = Seq.empty[String]
+    val q = mem.toDF().toDF("fact_id", "k", "seq").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        outs = outs ++ CdcOps.pointInTime(batch, hist, Seq("k"), "seq",
+          Seq("name")).collect().map(_.toString)
+      }.start()
+    try {
+      mem.addData((10L, 1L, 0L), (11L, 1L, 1L))
+      q.processAllAvailable()
+      mem.addData((13L, 1L, 5L), (14L, 1L, 10L), (15L, 2L, 3L))
+      q.processAllAvailable()
+      val batchAll = CdcOps.pointInTime(
+          Seq((10L, 1L, 0L), (11L, 1L, 1L), (13L, 1L, 5L), (14L, 1L, 10L),
+            (15L, 2L, 3L)).toDF("fact_id", "k", "seq"),
+          hist, Seq("k"), "seq", Seq("name"))
+        .collect().map(_.toString)
+      assert(outs.nonEmpty && outs.sorted.toSeq === batchAll.sorted.toSeq)
+    } finally q.stop()
+  }
+
   test("kll sketches as a foreachBatch monitor: per-trigger unions equal the batch quantiles") {
     import graft.operators.AnalyticsOps
     implicit val sqlCtx = spark.sqlContext
