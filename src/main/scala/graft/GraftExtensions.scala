@@ -47,8 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kll_merge"),
       new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 1, s"graft_kll_merge expects 1 argument, got ${children.size}")
-        KllMergeAgg(children.head)
+        require(children.size == 1 || children.size == 2,
+          s"graft_kll_merge expects (sketch[, k]), got ${children.size} args")
+        val k = if (children.size == 2) children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_merge: k must be an integer literal, got $other")
+        } else graft.functions.KllQuantiles.DefaultK
+        KllMergeAgg(children.head, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_quantiles"),

@@ -80,9 +80,15 @@ case class KllSketchAgg(
 }
 
 /** Union of serialized KLL sketches (differing k merge to the smallest —
-  * the library's rule). */
+  * the library's rule; the buffer's own `k` participates, so it must be
+  * >= the inputs' k to be accuracy-neutral). Corrupt sketch bytes fail
+  * the job loudly by design: a sketch column is a TYPED artifact this
+  * engine wrote, not untrusted input — swallowing a heapify failure
+  * would silently drop that shard's contribution (contrast MediaDecoder,
+  * where payloads are untrusted by nature and degrade to "raw"). */
 case class KllMergeAgg(
     child: Expression,
+    k: Int = KllQuantiles.DefaultK,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] {
@@ -103,8 +109,12 @@ case class KllMergeAgg(
     copy(inputAggBufferOffset = offset)
   override def prettyName: String = "graft_kll_merge"
 
+  // the buffer's k caps the merged accuracy (KLL merges resolve to the
+  // SMALLEST k involved): callers merging sketches built at k > default
+  // must pass the same k here or they silently degrade to k = 200 — the
+  // operator wrapper threads it through
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(KllQuantiles.DefaultK)
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch,
                       input: InternalRow): KllDoublesSketch = {

@@ -786,21 +786,33 @@ object AnalyticsOps {
       .agg(call_function("graft_kll_agg", valueCol.cast("double"), lit(k))
         .as("sketch"))
 
-  /** Union independently built KLL sketch tables by key. */
+  /** Union independently built KLL sketch tables by key. `k` must be >=
+    * the k the inputs were built with — the merge buffer participates in
+    * the library's smallest-k-wins rule, so the default would silently
+    * cap sketches built at k > 200 back to 200's accuracy. */
   def kllMergeSketches(keyNames: Seq[String],
-                       sketches: DataFrame*): DataFrame = {
+                       sketches: DataFrame*): DataFrame =
+    kllMergeSketchesK(keyNames, graft.functions.KllQuantiles.DefaultK,
+      sketches: _*)
+
+  def kllMergeSketchesK(keyNames: Seq[String], k: Int,
+                        sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "kllMergeSketches: nothing to merge")
     sketches.reduce(_ unionByName _)
       .groupBy(keyNames.map(col): _*)
-      .agg(call_function("graft_kll_merge", col("sketch")).as("sketch"))
+      .agg(call_function("graft_kll_merge", col("sketch"), lit(k))
+        .as("sketch"))
   }
 
   /** Readout: (keys..., quantiles array<double>) for the given ranks. */
-  def kllQuantiles(sketches: DataFrame, qs: Seq[Double]): DataFrame =
+  def kllQuantiles(sketches: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"kllQuantiles: ranks must be in [0, 1]: $qs")
     sketches.withColumn("quantiles",
         call_function("graft_kll_quantiles", col("sketch"),
           array(qs.map(lit): _*)))
       .drop("sketch")
+  }
 
   /** Distributed logistic regression by full-batch gradient descent — the
     * quality-classifier training loop (fastText-style doc filters, CCNet's

@@ -467,29 +467,6 @@ object CurationOps {
     }
   }
 
-  /** Deterministic uniform negative sampling — the contrastive-training
-    * data op: for every anchor row, `k` pseudo-random "negative" partners
-    * drawn uniformly from the corpus, reproducible bit-for-bit across
-    * re-runs, retries, and engines (no `rand()`; every pick is a pure
-    * function of (anchor id, j) through the portable
-    * [[Hashing.hash60]]).
-    *
-    * Mechanism: each candidate row gets a position on the hash ring
-    * (`h = hash60(salt:id)`); ranking the ring yields a DENSE GLOBAL INDEX
-    * 0..N−1. A global `row_number()` would funnel the corpus through one
-    * task, so the index is built scalably: partition the ring into
-    * `buckets` ranges by the hash's high bits, count per bucket (bounded
-    * driver collect, ≤ `buckets` rows — the prefix-sum pattern), and add
-    * each bucket's offset to its partition-local rank. Hash uniformity
-    * makes the buckets skew-free by construction. Each (anchor, j) then
-    * picks index `hash60(salt t:anchor:j) mod N` — an equi-join on a long,
-    * no candidate explosion; a pick that lands on its own anchor
-    * deterministically advances to the next ring position ((pick+1) mod N,
-    * a second equi-join over only the collided rows, ~k·N/N ≈ k rows).
-    *
-    * The ring index is also the natural place to EXCLUDE known positives
-    * (near-dups from E3/E5): filter the candidate frame before calling.
-    * Output: (anchor, j, neg_id), k rows per anchor. */
   /** Exact-count stratified split — the eval-set assignment [[hashSplit]]
     * can't give: per stratum, EXACTLY `floor(n_s·w_k)` rows land in each
     * split (hashSplit's per-row bucket test is proportional only in
@@ -527,29 +504,10 @@ object CurationOps {
       s"exactSplit: buckets must be a power of two: $buckets")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
     val base = df.select(idCol.as("id"), strataCol.as("stratum"))
-      .withColumn("__h",
+      .withColumn("__o",
         Hashing.hash60(concat(lit(s"${salt}_"), col("id").cast("string"))))
-      .withColumn("__b", shiftright(col("__h"), shift))
-    val counts = base.groupBy(col("stratum"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    // prefix offsets over the COUNTS frame: ≤ `buckets` rows per stratum
-    // group — bounded regardless of stratum size
-    val wOff = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum")).orderBy(col("__b").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = counts
-      .select(col("stratum"), col("__b"),
-        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
-    val sizes = base.groupBy(col("stratum")).agg(count(lit(1)).as("__n"))
-    // rank within (stratum, bucket) only — n_s/buckets rows per group
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("stratum"), col("__b"))
-      .orderBy(col("__h").asc, col("id").asc)
-    val ranked = base
-      .withColumn("__rn", row_number().over(wRank).cast("long"))
-      .join(broadcast(offsets), Seq("stratum", "__b"))
-      .join(broadcast(sizes), Seq("stratum"))
-      .withColumn("__rk", col("__off") + col("__rn") - 1)
+      .withColumn("__b", shiftright(col("__o"), shift))
+    val ranked = bucketedStratumRank(base)
     val cum = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
     val assign = weights.init.zip(cum.init).foldLeft(
       when(lit(false), lit(null).cast("string"))) {
@@ -590,22 +548,49 @@ object CurationOps {
         qMicroCol.cast("long").as("q_micro"))
       .withColumn("__o", lit(1000000L) - col("q_micro")) // asc = best first
       .withColumn("__b", shiftright(col("__o"), shift))
+    bucketedStratumRank(base)
+      .select(col("id"), col("stratum"), col("q_micro"),
+        pmod(col("__rk"), lit(nShards.toLong)).cast("int").as("shard"))
+  }
+
+  /** Global per-stratum dense rank assembled from order-prefix buckets —
+    * the shared machinery behind [[exactSplit]] and [[balancedShards]].
+    * `base` carries (id, stratum, __o order value, __b bucket), where
+    * `__b` MUST be a monotone prefix of `__o` (its high bits), so
+    * bucket-major order IS the global (__o, id) order. Per-(stratum,
+    * bucket) counts prefix-sum into offsets (window over the
+    * ≤buckets-row counts frame), each row pays a row_number only within
+    * its (stratum, bucket) group, and the offset/size joins are
+    * NULL-SAFE (`<=>`): a null stratum — or the null bucket a null order
+    * key lands in — ranks as its own group (nulls-first, ties by id)
+    * instead of silently dropping rows, which is what a null-unsafe
+    * usingColumns join would do. `base` is materialized eagerly: three
+    * plan branches read it (counts, sizes, rank), and its projection
+    * carries a per-row md5/quality expression — the sourceOverlap
+    * multi-consumer rule. Output: base columns + `__rk` (0-based global
+    * per-stratum rank) + `__n` (stratum size). */
+  private def bucketedStratumRank(base0: DataFrame): DataFrame = {
+    val base = base0.localCheckpoint(true)
     val counts = base.groupBy(col("stratum"), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum")).orderBy(col("__b").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = counts.select(col("stratum"), col("__b"),
-      coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+    val offsets = counts
+      .select(col("stratum").as("__s2"), col("__b").as("__b2"),
+        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"))
+    val sizes = base.groupBy(col("stratum")).agg(count(lit(1)).as("__n"))
+      .select(col("stratum").as("__s3"), col("__n"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum"), col("__b"))
       .orderBy(col("__o").asc, col("id").asc)
     base
       .withColumn("__rn", row_number().over(wRank).cast("long"))
-      .join(broadcast(offsets), Seq("stratum", "__b"))
-      .select(col("id"), col("stratum"), col("q_micro"),
-        pmod(col("__off") + col("__rn") - 1, lit(nShards.toLong)).cast("int")
-          .as("shard"))
+      .join(broadcast(offsets),
+        col("stratum") <=> col("__s2") && col("__b") <=> col("__b2"))
+      .join(broadcast(sizes), col("stratum") <=> col("__s3"))
+      .withColumn("__rk", col("__off") + col("__rn") - 1)
+      .drop("__s2", "__b2", "__s3", "__rn", "__off")
   }
 
   /** Temperature-scaled mixture weights — the multilingual/multi-source
@@ -645,6 +630,29 @@ object CurationOps {
         expr("r_micro * 1000000 div __rt").as("share_ppm"))
   }
 
+  /** Deterministic uniform negative sampling — the contrastive-training
+    * data op: for every anchor row, `k` pseudo-random "negative" partners
+    * drawn uniformly from the corpus, reproducible bit-for-bit across
+    * re-runs, retries, and engines (no `rand()`; every pick is a pure
+    * function of (anchor id, j) through the portable
+    * [[Hashing.hash60]]).
+    *
+    * Mechanism: each candidate row gets a position on the hash ring
+    * (`h = hash60(salt:id)`); ranking the ring yields a DENSE GLOBAL INDEX
+    * 0..N−1. A global `row_number()` would funnel the corpus through one
+    * task, so the index is built scalably: partition the ring into
+    * `buckets` ranges by the hash's high bits, count per bucket (bounded
+    * driver collect, ≤ `buckets` rows — the prefix-sum pattern), and add
+    * each bucket's offset to its partition-local rank. Hash uniformity
+    * makes the buckets skew-free by construction. Each (anchor, j) then
+    * picks index `hash60(salt t:anchor:j) mod N` — an equi-join on a long,
+    * no candidate explosion; a pick that lands on its own anchor
+    * deterministically advances to the next ring position ((pick+1) mod N,
+    * a second equi-join over only the collided rows, ~k·N/N ≈ k rows).
+    *
+    * The ring index is also the natural place to EXCLUDE known positives
+    * (near-dups from E3/E5): filter the candidate frame before calling.
+    * Output: (anchor, j, neg_id), k rows per anchor. */
   def negativeSample(df: DataFrame, idCol: Column, k: Int,
                      buckets: Int = 1024, salt: String = "neg"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

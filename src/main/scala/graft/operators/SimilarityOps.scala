@@ -260,6 +260,10 @@ object SimilarityOps {
     * floor mismatch on negative scores — the t37 lesson, avoided rather
     * than patched). Ties break by nn_id. Queries with fewer than k
     * candidates simply stop early (fewer output rows, never padding).
+    * Candidates with no row in `vectors` are excluded from EVERY round
+    * up front (their pair similarity is uncomputable; admitting them in
+    * round 1 only would strand later rounds — asserted in
+    * SimilaritySpec).
     *
     * Output: (q_id, mmr_rank, nn_id), mmr_rank 1..k in pick order. */
   def mmrRerank(candidates: DataFrame, vectors: DataFrame, k: Int,
@@ -267,10 +271,17 @@ object SimilarityOps {
     require(k >= 1, s"mmrRerank: k must be >= 1: $k")
     require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
       s"mmrRerank: lambdaPpm must be in [0, 1e6]: $lambdaPpm")
+    val ce = vectors.select(col("vec_id"), col("embedding"))
+    // a candidate whose vector is missing can never have its pair
+    // similarity computed — admit only covered candidates UP FRONT, so
+    // every round (including round 1) sees the same universe. Without
+    // this, round 1 would happily pick an uncovered candidate and the
+    // later rounds' inner embedding joins would silently strand the
+    // query with fewer than k picks.
     val relC = candidates.select(col("q_id"), col("nn_id"),
         round(col("cos") * lit(1000000.0)).cast("long").as("rel"))
+      .join(ce.select(col("vec_id").as("nn_id")), Seq("nn_id"), "left_semi")
       .localCheckpoint(true)
-    val ce = vectors.select(col("vec_id"), col("embedding"))
     var picked = relC
       .withColumn("__rk", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("rel").desc, col("nn_id").asc)))

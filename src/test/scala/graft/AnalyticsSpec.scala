@@ -692,6 +692,17 @@ class AnalyticsSpec extends SparkSpec {
         AnalyticsOps.kllSketches(big, Seq(col("k")), col("v")), Seq(0.5))
       .collect()(0).getSeq[Double](1).head
     assert(med > 50000 * 0.47 && med < 50000 * 0.53, s"median off: $med")
+    // merging k=1000 shards through a matching-k buffer stays EXACT even
+    // past k=200's capacity (the default buffer would silently cap to
+    // 200 and randomize — the reviewed merge-k bug)
+    val wide = (0 until 600).map(_.toDouble)
+    val wideShards = Seq(wide.take(300), wide.drop(300)).map(part =>
+      AnalyticsOps.kllSketches(part.map(v => ("a", v)).toDF("k", "v"),
+        Seq(col("k")), col("v"), k = 1000).localCheckpoint(true))
+    val wideMerged = AnalyticsOps.kllQuantiles(
+        AnalyticsOps.kllMergeSketchesK(Seq("k"), 1000, wideShards: _*), qs)
+      .collect()(0).getSeq[Double](1)
+    assert(wideMerged === qs.map(q => ref(wide, q)))
   }
 
   test("logisticScores matches the driver-side micro-grid GD reference") {

@@ -301,5 +301,11 @@ class SimilaritySpec extends SparkSpec {
     val short = SimilarityOps.mmrRerank(cand.filter(col("nn_id") === 10L),
       vecs, k = 3, lambdaPpm = 700000L).collect()
     assert(short.length === 1)
+    // candidates without a vector are excluded from EVERY round — the
+    // covered candidates still fill all reachable picks
+    val partial = SimilarityOps.mmrRerank(cand, vecs.filter(col("vec_id") =!= 10L),
+        k = 3, lambdaPpm = 700000L)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(partial === Seq(11L, 12L)) // 10 uncovered: 11 leads, 12 follows
   }
 }
