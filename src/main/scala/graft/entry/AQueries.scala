@@ -303,6 +303,14 @@ object AQueries {
         .orderBy("user_id")
     }),
 
+    "a45_windowed_topk" -> ((s, dir) => {
+      // E118: trending keys — top-3 users per 6-hour tumbling window,
+      // ties by key; the rank filter plans as WindowGroupLimit.
+      graft.operators.AnalyticsOps.windowedTopK(events(s, dir), "ts",
+          "6 hours", col("user_id"), k = 3)
+        .orderBy("w_start", "rank")
+    }),
+
     "a44_attribution" -> ((s, dir) => {
       // E112: last-touch attribution — each purchase credits the latest
       // click/view by the same user within a 1-day lookback; one window
@@ -644,6 +652,19 @@ object AQueries {
     // DuckDB's native ASOF JOIN; same-ts ties pre-deduped to the max
     // event_id (ASOF leaves the tie unspecified; TemporalOps.asofJoin
     // resolves it by tieBreak = max event_id)
+    // twin of windowedTopK(6h, k=3): epoch-aligned window starts, same
+    // (count desc, key) rank order
+    "a45_windowed_topk" ->
+      s"""WITH c AS (
+         |  SELECT ${wStartSql("ts", 21600)} AS w_start, user_id AS key,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT w_start, key, n,
+         |        row_number() OVER (PARTITION BY w_start ORDER BY n DESC, key) AS rank
+         |      FROM c)
+         |SELECT w_start, rank, key, n FROM r WHERE rank <= 3
+         |ORDER BY w_start, rank""".stripMargin,
+
     // twin of lastTouchAttribution: three coincident-null IGNORE NULLS
     // carries over the strictly-preceding frame (null patterns coincide
     // per row, so the three columns come from the same touch row),

@@ -723,6 +723,34 @@ object AnalyticsOps {
           col("__lt.ty")).as("touch_type"))
   }
 
+  /** Windowed top-k ("trending"): per tumbling event-time window, the k
+    * heaviest keys by row count, rank-ordered with deterministic ties
+    * (count desc, key asc). One hash aggregate (map-combined) over
+    * (window, key), then a rank window PER TIME WINDOW whose groups are
+    * bounded by key cardinality — and whose `rank <= k` filter plans as
+    * WindowGroupLimit, so each task forwards at most k rows per window
+    * before the final exchange (asserted for the same shape at t30).
+    * For unbounded key domains at 100 TB, put the E26 Misra-Gries pass
+    * in front to prune to candidate keys first; for streams, the
+    * (window, key) counts are the watermark-evictable state and the
+    * rank runs in foreachBatch over the closed windows.
+    *
+    * Output: (w_start epoch BIGINT, rank, key, n). */
+  def windowedTopK(df: DataFrame, tsCol: String, windowDur: String,
+                   keyCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"windowedTopK: k must be >= 1: $k")
+    val counts = df.groupBy(window(col(tsCol), windowDur),
+        keyCol.as("key"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("window"))
+      .orderBy(col("n").desc, col("key").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("rank"), col("key"), col("n"))
+  }
+
   /** Per-key HLL distinct-count sketches — the MERGEABLE form of
     * [[approxDistinctCount]], for when the answer has to update without
     * rescanning history: approx_count_distinct collapses to a number at

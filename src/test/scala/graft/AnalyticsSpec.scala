@@ -602,6 +602,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === c && a.nonEmpty)
   }
 
+  test("windowedTopK: per-window ranks, count ties break by key") {
+    val rows = Seq(
+      // window [0, 60): a x3, b x2, c x2, d x1 -> a, b, c (tie b<c)
+      (0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (5L, "c"), (6L, "c"), (7L, "d"),
+      // window [60, 120): d x2, a x1 -> d, a
+      (60L, "d"), (61L, "d"), (62L, "a")
+    ).toDF("sec", "k").withColumn("ts", timestamp_seconds(col("sec")))
+    val got = AnalyticsOps.windowedTopK(rows, "ts", "1 minute", col("k"), 3)
+      .orderBy("w_start", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 1, "a", 3L), (0L, 2, "b", 2L), (0L, 3, "c", 2L),
+      (60L, 1, "d", 2L), (60L, 2, "a", 1L)))
+  }
+
   test("lastTouchAttribution: window credit, organic conversions, same-ts tie by id") {
     val rows = Seq(
       (1L, 0L, 1L, "click"),     // touch

@@ -197,6 +197,13 @@ class OlapPlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected the carry window:\n$plan")
   }
 
+  test("a45 windowed top-k: rank filter plans as WindowGroupLimit") {
+    val plan = graft.entry.AQueries.queries("a45_windowed_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-window top-k must prune before the final exchange:\n$plan")
+  }
+
   test("s11 mmr: candidate and pair-similarity joins stay equi, no cartesian") {
     val plan = dPlanOf("s11_mmr_rerank")
     assert(!plan.contains("CartesianProduct"),
