@@ -572,6 +572,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK as a streaming monitor: watermarked window counts + foreachBatch rank equal the batch ranks") {
+    // the E118 streaming story: the (window, key) COUNTS are the
+    // engine-managed watermark state (a plain streaming agg in update
+    // mode); the rank is a per-trigger foreachBatch pass over the
+    // count table — additive merge by (window, key), rank recomputed
+    import graft.operators.AnalyticsOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var counts = Seq.empty[(Long, String, Long)].toDF("w_start", "key", "n")
+    val q = mem.toDF().toDF("sec", "k")
+      .withColumn("ts", timestamp_seconds($"sec"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute"), $"k")
+      .count()
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = batch.select(
+          unix_timestamp($"window.start").as("w_start"),
+          $"k".as("key"), $"count".as("n"))
+        // update-mode rows REPLACE the (window, key) state, not add to it
+        counts = counts.join(part.select($"w_start", $"key"),
+            Seq("w_start", "key"), "left_anti")
+          .unionByName(part).localCheckpoint(true)
+      }.start()
+    try {
+      mem.addData((0L, "a"), (1L, "a"), (2L, "b"), (62L, "d"))
+      q.processAllAvailable()
+      mem.addData((3L, "a"), (5L, "c"), (6L, "c"), (61L, "d"), (63L, "a"))
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"w_start").orderBy($"n".desc, $"key".asc)
+      val streamed = counts.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 2).select("w_start", "rank", "key", "n")
+        .orderBy("w_start", "rank").collect().map(_.toString).toSeq
+      val batchAll = AnalyticsOps.windowedTopK(
+          Seq((0L, "a"), (1L, "a"), (2L, "b"), (62L, "d"), (3L, "a"),
+            (5L, "c"), (6L, "c"), (61L, "d"), (63L, "a")).toDF("sec", "k")
+            .withColumn("ts", timestamp_seconds($"sec")),
+          "ts", "1 minute", $"k", k = 2)
+        .orderBy("w_start", "rank").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batchAll)
+    } finally q.stop()
+  }
+
   test("pointInTime as streaming fact enrichment: per-trigger lookups union to the batch result") {
     // the E116 streaming story: the SCD2 history is a static artifact
     // (rebuilt by the dimension pipeline, not by the fact stream); each
