@@ -105,6 +105,38 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("exactSplit matches a driver-side rank reference on random strata incl. nulls") {
+    import graft.operators.CurationOps
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 300L).map { i =>
+        val src = rnd.nextInt(5) match {
+          case 0 => null
+          case s => s"s$s"
+        }
+        (i, src)
+      }
+      val df = rows.toDF("doc_id", "src").repartition(7)
+      val got = CurationOps.exactSplit(df, col("doc_id"), col("src"),
+          weights = Seq("train" -> 700000L, "val" -> 150000L,
+            "test" -> 150000L), buckets = 64)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      // reference: per stratum (null is its own group), rank by
+      // (hash60, id), exact floor boundaries
+      val ref = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val ordered = g.map(_._1).sortBy(id =>
+          (graft.functions.Hashing.hash60Scalar(s"xsplit_$id"), id))
+        val n = ordered.size.toLong
+        val b1 = n * 700000L / 1000000L
+        val b2 = n * 850000L / 1000000L
+        ordered.zipWithIndex.map { case (id, rk) =>
+          id -> (if (rk < b1) "train" else if (rk < b2) "val" else "test") }
+      }
+      assert(got.size === 300, s"seed $seed: null-stratum rows were dropped")
+      assert(got === ref, s"seed $seed")
+    }
+  }
+
   test("dedupClusters matches union-find on random graphs") {
     for (seed <- Seq(3, 11)) {
       val rnd = new scala.util.Random(seed)
