@@ -9,9 +9,26 @@ import org.apache.spark.sql.SparkSession
   * local core count (SPARK_GRAFT_CPUS) instead of a constant — on a real
   * cluster this is overridden by AQE coalescing anyway. */
 object GraftSession {
+
+  /** FQCN of Spark's RocksDB state store provider (bundled — rocksdbjni
+    * ships in the Spark distribution, no extra dependency). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** @param stateStore streaming state-store backend: `"hdfs"` (default —
+    *   the reference's implicit choice, state lives on the executor HEAP
+    *   with checkpoint snapshots) or `"rocksdb"` (state spills to local
+    *   disk via the bundled RocksDB provider). The A12 running-totals
+    *   query family holds unbounded un-watermarked state (SURVEY §7.4.2):
+    *   at 100× key cardinality the in-memory store is the first thing to
+    *   fall over, and flipping this knob — not a code change — is the
+    *   production answer (the TTL variant `runningTotalsTtl` is the
+    *   other). Env override: SPARK_GRAFT_STATE_STORE. */
   def build(appName: String,
-            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
-    val spark = SparkSession.builder()
+            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+            stateStore: String =
+              sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")): SparkSession = {
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +38,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val configured = stateStore.toLowerCase match {
+      case "hdfs"    => builder
+      case "rocksdb" =>
+        builder.config("spark.sql.streaming.stateStore.providerClass",
+          RocksDbProvider)
+      case other => throw new IllegalArgumentException(
+        s"GraftSession: unknown stateStore '$other' (hdfs | rocksdb)")
+    }
+    val spark = configured.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

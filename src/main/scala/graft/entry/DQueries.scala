@@ -244,6 +244,19 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "m03_image_dedup" -> ((s, dir) => {
+      // E121 through the gate: REAL image bytes — each doc renders as a
+      // deterministic 16x16 24-bpp BMP (pixels from hash60, groups of 4
+      // planted as near-dup variants), the operator decodes the BYTES back
+      // to pixels, aHash-60s them, and mines pairs via the d04 chunk
+      // machinery. The oracle replays the pixel/hash arithmetic directly
+      // (it cannot parse BMP, but every channel value is pure md5 math).
+      val imgs = Multimodal.demoBmpCorpus(documents(s, dir), col("doc_id"))
+      Multimodal.imageNearDupPairs(imgs, col("doc_id"), col("payload"),
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "s04_range_join" -> ((s, dir) => {
       // E23 through the gate: events.value against 25 overlapping intervals
       // derived from the nation table; bucketized candidates must equal the
@@ -1505,6 +1518,43 @@ object DQueries {
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of imageNearDupPairs over demoBmpCorpus: the oracle engine
+    // cannot parse BMP bytes, but every pixel channel is exact md5-derived
+    // integer math (hash60 of "img:<group>:<x>:<y>", variant j inverting
+    // aHash cells < j), so it replays luma -> 2x2 cell means -> 60-bit
+    // average hash -> brute hamming pairs (pigeonhole makes the operator's
+    // chunked candidates exact at hamming <= 3, the d04 argument). All
+    // divisions are non-negative, so DuckDB's floor // == JVM truncation.
+    "m03_image_dedup" ->
+      """WITH raw AS (
+        |  SELECT d.doc_id, x.x, y.y,
+        |    CAST('0x' || substr(md5('img:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || CAST(x.x AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    ((y.y // 2) * 8 + (x.x // 2) < (d.doc_id % 4)) AS inv
+        |  FROM documents d, range(0, 16) x(x), range(0, 16) y(y)),
+        |ch AS (
+        |  SELECT doc_id, x, y,
+        |    CASE WHEN inv THEN 255 - (h % 256) ELSE (h % 256) END AS b,
+        |    CASE WHEN inv THEN 255 - ((h // 256) % 256) ELSE ((h // 256) % 256) END AS g,
+        |    CASE WHEN inv THEN 255 - ((h // 65536) % 256) ELSE ((h // 65536) % 256) END AS r
+        |  FROM raw),
+        |cells AS (
+        |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS k,
+        |    SUM((299 * r + 587 * g + 114 * b) // 1000) // 4 AS mean
+        |  FROM ch WHERE (y // 2) * 8 + (x // 2) < 60 GROUP BY 1, 2),
+        |withavg AS (
+        |  SELECT doc_id, k, mean,
+        |    SUM(mean) OVER (PARTITION BY doc_id) // 60 AS avg
+        |  FROM cells),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN mean > avg THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM withavg GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM hashes a, hashes b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the naive inequality join — bucketization must be invisible
     "s04_range_join" ->

@@ -29,11 +29,18 @@ object Hashing {
 
   /** Driver-side scalar twin of [[hash60]] — for precomputing constant
     * hash-derived parameters (LSH planes, IVF codebooks) once instead of
-    * evaluating md5 per row at runtime. */
+    * evaluating md5 per row at runtime. Also runs per row inside executor
+    * fixtures (demoBmpCorpus: 256 calls/doc), so the 60-bit value reads
+    * straight off the first 8 digest bytes — no hex-string formatting,
+    * identical result (15 hex digits = top 60 bits of the big-endian
+    * digest prefix). */
   def hash60Scalar(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4 // 64 digest bits -> leading 15 hex digits (60 bits)
   }
 
   /** Prime modulus < 2^32 for affine minhash permutations. Coefficients are

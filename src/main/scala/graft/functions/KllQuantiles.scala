@@ -110,18 +110,26 @@ case class KllMergeAgg(
   override def prettyName: String = "graft_kll_merge"
 
   // the buffer's k caps the merged accuracy (KLL merges resolve to the
-  // SMALLEST k involved): callers merging sketches built at k > default
-  // must pass the same k here or they silently degrade to k = 200 — the
-  // operator wrapper threads it through
+  // SMALLEST k involved): a buffer k below an input sketch's k would
+  // silently degrade that sketch to the buffer's accuracy, so update()
+  // reads each input's k from its own header and fails the job loudly
+  // on a mismatch instead (silent accuracy loss is a bug, not a mode)
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch,
                       input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null)
-      buffer.merge(KllDoublesSketch.heapify(
-        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val in = KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (in.getK > k) throw new IllegalArgumentException(
+        s"graft_kll_merge: input sketch built at k=${in.getK} but the merge " +
+          s"buffer has k=$k — merging would silently degrade accuracy to " +
+          s"k=$k (smallest-k-wins). Pass k >= ${in.getK} " +
+          "(AnalyticsOps.kllMergeSketchesK).")
+      buffer.merge(in)
+    }
     buffer
   }
 

@@ -816,8 +816,11 @@ object AnalyticsOps {
 
   /** Union independently built KLL sketch tables by key. `k` must be >=
     * the k the inputs were built with — the merge buffer participates in
-    * the library's smallest-k-wins rule, so the default would silently
-    * cap sketches built at k > 200 back to 200's accuracy. */
+    * the library's smallest-k-wins rule. The degradation cannot happen
+    * silently: the merge aggregate reads each input sketch's k from its
+    * header and FAILS the job if it exceeds the buffer's k, so this no-k
+    * overload is safe for default-k sketches and loud for everything
+    * else (use [[kllMergeSketchesK]] for higher-k inputs). */
   def kllMergeSketches(keyNames: Seq[String],
                        sketches: DataFrame*): DataFrame =
     kllMergeSketchesK(keyNames, graft.functions.KllQuantiles.DefaultK,

@@ -622,6 +622,15 @@ object CurationOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(tokensCol.cast("long")).as("n_tokens"))
       .withColumn("__tot", sum(col("n_tokens")).over(wAll))
+      // fail-loud convention: a corpus whose every stratum has zero (or
+      // all-null) tokens has no defined mixture — without this guard the
+      // non-ANSI division would silently emit null shares downstream
+      .withColumn("__tot",
+        when(col("__tot").isNull || col("__tot") <= 0L,
+          raise_error(lit("temperatureWeights: corpus has no tokens " +
+            "(all strata zero or null) — mixture weights are undefined"))
+            .cast("long"))
+          .otherwise(col("__tot")))
       .withColumn("r_micro",
         round(pow(col("n_tokens").cast("double") / col("__tot").cast("double"),
           lit(alphaD)) * lit(1000000.0)).cast("long"))

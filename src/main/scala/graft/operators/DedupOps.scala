@@ -742,18 +742,37 @@ object DedupOps {
   def crossSubstringContam(docs: DataFrame, idCol: Column, textCol: Column,
                            bench: DataFrame, benchTextCol: Column,
                            window: Int, stride: Int,
-                           offsetBlock: Int = 4096): DataFrame = {
-    val docWins = substringWindowCounts(docs, idCol, textCol, window, stride,
-      offsetBlock)
-    val benchKeys = substringWindowCounts(bench, lit(0L), benchTextCol,
-        window, stride = 1, offsetBlock)
+                           offsetBlock: Int = 4096): DataFrame =
+    crossSubstringContamFromCounts(
+      substringWindowCounts(docs, idCol, textCol, window, stride, offsetBlock),
+      docs.select(idCol.as("doc_id")),
+      benchKeySet(bench, benchTextCol, window, offsetBlock))
+
+  /** Distinct stride-1 window-key set of a benchmark corpus — the STATIC
+    * side of [[crossSubstringContam]], and the artifact a streaming
+    * monitor computes once and re-joins every trigger. */
+  def benchKeySet(bench: DataFrame, benchTextCol: Column, window: Int,
+                  offsetBlock: Int = 4096): DataFrame =
+    substringWindowCounts(bench, lit(0L), benchTextCol, window, stride = 1,
+        offsetBlock)
       .select(col("key")).distinct()
+
+  /** Report stage of [[crossSubstringContam]] over PRE-AGGREGATED corpus
+    * (key, doc_id, n_occ) partials, the doc-id registry, and a
+    * [[benchKeySet]] — the same streaming-monitor split as
+    * [[substringDupStatsFromCounts]] (E93): a foreachBatch monitor merges
+    * each trigger's [[substringWindowCounts]] partials into additive
+    * state (sum n_occ by (key, doc_id)), union-distincts the registry,
+    * and re-runs this report against the static bench keys — proven
+    * batch-equal in StreamingSpec. */
+  def crossSubstringContamFromCounts(docWins: DataFrame, docIds: DataFrame,
+                                     benchKeys: DataFrame): DataFrame = {
     val flagged = docWins
       .join(benchKeys.withColumn("__hit", lit(1)), Seq("key"), "left")
     val stats = flagged.groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("__nw"),
         sum(when(col("__hit") === 1, col("n_occ")).otherwise(0L)).as("__nc"))
-    docs.select(idCol.as("doc_id")).join(stats, Seq("doc_id"), "left")
+    docIds.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__nw"), lit(0L)).as("n_windows"),
         coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
@@ -862,7 +881,14 @@ object DedupOps {
     *
     * Output: (doc_a, doc_b, n_common, n_keys_a, containment_ppm) for
     * ordered pairs where doc_a's kept keys sit inside doc_b's at ≥ the
-    * threshold. */
+    * threshold. "Pair" means "shares at least one kept key": the inverted
+    * index only ENUMERATES pairs with a non-empty pruned intersection, so
+    * zero-intersection pairs are never emitted — even at
+    * `thresholdPpm = 0`, where containment 0 ≥ 0 would nominally pass
+    * (the DedupSpec maxDf fixture pins exactly this: pruning away the
+    * only shared key leaves nothing at a zero threshold). A containment
+    * of zero carries no dedup signal, so this is the contract, not a
+    * gap. */
   def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
                        k: Int, thresholdPpm: Long,
                        maxDf: Long = Long.MaxValue): DataFrame =

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * run as typed mapPartitions batches (the Scala analog of mapInPandas —
   * per-partition batch processing with an arbitrary native library inside).
   *
-  * [[MediaDecoder]] is a real pure-JVM header decoder for two public
-  * formats — BMP (BITMAPINFOHEADER family) and WAV (RIFF/WAVE) — with a
-  * byte-level fallback for anything else. Compressed codecs (JPEG/MP3/
-  * H.264) need native libraries this environment doesn't ship; they would
-  * slot into the same `decode` entry point without touching the Spark-side
-  * plumbing (schema, binary encoding, partition-batch shape), which is real
-  * and oracle-checked either way.
+  * [[MediaDecoder]] decodes three image formats and one audio format with
+  * no native libraries: BMP (BITMAPINFOHEADER family) and WAV (RIFF/WAVE)
+  * via pure-JVM header/byte readers, and JPEG/PNG via `javax.imageio` —
+  * the JDK's own headless, pure-Java codecs (magic-byte routed, so
+  * arbitrary binary never reaches a codec). Everything else degrades to a
+  * byte-level `raw` fallback that never throws. Video codecs (H.264 etc.)
+  * would slot into the same `decode` entry point; the Spark-side plumbing
+  * (schema, binary encoding, partition-batch shape) is real and
+  * oracle-checked either way.
   */
 object Multimodal {
 
@@ -154,8 +156,140 @@ object Multimodal {
       }
     }
 
+    /** Magic-byte sniff for the two compressed formats `javax.imageio`
+      * decodes pure-JVM and headless (no native libs, no display). */
+    private def looksJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+        (b(2) & 0xFF) == 0xFF
+    private def looksPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && (b(4) & 0xFF) == 0x0D && (b(5) & 0xFF) == 0x0A &&
+        (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0x0A
+
+    /** JPEG/PNG decode via the JDK's ImageIO — routed by magic bytes so a
+      * codec never sees arbitrary binary, and wrapped so a truncated or
+      * corrupt payload degrades to None (the MediaDecoder never-throw
+      * contract), not a job failure. Returns (format, image). */
+    def decodeImageIo(b: Array[Byte])
+        : Option[(String, java.awt.image.BufferedImage)] = {
+      val fmt = if (looksJpeg(b)) "jpeg" else if (looksPng(b)) "png" else null
+      if (fmt == null) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          .map(img => (fmt, img))
+      } catch { case _: Throwable => None }
+    }
+
+    /** Re-encode any decoded image as a standard bottom-up 24-bpp BMP —
+      * the bridge that lets JPEG/PNG payloads ride the same downstream
+      * pixel ops ([[downsampleBmp24]], [[aHash60]]) the uncompressed path
+      * uses. Row padding to 4 bytes, BGR byte order per the format. */
+    def toBmp24(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val out = java.nio.ByteBuffer.allocate(14 + 40 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(14 + 40 + rowBytes * h)
+        .putShort(0).putShort(0).putInt(14 + 40)
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      val arr = out.array()
+      var y = 0
+      while (y < h) {
+        val dstRow = h - 1 - y // bottom-up
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val off = 14 + 40 + dstRow * rowBytes + x * 3
+          arr(off) = (rgb & 0xFF).toByte             // B
+          arr(off + 1) = ((rgb >> 8) & 0xFF).toByte  // G
+          arr(off + 2) = ((rgb >> 16) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      arr
+    }
+
+    /** (width, height, luma accessor) over LOGICAL top-down coordinates of
+      * an uncompressed 24-bpp BMP; luma is the exact integer
+      * (299·R + 587·G + 114·B) div 1000 — no fp anywhere, so any engine
+      * replays it bit-for-bit. None for anything that isn't a valid
+      * uncompressed 24-bpp BMP. */
+    private def bmp24Luma(b: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] =
+      decodeBmp(b).flatMap { case (w, h, bpp) =>
+        val compression = if (b.length >= 34) u32le(b, 30) else -1L
+        val pixOff = u32le(b, 10)
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        val topDown = i32le(b, 22) < 0
+        if (bpp != 24 || compression != 0L ||
+          pixOff + rowBytes.toLong * h > b.length) None
+        else Some((w, h, (x: Int, y: Int) => {
+          val srcRow = if (topDown) y else h - 1 - y
+          val off = (pixOff + srcRow.toLong * rowBytes).toInt + x * 3
+          val bl = b(off) & 0xFF; val gr = b(off + 1) & 0xFF
+          val rd = b(off + 2) & 0xFF
+          (299 * rd + 587 * gr + 114 * bl) / 1000
+        }))
+      }
+
+    /** 60-bit average hash (aHash) of an image payload — the perceptual
+      * fingerprint behind image near-dup mining: 8×8 grid of mean lumas,
+      * each bit = "this cell is brighter than the image average". 60 bits
+      * (cells 0..59 in row-major order, the last 4 spare) instead of the
+      * classic 64 for the same reason [[DedupOps.simhash60]] is 60-bit:
+      * the value stays clear of the sign bit, every engine (and the
+      * DuckDB oracle) can rebuild it in plain BIGINT arithmetic, and the
+      * d04 4×15-bit pigeonhole chunk machinery applies unchanged
+      * (hamming ≤ 3 ⇒ one equal chunk — exact recall).
+      *
+      * All math is exact integers: cell (bx, by) covers
+      * x ∈ [bx·w/8, (bx+1)·w/8) (floor boundaries), cell mean = luma sum
+      * div cell pixel count, image average = sum of the 60 cell means
+      * div 60, bit = mean > avg. Accepts 24-bpp BMP directly or JPEG/PNG
+      * through ImageIO → [[toBmp24]]; images smaller than 8×8 (no
+      * non-empty cells) and undecodable payloads return None. */
+    def aHash60(payload: Array[Byte]): Option[Long] = {
+      val bmp = bmp24Luma(payload).map(Some(_)).getOrElse(
+        decodeImageIo(payload).flatMap { case (_, img) =>
+          bmp24Luma(toBmp24(img))
+        })
+      bmp.flatMap { case (w, h, luma) =>
+        if (w < 8 || h < 8) None
+        else {
+          val means = new Array[Long](60)
+          var k = 0
+          while (k < 60) {
+            val bx = k % 8; val by = k / 8
+            val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+            val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+            var sum = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += luma(x, y); n += 1; x += 1 }
+              y += 1
+            }
+            means(k) = sum / n
+            k += 1
+          }
+          val avg = means.sum / 60
+          var hash = 0L
+          k = 0
+          while (k < 60) {
+            if (means(k) > avg) hash |= (1L << k)
+            k += 1
+          }
+          Some(hash)
+        }
+      }
+    }
+
     /** Full decode: byte-level features always, plus the format-specific
-      * header fields when the payload is a valid BMP or WAV. */
+      * header fields when the payload is a valid BMP, JPEG, PNG, or WAV.
+      * For the ImageIO formats, bit_depth is the color model's pixel
+      * size. */
     def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
       val n = payload.length
       val first = if (n > 0) payload(0) & 0xFF else -1
@@ -164,13 +298,20 @@ object Multimodal {
         case Some((w, h, bpp)) =>
           MediaFeatures(docId, n, first, last, "bmp",
             Some(w), Some(h), Some(bpp), None, None, None)
-        case None => decodeWav(payload) match {
-          case Some((channels, rate, bits, samples)) =>
-            MediaFeatures(docId, n, first, last, "wav",
-              None, None, Some(bits), Some(channels), Some(rate), Some(samples))
-          case None =>
-            MediaFeatures(docId, n, first, last, "raw",
-              None, None, None, None, None, None)
+        case None => decodeImageIo(payload) match {
+          case Some((fmt, img)) =>
+            MediaFeatures(docId, n, first, last, fmt,
+              Some(img.getWidth), Some(img.getHeight),
+              Some(img.getColorModel.getPixelSize), None, None, None)
+          case None => decodeWav(payload) match {
+            case Some((channels, rate, bits, samples)) =>
+              MediaFeatures(docId, n, first, last, "wav",
+                None, None, Some(bits), Some(channels), Some(rate),
+                Some(samples))
+            case None =>
+              MediaFeatures(docId, n, first, last, "raw",
+                None, None, None, None, None, None)
+          }
         }
       }
     }
@@ -204,12 +345,13 @@ object Multimodal {
     * per-partition materialization), and the output is again an opaque
     * binary column + typed stats, so the downstream plumbing
     * (partitioning, writes, further decode stages) is ordinary Spark.
-    * Non-BMP / compressed payloads are dropped from the resized set —
-    * resizing what you can't decode is a silent-corruption bug, not a
-    * fallback (callers left-join the output back if they need the
-    * original rows). Channel sums over the OUTPUT pixels are exact
-    * integers — the deterministic check a spec (or a downstream monitor)
-    * compares against a reference loop. */
+    * JPEG/PNG payloads decode through ImageIO and ride the same
+    * downsample path via [[MediaDecoder.toBmp24]]; anything UNDECODABLE
+    * is dropped from the resized set — resizing what you can't decode is
+    * a silent-corruption bug, not a fallback (callers left-join the
+    * output back if they need the original rows). Channel sums over the
+    * OUTPUT pixels are exact integers — the deterministic check a spec
+    * (or a downstream monitor) compares against a reference loop. */
   def resizeImages(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"resizeImages: factor must be >= 1: $factor")
     val spark = media.sparkSession
@@ -218,9 +360,14 @@ object Multimodal {
         lit("image/bmp").as("media_type")).as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
+          val asBmp: Option[Array[Byte]] =
+            if (MediaDecoder.decodeBmp(r.payload).isDefined) Some(r.payload)
+            else MediaDecoder.decodeImageIo(r.payload)
+              .map { case (_, img) => MediaDecoder.toBmp24(img) }
           for {
-            (w, h, _) <- MediaDecoder.decodeBmp(r.payload)
-            out <- MediaDecoder.downsampleBmp24(r.payload, factor)
+            bmp <- asBmp
+            (w, h, _) <- MediaDecoder.decodeBmp(bmp)
+            out <- MediaDecoder.downsampleBmp24(bmp, factor)
             (wo, ho, _) <- MediaDecoder.decodeBmp(out)
           } yield {
             val rowOut = (wo * 3 + 3) / 4 * 4
@@ -240,6 +387,80 @@ object Multimodal {
           }
         }
       }.toDF()
+  }
+
+  /** Per-image 60-bit average hashes via typed mapPartitions (the
+    * [[extractFeatures]] batch shape — decoder setup amortizes per
+    * partition, rows stream). Undecodable / sub-8×8 payloads are dropped:
+    * a perceptual hash of bytes you can't decode is noise, not signal.
+    * Output (doc_id, simhash) — named for [[DedupOps.simhashPairs]],
+    * which consumes it unchanged. */
+  def imageHashes(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                  payloadCol: org.apache.spark.sql.Column): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(idCol.cast("long").as("doc_id"), payloadCol.as("payload"),
+        lit("image").as("media_type")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r => MediaDecoder.aHash60(r.payload)
+          .map(h => (r.doc_id, h)))
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Perceptual image near-dup pairs — the multimodal member of the dedup
+    * family (E3/E4 for pixels): aHash-60 fingerprints ([[MediaDecoder
+    * .aHash60]] — resize-robust by construction: the 8×8 cell means of an
+    * integer-factor downsample are means of the same pixel regions), then
+    * candidates and verification ride the d04 simhash machinery verbatim —
+    * 4×15-bit pigeonhole chunks (exact recall at hamming ≤ 3), bucket
+    * equi-join, bit_count(xor) verify. No image×image term anywhere; the
+    * only all-pairs work is within hash-equal chunk buckets, the standard
+    * banding bound. Composable with [[DedupOps.dedupClusters]] /
+    * [[DedupOps.canonicalPerCluster]] like any other pair miner. */
+  def imageNearDupPairs(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                        payloadCol: org.apache.spark.sql.Column,
+                        maxHamming: Int): DataFrame =
+    DedupOps.simhashPairs(imageHashes(media, idCol, payloadCol), maxHamming)
+
+  /** Deterministic 16×16 24-bpp BMP corpus derived from a document frame —
+    * the image-side analog of [[attachBinary]]'s text stand-in, but with
+    * REAL pixels: pixel (x, y) of group `doc_id div groupSize` takes its
+    * BGR channels from `hash60("img:<group>:<x>:<y>")` (exact md5-derived
+    * integers any engine replays), and variant `j = doc_id mod groupSize`
+    * inverts the pixels of aHash cells 0..j-1 — so each group is a planted
+    * near-dup family whose pairwise hash distance grows with |j_a − j_b|.
+    * The payloads are genuine BMP bytes: the gate round-trips them through
+    * [[MediaDecoder]]'s byte-level decode, which is the point. */
+  def demoBmpCorpus(df: DataFrame, idCol: org.apache.spark.sql.Column,
+                    groupSize: Int = 4): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // 256 md5s + a BMP encode per row: exactly the per-row-heavy shape
+    // Par.ensure exists for (an under-split parquet source would render
+    // the whole corpus on one core)
+    Par.ensure(df.select(idCol.cast("long").as("doc_id"))).as[Long].map { docId =>
+      val group = docId / groupSize
+      val j = (docId % groupSize).toInt
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val h = graft.functions.Hashing.hash60Scalar(s"img:$group:$x:$y")
+          var b = (h % 256).toInt
+          var g = ((h / 256) % 256).toInt
+          var r = ((h / 65536) % 256).toInt
+          // cell (x/2, y/2) in row-major aHash order; invert cells < j
+          if ((y / 2) * 8 + (x / 2) < j) { b = 255 - b; g = 255 - g; r = 255 - r }
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      (docId, MediaDecoder.toBmp24(img))
+    }.toDF("doc_id", "payload")
   }
 
   /** Frame sampling over "video" payloads: every `stride`-th frame of a

@@ -1,6 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LogicalRange}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
 
 /** Map-side parallelism guard for operators whose per-row work (shingle
   * construction, per-token hashing, heavy regexes) costs orders of magnitude
@@ -12,19 +16,66 @@ import org.apache.spark.sql.DataFrame
   * in thousands of splits and this guard is a no-op branch; it only inserts
   * a (cheap, row-sized) round-robin exchange when the source is under-split
   * relative to the cluster.
+  *
+  * The gate reads the ANALYZED logical plan's leaves only — it must not pay
+  * `df.rdd`, which forces full physical planning (finalized outside AQE) on
+  * every operator invocation just to learn a partition count, with the plan
+  * then re-planned from scratch for the real execution. File sources
+  * estimate their split count from the relation's byte size via Spark's own
+  * split formula; already-materialized RDD leaves (localCheckpoint results)
+  * read the existing RDD's partition count for free. Callers wrap raw
+  * SOURCES (see explodedShingleKeys), so leaves == the frame being gated.
   */
 object Par {
 
-  /** `df`, repartitioned to `defaultParallelism` iff it currently has fewer
-    * partitions (streaming frames pass through untouched — micro-batch
-    * splits are the trigger's concern, and `.rdd` is illegal on them). */
+  /** `df`, repartitioned to `defaultParallelism` iff its source leaves are
+    * estimated to arrive in fewer splits (streaming frames pass through
+    * untouched — micro-batch splits are the trigger's concern). Unknown
+    * leaf shapes are treated as under-split: in this repo they only occur
+    * for small in-memory frames, and a spurious row-sized exchange is
+    * noise next to the per-row compute these operators exist to spread. */
   def ensure(df: DataFrame): DataFrame = {
     if (df.isStreaming) df
     else {
-      val sc = df.sparkSession.sparkContext
-      if (df.rdd.getNumPartitions < sc.defaultParallelism)
-        df.repartition(sc.defaultParallelism)
-      else df
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      estimatedSourceSplits(df) match {
+        case Some(n) if n >= par => df
+        case _                   => df.repartition(par)
+      }
     }
+  }
+
+  /** Estimated split count of `df`'s source leaves, without physical
+    * planning. None = a leaf whose split count can't be read cheaply. */
+  private def estimatedSourceSplits(df: DataFrame): Option[Int] = {
+    val conf = df.sparkSession.sessionState.conf
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty) return Some(1)
+    // FilePartition's own sizing rule: small tables shrink the split size
+    // toward openCostInBytes to fill the cluster, capped at
+    // maxPartitionBytes — so a 17 MB parquet genuinely arrives in ~4
+    // splits at the default 4 MB open cost, not 1
+    def fileSplits(totalBytes: Long): Int = {
+      val total = math.max(1L, totalBytes)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(conf.filesOpenCostInBytes, total / math.max(1, par)))
+      ((total + maxSplit - 1) / maxSplit).min(Int.MaxValue).toInt
+    }
+    val counts = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fileSplits(fs.location.sizeInBytes))
+        case _                    => None
+      }
+      case v2: DataSourceV2Relation => v2.table match {
+        case ft: FileTable => Some(fileSplits(ft.fileIndex.sizeInBytes))
+        case _             => None
+      }
+      case rdd: LogicalRDD  => Some(rdd.rdd.getNumPartitions)
+      case _: LocalRelation => Some(1)
+      case r: LogicalRange  => Some(r.numSlices.getOrElse(par))
+      case _                => None
+    }
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 }

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation-pipeline timing at an arbitrary sf dir — the
+  * composition half of the scale sweep (individual heavy keys go through
+  * `graft.Bench` with a prefix filter). Benchmark set = every 997th doc
+  * (deterministic, corpus-proportional), which also exercises the
+  * decontamination stage with real hits (those docs drop as exact
+  * self-matches of the bench).
+  *
+  * Usage: runMain graft.tools.CurationSweep <sfDir> */
+object CurationSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-curation-sweep")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 997 === 0).select(col("text"))
+    val t0 = System.nanoTime()
+    val r = graft.jobs.CurationPipeline.run(docs, bench)
+    val n = r.curated.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val stages = r.stageCounts.map { case (s, c) => s""""$s":$c""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"curation_pipeline","value":$elapsed%.3f,"unit":"sec","curated":$n,"stages":$stages,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

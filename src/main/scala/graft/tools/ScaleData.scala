@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0 testdata generator — the 100×-the-gate robustness sweep's input
+  * (VERDICT r8 task 1). Scales the driver's sf0.1 tables 10× by unioning
+  * ten deterministically transformed copies, preserving each table's
+  * workload character:
+  *
+  *  - `documents`: copy k offsets doc_id by k·DocStride and rewrites the
+  *    text through a BIJECTIVE vocabulary substitution (word i → word
+  *    (i + 7k) mod V over the corpus's own ~31-word vocabulary). A
+  *    bijection preserves shingle-set Jaccard EXACTLY within a copy — the
+  *    planted near-dup/exact-dup structure replicates 10× — while texts
+  *    across copies share no structure (different substitution), so the
+  *    dedup workload scales linearly instead of degenerating into
+  *    10-cliques of wholesale copies. n_chars is recomputed (word lengths
+  *    change under substitution).
+  *  - `embeddings`: copy k rotates the 64 dims by 13k (norms and
+  *    within-copy cosines exactly preserved; cross-copy decorrelated)
+  *    and offsets vec_id.
+  *  - `events`: id/user offsets only — same 30-day window, 10× users,
+  *    10× volume, per-user cardinality constant (how user counts
+  *    actually scale).
+  *  - TPC-H tables: key offsets on every FK pair consistently
+  *    (order/lineitem, part, supplier, customer); `nation`/`region` are
+  *    fixed dimensions and copy once.
+  *
+  * Usage: runMain graft.tools.ScaleData [inDir] [outDir] [factor]
+  * (defaults /root/testdata/sf0.1 → ./testdata_sf1 ×10). Output is
+  * written once and reused; it is NOT committed (gitignored).
+  */
+object ScaleData {
+
+  val DocStride = 1000000L
+  val VecStride = 1000000L
+  val EventStride = 10000000L
+  val UserStride = 1000000L
+  val OrderStride = 10000000L
+  val PartStride = 1000000L
+  val SuppStride = 100000L
+  val CustStride = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "testdata_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaledata")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(df: DataFrame)(xform: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => xform(df, k)).reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaledata] $name done")
+    }
+
+    // documents: bijective per-copy vocab substitution
+    val docs = spark.read.parquet(s"$inDir/documents.parquet")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted // deterministic order
+    val v = vocab.length
+    write(copies(docs) { (df, k) =>
+      if (k == 0) df
+      else {
+        val mapping = vocab.indices.map(i => vocab(i) -> vocab((i + 7 * k) % v))
+        val mapCol = map(mapping.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
+        df.withColumn("text",
+            concat_ws(" ", transform(split(col("text"), " "),
+              w => coalesce(element_at(mapCol, w), w))))
+          .withColumn("doc_id", col("doc_id") + lit(k * DocStride))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }, "documents")
+
+    // embeddings: rotate dims by 13k, offset vec_id
+    val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
+    write(copies(emb) { (df, k) =>
+      if (k == 0) df
+      else {
+        val rot = (13 * k) % 64
+        df.withColumn("vec_id", col("vec_id") + lit(k * VecStride))
+          .withColumn("embedding",
+            expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64 + 1])"))
+      }
+    }, "embeddings")
+
+    // events: id/user offsets
+    val events = spark.read.parquet(s"$inDir/events.parquet")
+    write(copies(events) { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * EventStride))
+        .withColumn("user_id", col("user_id") + lit(k * UserStride))
+    }, "events")
+
+    // TPC-H fact/dim tables with consistent FK offsets
+    val lineitem = spark.read.parquet(s"$inDir/lineitem.parquet")
+    write(copies(lineitem) { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * OrderStride))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * PartStride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * SuppStride))
+    }, "lineitem")
+    val orders = spark.read.parquet(s"$inDir/orders.parquet")
+    write(copies(orders) { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * OrderStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * CustStride))
+    }, "orders")
+    val customer = spark.read.parquet(s"$inDir/customer.parquet")
+    write(copies(customer) { (df, k) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(k * CustStride))
+    }, "customer")
+    val part = spark.read.parquet(s"$inDir/part.parquet")
+    write(copies(part) { (df, k) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(k * PartStride))
+    }, "part")
+    val supplier = spark.read.parquet(s"$inDir/supplier.parquet")
+    write(copies(supplier) { (df, k) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * SuppStride))
+    }, "supplier")
+    // fixed dimensions
+    write(spark.read.parquet(s"$inDir/nation.parquet"), "nation")
+    write(spark.read.parquet(s"$inDir/region.parquet"), "region")
+
+    spark.stop()
+  }
+}

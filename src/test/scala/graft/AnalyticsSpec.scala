@@ -719,6 +719,17 @@ class AnalyticsSpec extends SparkSpec {
         AnalyticsOps.kllMergeSketchesK(Seq("k"), 1000, wideShards: _*), qs)
       .collect()(0).getSeq[Double](1)
     assert(wideMerged === qs.map(q => ref(wide, q)))
+    // the DEFAULT-k merge over those k=1000 shards must fail LOUDLY, not
+    // silently degrade to k=200 accuracy (smallest-k-wins): the merge
+    // aggregate reads each input's k from its header
+    val ex = intercept[Exception] {
+      AnalyticsOps.kllMergeSketches(Seq("k"), wideShards: _*).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("silently degrade"))),
+      s"expected the loud k-mismatch failure, got: ${ex.getMessage}")
   }
 
   test("logisticScores matches the driver-side micro-grid GD reference") {

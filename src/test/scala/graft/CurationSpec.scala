@@ -617,6 +617,18 @@ class CurationSpec extends SparkSpec {
     assert(temp("tail") > 100000L && temp("tail") < temp("big"))
     // shares sum to 1e6 up to the floor-division remainder
     assert(math.abs(temp.values.sum - 1000000L) <= temp.size)
+    // fail-loud convention: a corpus with no tokens anywhere has no
+    // defined mixture — must raise, not emit null shares
+    val degenerate = Seq(("a", 0L), ("b", 0L)).toDF("src", "toks")
+    val ex = intercept[Exception] {
+      CurationOps.temperatureWeights(degenerate, col("src"), col("toks"),
+        alphaPpm = 300000L).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("corpus has no tokens"))),
+      s"expected the no-tokens failure, got: ${ex.getMessage}")
   }
 
   test("exactSplit: exact per-stratum counts, matches the driver-side rank reference") {

@@ -218,4 +218,109 @@ class EtlSpec extends SparkSpec {
     }
     assert(idSums === srcSums)
   }
+
+  /** Deterministic RGB test image for the ImageIO paths. */
+  private def testImage(w: Int, h: Int,
+                        rgb: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage,
+                          fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("multimodal: JPEG and PNG decode through ImageIO; truncated falls to raw") {
+    val noise = (x: Int, y: Int) =>
+      (((x * 37 + y * 11) % 256) << 16) | (((x * 5 + y * 91) % 256) << 8) |
+        ((x * 71 + y * 3) % 256)
+    val jpeg = encodeImage(testImage(16, 12, noise), "jpg")
+    val png = encodeImage(testImage(10, 7, noise), "png")
+    val media = Seq((1L, jpeg), (2L, png), (3L, jpeg.take(50)))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit(0L).as("n_chars"), lit("xx").as("lang"),
+          lit("image/*").as("mime")).as("meta"))
+    val out = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val j = out(0)
+    assert(j.getString(4) === "jpeg")
+    assert(j.getInt(j.fieldIndex("width")) === 16)
+    assert(j.getInt(j.fieldIndex("height")) === 12)
+    assert(j.getInt(j.fieldIndex("bit_depth")) === 24)
+    val p = out(1)
+    assert(p.getString(4) === "png")
+    assert(p.getInt(p.fieldIndex("width")) === 10)
+    assert(p.getInt(p.fieldIndex("height")) === 7)
+    // a truncated JPEG must degrade to raw byte features, never throw
+    assert(out(2).getString(4) === "raw")
+  }
+
+  test("multimodal: PNG resizes losslessly through the BMP bridge; bad JPEG drops") {
+    import spark.implicits._
+    val noise = (x: Int, y: Int) =>
+      (((x * 37 + y * 11) % 256) << 16) | (((x * 5 + y * 91) % 256) << 8) |
+        ((x * 71 + y * 3) % 256)
+    val img = testImage(8, 6, noise)
+    val png = encodeImage(img, "png")
+    val jpeg = encodeImage(testImage(8, 6, noise), "jpg")
+    val media = Seq((1L, png), (2L, jpeg.take(60)), (3L, jpeg))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(media, factor = 2)
+      .orderBy("doc_id").collect()
+    // truncated JPEG dropped; PNG and whole JPEG resized
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val r = out(0)
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) === (8, 6, 4, 3))
+    // PNG is lossless: output pixel (x, y) == source pixel (2x, 2y) exactly
+    var (sb, sg, sr) = (0L, 0L, 0L)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val rgb = img.getRGB(x * 2, y * 2)
+      sb += rgb & 0xFF; sg += (rgb >> 8) & 0xFF; sr += (rgb >> 16) & 0xFF
+    }
+    assert((r.getLong(6), r.getLong(7), r.getLong(8)) === (sb, sg, sr))
+    assert(Multimodal.MediaDecoder.decodeBmp(r.getAs[Array[Byte]]("payload"))
+      === Some((4, 3, 24)))
+  }
+
+  test("imageNearDupPairs: planted variant groups pair; cross-group never") {
+    import spark.implicits._
+    val docs = (0L until 12L).toDF("doc_id") // 3 groups of 4 variants
+    val corpus = Multimodal.demoBmpCorpus(docs, col("doc_id"))
+    val pairs = Multimodal.imageNearDupPairs(corpus, col("doc_id"),
+        col("payload"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    // every surviving pair is within a planted group
+    assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 },
+      s"cross-group pair leaked: ${pairs.mkString(",")}")
+    // adjacent variants (one extra inverted cell) are the closest pairs:
+    // every group must pair at least its j=0/j=1 members
+    for (g <- 0L until 3L)
+      assert(pairs.exists { case (a, b, _) => a == g * 4 && b == g * 4 + 1 },
+        s"group $g lost its adjacent-variant pair")
+    // hamming is genuine bit distance, bounded by the planted cell flips
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("aHash60: JPEG re-encoding of a smooth image preserves the hash") {
+    // horizontal gray gradient: cell means are well separated, so the
+    // lossy JPEG round-trip may move lumas slightly but not across the
+    // global average — the perceptual-robustness property aHash exists for
+    val grad = (x: Int, y: Int) => { val v = x * 4; (v << 16) | (v << 8) | v }
+    val img = testImage(64, 64, grad)
+    val bmpHash = Multimodal.MediaDecoder.aHash60(
+      Multimodal.MediaDecoder.toBmp24(img)).get
+    val jpegHash = Multimodal.MediaDecoder.aHash60(
+      encodeImage(img, "jpg")).get
+    val hamming = java.lang.Long.bitCount(bmpHash ^ jpegHash)
+    assert(hamming <= 4, s"jpeg round-trip moved $hamming aHash bits")
+    // and the hash is non-degenerate (a gradient lights half the cells)
+    assert(java.lang.Long.bitCount(bmpHash) >= 16 &&
+      java.lang.Long.bitCount(bmpHash) <= 44)
+  }
 }

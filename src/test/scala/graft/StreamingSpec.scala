@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.StreamOps
@@ -134,6 +135,50 @@ class StreamingSpec extends SparkSpec {
       assert(k2.map(_._2).max == 1L, s"key 2 state must have been evicted: ${k2.toSeq}")
       assert(k2.map(_._3).max == 5.0) // 5.0 from batch 1, then restart at 2.0
     } finally q.stop()
+  }
+
+  test("A12 running totals on the RocksDB state store: spill-capable large state") {
+    // SURVEY §7.4.2: the un-watermarked A12 agg holds one state row per key
+    // FOREVER; the default HDFS-backed store keeps all of it on-heap, so at
+    // 100x key cardinality the provider knob — not a code change — is the
+    // production fix. This drives the same operator through RocksDB over a
+    // key domain big enough to mean something and checks (a) totals stay
+    // exact across micro-batches, (b) the query really ran on RocksDB
+    // (provider-specific metrics present).
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      GraftSession.RocksDbProvider)
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val agg = StreamOps.runningTotals(mem.toDF().toDF("user_id", "spend"),
+        Seq($"user_id"), $"spend")
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName("rocks_out").start()
+      try {
+        val keys = 0L until 20000L
+        mem.addData(keys.map(k => (k, 1.0)))
+        q.processAllAvailable()
+        mem.addData(keys.filter(_ % 2 == 0).map(k => (k, 2.0)))
+        q.processAllAvailable()
+        val rows = spark.table("rocks_out")
+          .as[(Long, Long, Double)].collect()
+        // update mode re-emits a key's row per updating batch: the final
+        // (max-arrivals) row per key carries the running total
+        val finalByKey = rows.groupBy(_._1).map { case (k, v) =>
+          k -> v.maxBy(_._2) }
+        assert(finalByKey.size === 20000)
+        assert(finalByKey(0L) === ((0L, 2L, 3.0)))
+        assert(finalByKey(1L) === ((1L, 1L, 1.0)))
+        assert(finalByKey(19998L) === ((19998L, 2L, 3.0)))
+        assert(finalByKey(19999L) === ((19999L, 1L, 1.0)))
+        // the state operator reports RocksDB-specific custom metrics iff
+        // the RocksDB provider actually backed the query
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"no rocksdb metrics — provider not engaged: ${metrics.keySet}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("runningTotalsTtl: batch mode degrades to plain per-key totals") {
@@ -457,6 +502,55 @@ class StreamingSpec extends SparkSpec {
           $"doc_id", $"text", window = 10, stride = 5)
         .orderBy("doc_id").collect().map(_.toString).toSeq
       assert(streamed.nonEmpty && streamed === batchAll)
+    } finally q.stop()
+  }
+
+  test("crossSubstringContam as a foreachBatch monitor: static bench keys vs merged corpus partials") {
+    // E94's streaming-monitor split: the benchmark key set is computed ONCE
+    // (static artifact), each trigger merges its corpus window partials into
+    // additive state, and the report re-joins state against the bench keys.
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val span = "ABCDEFGHIJKLMNOPQRST" // lives in the benchmark
+    val bench = Seq((1L, "xx" + span + "yy")).toDF("bench_id", "text")
+    val benchKeys = DedupOps.benchKeySet(bench, $"text", window = 10)
+      .localCheckpoint(true)
+    var counts = Seq.empty[(Long, Long, Long)].toDF("key", "doc_id", "n_occ")
+    var docIds = Seq.empty[Long].toDF("doc_id")
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = DedupOps.substringWindowCounts(batch, $"doc_id",
+          $"text", window = 10, stride = 5)
+        counts = counts.union(partial).groupBy($"key", $"doc_id")
+          .agg(sum($"n_occ").as("n_occ")).localCheckpoint(true)
+        docIds = docIds.union(batch.select($"doc_id")).distinct()
+          .localCheckpoint(true)
+      }.start()
+    try {
+      // doc 20 copies the span at an ODD alignment (stride-1 bench keys
+      // must still catch it); doc 21 is clean; doc 22 is sub-window short
+      val docs = Seq((20L, "z" + span + "0123456789"),
+        (21L, "qrstuvwxyzqrstuvwxyz"), (22L, "tiny"))
+      mem.addData(docs(0))
+      q.processAllAvailable()
+      mem.addData(docs(1), docs(2))
+      q.processAllAvailable()
+      val streamed = DedupOps.crossSubstringContamFromCounts(
+          counts, docIds, benchKeys)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val batchAll = DedupOps.crossSubstringContam(
+          docs.toDF("doc_id", "text"), $"doc_id", $"text",
+          bench, $"text", window = 10, stride = 5)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(streamed.nonEmpty && streamed === batchAll)
+      // and the signal is real: the copying doc is contaminated, the
+      // clean doc is not, the short doc re-admits with zeros
+      val byDoc = DedupOps.crossSubstringContamFromCounts(
+          counts, docIds, benchKeys)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(byDoc(20L) > 0L, s"misaligned copy missed: $byDoc")
+      assert(byDoc(21L) === 0L && byDoc(22L) === 0L)
     } finally q.stop()
   }
 
