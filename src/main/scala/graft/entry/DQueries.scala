@@ -177,6 +177,27 @@ object DQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    "d18_embedding_simhash" -> ((s, dir) => {
+      // E122 through the gate: the corpus is augmented with planted
+      // near-identical twins (vec_id + 1e6, first dim scaled 1.5x — pure
+      // double arithmetic both engines replay exactly), because the base
+      // embeddings have no pairs in the tight cos>=0.95 regime this
+      // operator targets. Everything casts to double FIRST so the
+      // augmented union is one type and the oracle's CAST matches.
+      val base = embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embeddings(s, dir).filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") * lit(1.5))
+              .otherwise(x.cast("double"))).as("embedding"))
+      SimilarityOps.embeddingNearDupPairs(base.unionByName(twins),
+          threshold = 0.95, maxHamming = 3)
+        .select(col("vec_a"), col("vec_b"), col("hamming"),
+          rnd(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     "s01_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -1452,6 +1473,45 @@ object DQueries {
          |  ${rndSql(cosSql("a.embedding", "b.embedding"))} AS cos
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a.embedding", "b.embedding")} >= $CosineThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // twin of embeddingNearDupPairs(threshold=0.95, maxHamming=3) over the
+    // twin-augmented corpus: planes rebuilt from hash60('esh_p_d'), the
+    // same left-fold double projections, 4x15-bit chunk candidates, exact
+    // cosine verify — sketches are deterministic, so banded == replayed
+    "d18_embedding_simhash" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(1, 65),
+         |    i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.5
+         |              ELSE CAST(embedding[i] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id < 50),
+         |planes AS (
+         |  SELECT p, list_transform(range(0, 64), d ->
+         |    CASE WHEN (${h60Sql("'esh_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS w
+         |  FROM range(0, 60) t(p)),
+         |fp AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+         |               i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT)) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM aug e, planes pl GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    bit_count(xor(a.sh, b.sh)) AS hamming
+         |  FROM fp a, fp b, range(0, 4) t(c)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ((a.sh >> CAST(c * 15 AS INT)) & 32767) = ((b.sh >> CAST(c * 15 AS INT)) & 32767)
+         |    AND bit_count(xor(a.sh, b.sh)) <= 3)
+         |SELECT c.vec_a, c.vec_b, CAST(c.hamming AS INT) AS hamming,
+         |  ${rndSql(cosSql("ea.embedding", "eb.embedding"))} AS cos
+         |FROM cand c
+         |JOIN aug ea ON ea.vec_id = c.vec_a
+         |JOIN aug eb ON eb.vec_id = c.vec_b
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "s01_ann_topk" ->

@@ -38,6 +38,80 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** 60-bit random-hyperplane sign sketch per vector — "simhash for
+    * embeddings", the scale path for ALL-PAIRS embedding near-dup mining
+    * (E5's `cosinePairsBrute` is the O(n²) oracle twin; [[lshBuckets]] is
+    * query-vs-corpus top-k, a different shape). Bit p = sign of
+    * dot(v, plane_p) with ±1 Rademacher planes derived from hash60 (the
+    * [[lshBuckets]]/[[randomProject]] convention — reproducible bit-for-bit
+    * with no stored artifact, and the DuckDB oracle rebuilds every plane).
+    * 60 bits, not 64: the sign-bit/BIGINT-portability rule shared with
+    * `DedupOps.simhash60` and `Multimodal.aHash60`, and it makes
+    * `DedupOps.simhashPairs`' 4×15-bit pigeonhole machinery apply
+    * verbatim.
+    *
+    * Hamming distance estimates angle: P(bit differs) = θ/π, so cos 0.95
+    * pairs (θ≈18°) differ on ~6% of bits (E[hamming]≈3.6 of 60) —
+    * chunk-banded candidates at maxHamming 3 target the TIGHT near-dup
+    * regime (dup detection), not broad similarity (that's [[lshTopK]]'s
+    * job). All 60 planes ship as one nested literal, one `transform`
+    * computes the projections (the lshBuckets plan-compilation lesson).
+    * Output (doc_id, simhash) — named for simhashPairs. */
+  def embeddingSimhash(corpus: DataFrame, dim: Int = 64): DataFrame = {
+    val planesLit = array((0 until 60).map(p =>
+      array(Array.tabulate(dim) { d =>
+        if ((Hashing.hash60Scalar(s"esh_${p}_$d") & 1L) == 0L) 1.0 else -1.0
+      }.map(lit).toIndexedSeq: _*)): _*)
+    val projs = transform(planesLit, w => dot(col("embedding"), w))
+    val powers = array((0 until 60).map(p => lit(1L << p)): _*)
+    val fp = aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, p) =>
+      acc + when(element_at(col("__projs"), p + 1) > 0,
+        element_at(powers, p + 1)).otherwise(0L))
+    corpus.select(col("vec_id"), projs.as("__projs"))
+      .select(col("vec_id").as("doc_id"), fp.as("simhash"))
+  }
+
+  /** All-pairs embedding near-dup mining at scale: sketch → 4×15-bit
+    * pigeonhole chunk candidates (`DedupOps.simhashPairs` verbatim — one
+    * bucket equi-join, no vector×vector term) → exact-cosine verification
+    * of the candidate pairs only. Exact recall for pairs within
+    * `maxHamming` sketch bits (pigeonhole); pairs at the threshold whose
+    * sketches happen to differ on more bits are missed — the
+    * deterministic-sketch trade (planted near-identical recall asserted
+    * in SimilaritySpec; the oracle replays the same sketches, so the gate
+    * is exact regardless). Composes with `DedupOps.dedupClusters` /
+    * `canonicalPerCluster` like any pair miner.
+    *
+    * Output: (vec_a, vec_b, hamming, cos) for verified pairs with
+    * cos ≥ threshold. */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            maxHamming: Int = 3, dim: Int = 64): DataFrame = {
+    // eager materialization ×2 (the d03 persist lesson, measured 43.6 s →
+    // ~2.5 s at sf0.1 combined): (1) the INPUT projection — the 60-dot
+    // sketch references the embedding inside a HOF chain, and a lazy
+    // upstream expression (cast/union/transform) re-evaluates inside that
+    // interpreted path per reference (13.6 s vs 2.4 s for the sketch
+    // alone); (2) the SKETCH frame — the bucket self-join reads it on
+    // both sides and would otherwise pay the projection plan per branch.
+    // One row per vector each: at scale the sketch table IS the persisted
+    // artifact, like the minhash signature table.
+    val e = corpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val pairs = graft.operators.DedupOps
+      .simhashPairs(embeddingSimhash(e, dim).localCheckpoint(true),
+        maxHamming)
+    pairs
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        col("hamming"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")),
+        "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")),
+        "vec_b")
+      .withColumn("cos", cosine(col("__ea"), col("__eb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "hamming", "cos")
+  }
+
   /** Brute-force cosine top-k: queries × corpus cross join (queries
     * broadcast), per-query rank by (similarity desc, id asc). The window
     * sort is per-query over corpus-size rows — the exact-search baseline

@@ -94,7 +94,7 @@ object ScaleData {
         val rot = (13 * k) % 64
         df.withColumn("vec_id", col("vec_id") + lit(k * VecStride))
           .withColumn("embedding",
-            expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64 + 1])"))
+            expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64])"))
       }
     }, "embeddings")
 

@@ -308,4 +308,36 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
     assert(partial === Seq(11L, 12L)) // 10 uncovered: 11 leads, 12 follows
   }
+
+  test("embeddingNearDupPairs: exact copies always pair, perturbed twins mostly, strangers never") {
+    import spark.implicits._
+    // deterministic base vectors; for each base: one EXACT copy (hamming 0
+    // by construction — the pigeonhole guarantees it pairs) and one lightly
+    // perturbed twin (near-identical cosine, few sketch bits move)
+    def vec(seed: Int): Array[Double] = Array.tabulate(16) { d =>
+      ((graft.functions.Hashing.hash60Scalar(s"env_${seed}_$d") % 2001) - 1000) / 1000.0
+    }
+    val rows =
+      (0 until 20).map(i => (i.toLong, vec(i))) ++
+      (0 until 20).map(i => (100L + i, vec(i))) ++                    // exact copies
+      (0 until 20).map { i =>
+        val v = vec(i); v(0) *= 1.2; (200L + i, v)                    // perturbed twins
+      }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.embeddingNearDupPairs(corpus,
+        threshold = 0.95, maxHamming = 3, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact copy pairs with its base (xor of identical sketches = 0)
+    (0 until 20).foreach(i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"exact copy $i missed"))
+    // perturbed twins: deterministic-sketch recall is high but not total —
+    // require most of the planted family found (base-twin or copy-twin)
+    val twinHits = (0 until 20).count(i =>
+      pairs.contains((i.toLong, 200L + i)) || pairs.contains((100L + i, 200L + i)))
+    assert(twinHits >= 14, s"only $twinHits/20 perturbed twins found")
+    // and no cross-family pair survives the cosine verify
+    def fam(id: Long) = id % 100
+    assert(pairs.forall { case (a, b) => fam(a) == fam(b) },
+      s"cross-family pair leaked: ${pairs.filterNot { case (a, b) => fam(a) == fam(b) }}")
+  }
 }
