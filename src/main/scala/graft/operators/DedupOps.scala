@@ -702,13 +702,6 @@ object DedupOps {
       .agg(count(lit(1)).as("n_occ"))
   }
 
-  /** Report stage of [[substringDupStats]] over a PRE-AGGREGATED
-    * (key, doc_id, n_occ) table plus the doc-id registry (which re-admits
-    * docs shorter than the window with zero counts — the registry is
-    * additive too, a per-trigger union-distinct in the monitor). The
-    * per-key doc count, dup flag, and count-join are partition-local on
-    * the counts' key partitioning; only the per-doc rollup and the
-    * registry join exchange. */
   /** Cross-corpus substring contamination — the character-level
     * decontamination signal beside E82's token k-grams (and the
     * cross-corpus form of [[substringDupStats]], as E85 is to E3): per
@@ -959,6 +952,13 @@ object DedupOps {
     fwd.unionByName(rev).filter(col("containment_ppm") >= thresholdPpm)
   }
 
+  /** Report stage of [[substringDupStats]] over a PRE-AGGREGATED
+    * (key, doc_id, n_occ) table plus the doc-id registry (which re-admits
+    * docs shorter than the window with zero counts — the registry is
+    * additive too, a per-trigger union-distinct in the monitor). The
+    * per-key doc count, dup flag, and count-join are partition-local on
+    * the counts' key partitioning; only the per-doc rollup and the
+    * registry join exchange. */
   def substringDupStatsFromCounts(counts: DataFrame,
                                   docIds: DataFrame): DataFrame = {
     // one row per (key, doc) going in, so count(*) IS the distinct-doc count

@@ -307,6 +307,31 @@ class EtlSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("image pairs compose with dedupClusters + canonicalPerCluster like any miner") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val docs = (0L until 8L).toDF("doc_id") // 2 planted groups of 4
+    val corpus = Multimodal.demoBmpCorpus(docs, col("doc_id"))
+    val pairs = Multimodal.imageNearDupPairs(corpus, col("doc_id"),
+      col("payload"), maxHamming = 3)
+    val clusters = DedupOps.dedupClusters(docs.select(col("doc_id")),
+      pairs.select(col("doc_a"), col("doc_b")))
+    val rep = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // paired docs share a rep; the two groups never merge
+    pairs.collect().foreach(p =>
+      assert(rep(p.getLong(0)) === rep(p.getLong(1))))
+    assert((0L until 4L).map(rep).toSet.intersect(
+      (4L until 8L).map(rep).toSet).isEmpty, s"groups merged: $rep")
+    // canonical selection: highest integer score wins within each cluster
+    val scores = docs.select(col("doc_id"), (col("doc_id") * 10L).as("score"))
+    val keep = DedupOps.canonicalPerCluster(clusters, scores,
+        col("doc_id"), col("score"))
+      .filter(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    // one keeper per cluster, and it's that cluster's max-score member
+    val byRep = rep.groupBy(_._2).view.mapValues(_.keys.max).toMap
+    assert(keep === byRep.values.toSet, s"keepers $keep vs $byRep")
+  }
+
   test("aHash60: JPEG re-encoding of a smooth image preserves the hash") {
     // horizontal gray gradient: cell means are well separated, so the
     // lossy JPEG round-trip may move lumas slightly but not across the

@@ -43,6 +43,21 @@ class OlapPlanSpec extends SparkSpec {
     graft.entry.DQueries.queries(key)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  test("m03/d18 image+embedding pair miners: chunk equi-joins, no cartesian") {
+    // both new dedup-family members ride the d04 simhash chunk machinery;
+    // their candidate generation must plan as hash-key equi-joins (d18's
+    // internal checkpoints re-root parts of the plan, but the bucket
+    // self-join and the cosine-verify joins remain visible downstream)
+    for (key <- Seq("m03_image_dedup", "d18_embedding_simhash")) {
+      val plan = dPlanOf(key)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$key candidates must be chunk equi-joins:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findAllIn(plan).nonEmpty, s"$key: no equi-join found:\n$plan")
+    }
+  }
+
   test("t30 weighted sample: rank filter plans as WindowGroupLimit") {
     val plan = dPlanOf("t30_weighted_sample")
     assert(plan.contains("WindowGroupLimit"),
