@@ -125,8 +125,10 @@ object Bench {
     // re-runs, reporting the MIN of all observations and tagging the key —
     // variance is one-sided (a pause only ever inflates), so min is the
     // honest estimator here, unlike the multi-trial mode where the median
-    // guards both tails. Sub-second priors are exempt (a 1 s floor):
-    // re-probing noise-band queries would churn without information.
+    // guards both tails. The +1 s ABSOLUTE-delta floor keeps noise-band
+    // churn out: a blip must both exceed 2.5x its prior and cost more
+    // than a second of real wall time before a re-probe is worth two
+    // extra executions.
     val priors: Map[String, Double] =
       if (trials > 1) Map.empty
       else try {

@@ -166,16 +166,34 @@ object Multimodal {
         b(3) == 'G' && (b(4) & 0xFF) == 0x0D && (b(5) & 0xFF) == 0x0A &&
         (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0x0A
 
+    /** Decoded images above this pixel count are treated as undecodable:
+      * the 24-bpp re-encode ([[toBmp24]]) needs rowBytes·h + 54 to fit an
+      * Int (JVM array limit), and 3·(w·h) stays under 2³¹ iff
+      * w·h ≤ ~7.1e8 — half a gigapixel is far past any legitimate
+      * thumbnail/feature input, so the cap costs nothing real. */
+    private val MaxImagePixels = 1L << 29
+
+    // ImageIO's default InputStream path spools through a TEMP FILE
+    // (FileCacheImageInputStream) — per-row disk I/O on the executor hot
+    // path. Disable once per JVM; decode then stays in memory.
+    private lazy val imageIoNoCache: Unit =
+      try javax.imageio.ImageIO.setUseCache(false)
+      catch { case _: Throwable => () }
+
     /** JPEG/PNG decode via the JDK's ImageIO — routed by magic bytes so a
       * codec never sees arbitrary binary, and wrapped so a truncated or
       * corrupt payload degrades to None (the MediaDecoder never-throw
-      * contract), not a job failure. Returns (format, image). */
+      * contract), not a job failure. Images past [[MaxImagePixels]] also
+      * return None — the downstream BMP bridge cannot represent them, and
+      * "dropped, not guessed at" is the contract. Returns (format, image). */
     def decodeImageIo(b: Array[Byte])
         : Option[(String, java.awt.image.BufferedImage)] = {
       val fmt = if (looksJpeg(b)) "jpeg" else if (looksPng(b)) "png" else null
       if (fmt == null) None
       else try {
+        imageIoNoCache
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+          .filter(img => img.getWidth.toLong * img.getHeight <= MaxImagePixels)
           .map(img => (fmt, img))
       } catch { case _: Throwable => None }
     }

@@ -57,18 +57,20 @@ object SimilarityOps {
     * job). All 60 planes ship as one nested literal, one `transform`
     * computes the projections (the lshBuckets plan-compilation lesson).
     * Output (doc_id, simhash) — named for simhashPairs. */
-  def embeddingSimhash(corpus: DataFrame, dim: Int = 64): DataFrame = {
+  def embeddingSimhash(corpus: DataFrame, idCol: Column = col("vec_id"),
+                       embCol: Column = col("embedding"),
+                       dim: Int = 64): DataFrame = {
     val planesLit = array((0 until 60).map(p =>
       array(Array.tabulate(dim) { d =>
         if ((Hashing.hash60Scalar(s"esh_${p}_$d") & 1L) == 0L) 1.0 else -1.0
       }.map(lit).toIndexedSeq: _*)): _*)
-    val projs = transform(planesLit, w => dot(col("embedding"), w))
+    val projs = transform(planesLit, w => dot(embCol, w))
     val powers = array((0 until 60).map(p => lit(1L << p)): _*)
     val fp = aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, p) =>
       acc + when(element_at(col("__projs"), p + 1) > 0,
         element_at(powers, p + 1)).otherwise(0L))
-    corpus.select(col("vec_id"), projs.as("__projs"))
-      .select(col("vec_id").as("doc_id"), fp.as("simhash"))
+    corpus.select(idCol.as("__vid"), projs.as("__projs"))
+      .select(col("__vid").as("doc_id"), fp.as("simhash"))
   }
 
   /** All-pairs embedding near-dup mining at scale: sketch → 4×15-bit
@@ -85,7 +87,9 @@ object SimilarityOps {
     * Output: (vec_a, vec_b, hamming, cos) for verified pairs with
     * cos ≥ threshold. */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
-                            maxHamming: Int = 3, dim: Int = 64): DataFrame = {
+                            maxHamming: Int = 3, dim: Int = 64,
+                            idCol: Column = col("vec_id"),
+                            embCol: Column = col("embedding")): DataFrame = {
     // eager materialization ×2 (the d03 persist lesson, measured 43.6 s →
     // ~2.5 s at sf0.1 combined): (1) the INPUT projection — the 60-dot
     // sketch references the embedding inside a HOF chain, and a lazy
@@ -95,10 +99,10 @@ object SimilarityOps {
     // both sides and would otherwise pay the projection plan per branch.
     // One row per vector each: at scale the sketch table IS the persisted
     // artifact, like the minhash signature table.
-    val e = corpus.select(col("vec_id"), col("embedding"))
+    val e = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
       .localCheckpoint(true)
     val pairs = graft.operators.DedupOps
-      .simhashPairs(embeddingSimhash(e, dim).localCheckpoint(true),
+      .simhashPairs(embeddingSimhash(e, dim = dim).localCheckpoint(true),
         maxHamming)
     pairs
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),

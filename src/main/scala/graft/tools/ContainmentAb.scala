@@ -18,18 +18,7 @@ object ContainmentAb {
     val sfDir = args(0)
     val k = args(1).toInt
     val maxDf = if (args.length > 2) args(2).toLong else Long.MaxValue
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-containment-ab")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.build("graft-containment-ab")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // df distribution diagnostic (one cheap agg)
     val keys = graft.operators.DedupOps.docKeySet(docs, col("doc_id"),

@@ -46,17 +46,7 @@ object ScaleData {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "testdata_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-scaledata")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.build("graft-scaledata")
 
     def copies(df: DataFrame)(xform: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => xform(df, k)).reduce(_ unionByName _)
@@ -67,17 +57,31 @@ object ScaleData {
       println(s"[scaledata] $name done")
     }
 
-    // documents: bijective per-copy vocab substitution
+    // documents: bijective per-copy vocab substitution. An AFFINE map
+    // i -> (a·i + b) mod V (gcd(a, V) = 1) stays a bijection for any copy
+    // count — plain rotations repeat after V copies, which would plant
+    // wholesale exact duplicates across distant copies at factor > V.
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
     val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct()
       .collect().map(_.getString(0)).sorted // deterministic order
     val v = vocab.length
+    // (a, b) must be INJECTIVE in the copy index below |units(v)|·v copies —
+    // a collision would plant wholesale exact duplicates across distant
+    // copies (the first cut wrapped a through 31→30 slots and pigeonholed
+    // 3 copy pairs into identical substitutions at factor 100 — caught by
+    // the distinct-text count: 484,224 ≠ 100 × 4,992). Enumerate the
+    // multiplicative units of v ONCE and index them cyclically: injective
+    // for ANY v, prime or composite (a scan-forward-to-coprime would remap
+    // two residues to the same unit when v is composite).
+    val units = (1 until v).filter(a => BigInt(a).gcd(BigInt(v)) == 1).toArray
     write(copies(docs) { (df, k) =>
       if (k == 0) df
       else {
-        val mapping = vocab.indices.map(i => vocab(i) -> vocab((i + 7 * k) % v))
-        val mapCol = map(mapping.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
+        val a = units(k % units.length)
+        val b = 1 + (k / units.length) % (v - 1)
+        val mapping = vocab.indices.map(i => vocab(i) -> vocab((a * i + b) % v))
+        val mapCol = map(mapping.flatMap { case (x, y) => Seq(lit(x), lit(y)) }: _*)
         df.withColumn("text",
             concat_ws(" ", transform(split(col("text"), " "),
               w => coalesce(element_at(mapCol, w), w))))
@@ -86,15 +90,18 @@ object ScaleData {
       }
     }, "documents")
 
-    // embeddings: rotate dims by 13k, offset vec_id
+    // embeddings: rotate dims by 13k (+ a global sign flip past one full
+    // rotation cycle — cosines are invariant, cross-copy dots decorrelate),
+    // offset vec_id
     val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
     write(copies(emb) { (df, k) =>
       if (k == 0) df
       else {
         val rot = (13 * k) % 64
+        val sign = if ((k / 64) % 2 == 1) -1.0 else 1.0
         df.withColumn("vec_id", col("vec_id") + lit(k * VecStride))
           .withColumn("embedding",
-            expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64])"))
+            expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64] * $sign)"))
       }
     }, "embeddings")
 
