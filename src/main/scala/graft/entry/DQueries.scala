@@ -198,6 +198,24 @@ object DQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    "d19_cross_embedding_dedup" -> ((s, dir) => {
+      // E123 through the gate: the twins play the freshly-ingested shard,
+      // the base embeddings the standing corpus — pairs cross sides only
+      // (no corpus self-pairing), same sketches/planes as d18.
+      val base = embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embeddings(s, dir).filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") * lit(1.5))
+              .otherwise(x.cast("double"))).as("embedding"))
+      SimilarityOps.crossEmbeddingNearDupPairs(twins, base,
+          threshold = 0.95, maxHamming = 3)
+        .select(col("vec_a"), col("vec_b"), col("hamming"),
+          rnd(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     "s01_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -1511,6 +1529,49 @@ object DQueries {
          |FROM cand c
          |JOIN aug ea ON ea.vec_id = c.vec_a
          |JOIN aug eb ON eb.vec_id = c.vec_b
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.95
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // twin of crossEmbeddingNearDupPairs(twins -> base): same plane/sketch
+    // replay as d18 but candidates CROSS sides only — the incremental-
+    // ingestion semantics (no corpus self-pairing, no ordering filter)
+    "d19_cross_embedding_dedup" ->
+      s"""WITH newv AS (
+         |  SELECT vec_id + 1000000 AS vec_id, list_transform(range(1, 65),
+         |    i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.5
+         |              ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+         |  FROM embeddings WHERE vec_id < 50),
+         |corp AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS embedding FROM embeddings),
+         |planes AS (
+         |  SELECT p, list_transform(range(0, 64), d ->
+         |    CASE WHEN (${h60Sql("'esh_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS w
+         |  FROM range(0, 60) t(p)),
+         |fpn AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+         |               i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT)) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM newv e, planes pl GROUP BY 1),
+         |fpc AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+         |               i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT)) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM corp e, planes pl GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    bit_count(xor(a.sh, b.sh)) AS hamming
+         |  FROM fpn a, fpc b, range(0, 4) t(c)
+         |  WHERE ((a.sh >> CAST(c * 15 AS INT)) & 32767) = ((b.sh >> CAST(c * 15 AS INT)) & 32767)
+         |    AND bit_count(xor(a.sh, b.sh)) <= 3)
+         |SELECT c.vec_a, c.vec_b, CAST(c.hamming AS INT) AS hamming,
+         |  ${rndSql(cosSql("ea.embedding", "eb.embedding"))} AS cos
+         |FROM cand c
+         |JOIN newv ea ON ea.vec_id = c.vec_a
+         |JOIN corp eb ON eb.vec_id = c.vec_b
          |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin,
 

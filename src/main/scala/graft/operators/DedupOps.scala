@@ -538,6 +538,31 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-table form of [[simhashPairs]] — the incremental-ingestion
+    * shape (the E85 pattern for sign sketches): candidates are (left doc,
+    * right doc) pairs sharing a 15-bit chunk, no within-side pairing, no
+    * ordering filter (the sides are distinct corpora). At scale the right
+    * side's bucket table is the persisted artifact; a daily shard sketches
+    * only itself. Output (doc_a ∈ left, doc_b ∈ right, hamming). */
+  def simhashPairsCross(left: DataFrame, right: DataFrame,
+                        maxHamming: Int): DataFrame = {
+    def buckets(fp: DataFrame, idName: String, hName: String): DataFrame = {
+      val chunks = (0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ck")))
+      fp.select(col("doc_id"), col("simhash"),
+          explode(array(chunks: _*)).as("bk"))
+        .select(col("doc_id").as(idName), col("simhash").as(hName),
+          col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
+    }
+    buckets(left, "doc_a", "ha").join(buckets(right, "doc_b", "hb"),
+        Seq("chunk", "ck"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Boilerplate line removal (CCNet/RefinedWeb-style): drop every "line"
     * that occurs in at least `minDocs` DISTINCT documents, keep the rest in
     * order, and report the per-document removal count. Headers, footers,

@@ -116,6 +116,39 @@ object SimilarityOps {
       .select("vec_a", "vec_b", "hamming", "cos")
   }
 
+  /** Cross-corpus embedding near-dup — the incremental-ingestion form of
+    * [[embeddingNearDupPairs]] (as E85 is to E3, for vectors): (new
+    * vector, corpus vector) pairs with cos ≥ threshold, WITHOUT
+    * re-pairing the corpus against itself. Both sides sketch with the
+    * SAME hash-derived planes, candidates come from the cross-table
+    * chunk join (`DedupOps.simhashPairsCross`), exact cosine verifies.
+    * At scale the corpus sketch table is the persisted artifact — a
+    * daily shard sketches only itself and joins against it. Output:
+    * (vec_a ∈ newVecs, vec_b ∈ corpus, hamming, cos). */
+  def crossEmbeddingNearDupPairs(newVecs: DataFrame, corpus: DataFrame,
+                                 threshold: Double, maxHamming: Int = 3,
+                                 dim: Int = 64,
+                                 idCol: Column = col("vec_id"),
+                                 embCol: Column = col("embedding")): DataFrame = {
+    val n = newVecs.select(idCol.as("vec_id"), embCol.as("embedding"))
+      .localCheckpoint(true)
+    val c = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
+      .localCheckpoint(true)
+    val pairs = graft.operators.DedupOps.simhashPairsCross(
+      embeddingSimhash(n, dim = dim).localCheckpoint(true),
+      embeddingSimhash(c, dim = dim).localCheckpoint(true), maxHamming)
+    pairs
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        col("hamming"))
+      .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")),
+        "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")),
+        "vec_b")
+      .withColumn("cos", cosine(col("__ea"), col("__eb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "hamming", "cos")
+  }
+
   /** Brute-force cosine top-k: queries × corpus cross join (queries
     * broadcast), per-query rank by (similarity desc, id asc). The window
     * sort is per-query over corpus-size rows — the exact-search baseline

@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   *
   *  - `documents`: copy k offsets doc_id by k·DocStride and rewrites the
   *    text through a BIJECTIVE vocabulary substitution (word i → word
-  *    (i + 7k) mod V over the corpus's own ~31-word vocabulary). A
-  *    bijection preserves shingle-set Jaccard EXACTLY within a copy — the
-  *    planted near-dup/exact-dup structure replicates 10× — while texts
-  *    across copies share no structure (different substitution), so the
-  *    dedup workload scales linearly instead of degenerating into
-  *    10-cliques of wholesale copies. n_chars is recomputed (word lengths
-  *    change under substitution).
+  *    (a·i + b) mod V, an affine permutation over the corpus's own
+  *    ~31-word vocabulary with (a, b) injective in k — see the unit-list
+  *    note in the body). A bijection preserves shingle-set Jaccard
+  *    EXACTLY within a copy — the planted near-dup/exact-dup structure
+  *    replicates per copy — while texts across copies share no structure
+  *    (different substitution), so the dedup workload scales linearly
+  *    instead of degenerating into wholesale-copy cliques. n_chars is
+  *    recomputed (word lengths change under substitution).
   *  - `embeddings`: copy k rotates the 64 dims by 13k (norms and
   *    within-copy cosines exactly preserved; cross-copy decorrelated)
   *    and offsets vec_id.

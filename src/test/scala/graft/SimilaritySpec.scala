@@ -340,4 +340,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => fam(a) == fam(b) },
       s"cross-family pair leaked: ${pairs.filterNot { case (a, b) => fam(a) == fam(b) }}")
   }
+
+  test("crossEmbeddingNearDupPairs: pairs cross sides only, never within a side") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Double] = Array.tabulate(16) { d =>
+      ((graft.functions.Hashing.hash60Scalar(s"cenv_${seed}_$d") % 2001) - 1000) / 1000.0
+    }
+    // the NEW side carries an internal duplicate pair (10, 11) that must
+    // NOT be emitted — incremental ingestion only scores new-vs-corpus;
+    // the same vectors split across sides MUST be found
+    val newSide = Seq((10L, vec(1)), (11L, vec(1)), (12L, vec(2)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((20L, vec(1)), (21L, vec(3))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.crossEmbeddingNearDupPairs(newSide, corpus,
+        threshold = 0.95, maxHamming = 3, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 20L), (11L, 20L)), s"got $got")
+  }
 }
