@@ -554,6 +554,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image dedup as incremental ingestion: per-trigger sketches vs the static corpus sketch table") {
+    // the E123 pattern for pixels: the corpus's aHash table is the
+    // persisted artifact; each trigger hashes only its new images and
+    // cross-chunk-joins against it. Union over triggers == one batch run.
+    import graft.operators.{DedupOps, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    // corpus = variant-0 images of groups 0..2; new shards = later variants
+    val corpus = Multimodal.demoBmpCorpus(
+      Seq(0L, 4L, 8L).toDF("doc_id"), $"doc_id")
+    val corpSketch = Multimodal.imageHashes(corpus, $"doc_id", $"payload")
+      .localCheckpoint(true)
+    val newIds = Seq(1L, 2L, 5L, 9L) // variants of groups 0, 0, 1, 2
+    val mem = MemoryStream[Long]
+    var streamed = Seq.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val imgs = Multimodal.demoBmpCorpus(batch, $"doc_id")
+        streamed = streamed ++ DedupOps.simhashPairsCross(
+            Multimodal.imageHashes(imgs, $"doc_id", $"payload"),
+            corpSketch, maxHamming = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.start()
+    try {
+      mem.addData(newIds(0), newIds(1))
+      q.processAllAvailable()
+      mem.addData(newIds(2), newIds(3))
+      q.processAllAvailable()
+      val batchAll = DedupOps.simhashPairsCross(
+          Multimodal.imageHashes(
+            Multimodal.demoBmpCorpus(newIds.toDF("doc_id"), $"doc_id"),
+            $"doc_id", $"payload"),
+          corpSketch, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSet === batchAll.toSet)
+      // the adjacent variants land on their group's corpus anchor; no
+      // cross-group pair exists
+      assert(streamed.toSet.contains((1L, 0L)) &&
+        streamed.toSet.contains((5L, 4L)) && streamed.toSet.contains((9L, 8L)),
+        s"planted anchors missed: $streamed")
+      assert(streamed.forall { case (a, b) => a / 4 == b / 4 })
+    } finally q.stop()
+  }
+
   test("cross-corpus dedup as incremental ingestion: per-trigger pairs union to the batch result") {
     // the retrieval-side incremental story: corpus shingle sets are a
     // STATIC artifact; each trigger scores only its new docs against it
