@@ -283,6 +283,19 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "m05_image_resize" -> ((s, dir) => {
+      // E113 through the gate with REAL pixel work: the deterministic BMP
+      // corpus renders, the operator decodes + nearest-neighbor halves it,
+      // and the exact integer channel sums replay in SQL (output pixel
+      // (x, y) = source pixel (2x, 2y) — sums over even coordinates of
+      // the md5-derived channels).
+      val imgs = Multimodal.demoBmpCorpus(documents(s, dir), col("doc_id"))
+      Multimodal.resizeImages(imgs, factor = 2)
+        .select(col("doc_id"), col("w_in"), col("h_in"), col("w_out"),
+          col("h_out"), col("sum_b"), col("sum_g"), col("sum_r"))
+        .orderBy("doc_id")
+    }),
+
     "m03_image_dedup" -> ((s, dir) => {
       // E121 through the gate: REAL image bytes — each doc renders as a
       // deterministic 16x16 24-bpp BMP (pixels from hash60, groups of 4
@@ -1639,6 +1652,29 @@ object DQueries {
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of resizeImages(factor=2) over demoBmpCorpus: nearest-neighbor
+    // halving keeps source pixels at even logical coordinates, so the
+    // output channel sums are sums of the md5-derived channels over
+    // x, y ∈ {0,2,...,14} — exact integers, no pixel parsing needed
+    "m05_image_resize" ->
+      """WITH raw AS (
+        |  SELECT d.doc_id, x.x, y.y,
+        |    CAST('0x' || substr(md5('img:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || CAST(x.x AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    ((y.y // 2) * 8 + (x.x // 2) < (d.doc_id % 4)) AS inv
+        |  FROM documents d, range(0, 16) x(x), range(0, 16) y(y)
+        |  WHERE x.x % 2 = 0 AND y.y % 2 = 0),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN inv THEN 255 - (h % 256) ELSE (h % 256) END AS b,
+        |    CASE WHEN inv THEN 255 - ((h // 256) % 256) ELSE ((h // 256) % 256) END AS g,
+        |    CASE WHEN inv THEN 255 - ((h // 65536) % 256) ELSE ((h // 65536) % 256) END AS r
+        |  FROM raw)
+        |SELECT doc_id, CAST(16 AS INT) AS w_in, CAST(16 AS INT) AS h_in,
+        |  CAST(8 AS INT) AS w_out, CAST(8 AS INT) AS h_out,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // twin of imageNearDupPairs over demoBmpCorpus: the oracle engine
     // cannot parse BMP bytes, but every pixel channel is exact md5-derived
