@@ -99,7 +99,12 @@ object SimilarityOps {
     // both sides and would otherwise pay the projection plan per branch.
     // One row per vector each: at scale the sketch table IS the persisted
     // artifact, like the minhash signature table.
+    // Zero-magnitude vectors are EXCLUDED (the quantizeInt8 zero-vector
+    // precedent): they have no defined cosine to anything, and under
+    // ANSI mode (Spark 4 default) their 0/0 would kill the job rather
+    // than emit NaN.
     val e = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")) > 0)
       .localCheckpoint(true)
     val pairs = graft.operators.DedupOps
       .simhashPairs(embeddingSimhash(e, dim = dim).localCheckpoint(true),
@@ -130,9 +135,13 @@ object SimilarityOps {
                                  dim: Int = 64,
                                  idCol: Column = col("vec_id"),
                                  embCol: Column = col("embedding")): DataFrame = {
+    // zero-magnitude vectors excluded on both sides — see
+    // [[embeddingNearDupPairs]]'s ANSI-division note
     val n = newVecs.select(idCol.as("vec_id"), embCol.as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")) > 0)
       .localCheckpoint(true)
     val c = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")) > 0)
       .localCheckpoint(true)
     val pairs = graft.operators.DedupOps.simhashPairsCross(
       embeddingSimhash(n, dim = dim).localCheckpoint(true),

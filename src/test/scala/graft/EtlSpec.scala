@@ -332,6 +332,25 @@ class EtlSpec extends SparkSpec {
     assert(keep === byRep.values.toSet, s"keepers $keep vs $byRep")
   }
 
+  test("aHash60/imageHashes edge cases: empty, sub-8x8, corrupt rows drop silently") {
+    import spark.implicits._
+    import Multimodal.MediaDecoder
+    assert(MediaDecoder.aHash60(Array.emptyByteArray).isEmpty)
+    assert(MediaDecoder.aHash60("not an image at all".getBytes).isEmpty)
+    // a real 4x4 BMP decodes but has no non-empty 8x8 cells -> None
+    val tiny = MediaDecoder.toBmp24(new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB))
+    assert(MediaDecoder.aHash60(tiny).isEmpty)
+    // mixed frame: only the decodable, hashable row survives
+    val good = Multimodal.demoBmpCorpus(Seq(7L).toDF("doc_id"), col("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val media = Seq((1L, good), (2L, tiny), (3L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imageHashes(media, col("doc_id"), col("payload"))
+      .collect().map(_.getLong(0))
+    assert(hashes.toSeq === Seq(1L))
+  }
+
   test("aHash60: JPEG re-encoding of a smooth image preserves the hash") {
     // horizontal gray gradient: cell means are well separated, so the
     // lossy JPEG round-trip may move lumas slightly but not across the

@@ -356,5 +356,24 @@ class SimilaritySpec extends SparkSpec {
         threshold = 0.95, maxHamming = 3, dim = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((10L, 20L), (11L, 20L)), s"got $got")
+    // empty corpus -> empty result, no failure
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.crossEmbeddingNearDupPairs(newSide, empty,
+      threshold = 0.95, maxHamming = 3, dim = 16).count() === 0L)
+  }
+
+  test("embeddingNearDupPairs: zero vectors are excluded, not a crash or a pair") {
+    import spark.implicits._
+    // two zero vectors would sketch identically (hash 0) and become a
+    // chunk candidate — whose cosine is 0/0, a JOB-KILLING error under
+    // ANSI mode (Spark 4 default). The operator excludes zero-magnitude
+    // vectors up front (no defined cosine to anything).
+    val corpus = Seq(
+      (1L, Array.fill(16)(0.0)), (2L, Array.fill(16)(0.0)),
+      (3L, Array.tabulate(16)(_.toDouble + 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingNearDupPairs(corpus,
+      threshold = 0.0, maxHamming = 3, dim = 16).collect()
+    assert(got.isEmpty, s"zero-vector pair leaked: ${got.mkString(",")}")
   }
 }
