@@ -296,6 +296,19 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "m06_audio_dedup" -> ((s, dir) => {
+      // E124 through the gate: REAL audio bytes — each doc renders as a
+      // deterministic mono 16-bit WAV (samples from hash60, groups of 4
+      // with variant-silenced leading frames), the operator walks the RIFF
+      // chunks back to samples, frame-energy-delta signs them, and mines
+      // pairs via the d04 chunk machinery. The oracle replays the sample/
+      // energy arithmetic directly (exact integers end to end).
+      val wavs = Multimodal.demoWavCorpus(documents(s, dir), col("doc_id"))
+      Multimodal.audioNearDupPairs(wavs, col("doc_id"), col("payload"),
+          maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "m03_image_dedup" -> ((s, dir) => {
       // E121 through the gate: REAL image bytes — each doc renders as a
       // deterministic 16x16 24-bpp BMP (pixels from hash60, groups of 4
@@ -1652,6 +1665,32 @@ object DQueries {
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of audioNearDupPairs over demoWavCorpus: the oracle engine
+    // cannot parse RIFF bytes, but every sample is exact md5-derived
+    // integer math (hash60 of "aud:<group>:<i>" mod 2^16, variant j
+    // silencing frames < j), so it replays frame energies (sum of
+    // squares), the 60 delta bits, and brute hamming pairs — all-integer,
+    // floor divisions non-negative
+    "m06_audio_dedup" ->
+      """WITH samp AS (
+        |  SELECT d.doc_id, i.i,
+        |    CASE WHEN i.i // 64 < (d.doc_id % 4) THEN CAST(0 AS BIGINT)
+        |         ELSE CAST('0x' || substr(md5('aud:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 15) AS BIGINT) % 65536 - 32768 END AS s
+        |  FROM documents d, range(0, 3904) i(i)),
+        |en AS (
+        |  SELECT doc_id, i // 64 AS p, SUM(s * s) AS e
+        |  FROM samp GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << CAST(a.p AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  WHERE a.p < 60 GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM fp a, fp b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // twin of resizeImages(factor=2) over demoBmpCorpus: nearest-neighbor
     // halving keeps source pixels at even logical coordinates, so the

@@ -304,6 +304,86 @@ object Multimodal {
       }
     }
 
+    /** 16-bit little-endian PCM samples of a mono RIFF/WAVE payload —
+      * the data-chunk walk of [[decodeWav]], returning the raw samples.
+      * None for anything that isn't valid 16-bit mono PCM. */
+    def wavSamples16(b: Array[Byte]): Option[Array[Int]] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var i = 12
+      var ok = false
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length && (!ok || dataOff < 0)) {
+        val id = tag(b, i); val size = u32le(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+          val channels = u16le(b, i + 10); val bits = u16le(b, i + 22)
+          ok = channels == 1 && bits == 16
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = math.min(size, (b.length - i - 8).toLong).toInt
+        }
+        val advance = 8L + size + (size & 1L)
+        if (advance <= 0 || i + advance > Int.MaxValue) return None
+        i += advance.toInt
+      }
+      if (!ok || dataOff < 0) None
+      else {
+        val n = dataLen / 2
+        val out = new Array[Int](n)
+        var s = 0
+        while (s < n) {
+          out(s) = (u16le(b, dataOff + 2 * s) << 16) >> 16 // sign-extend
+          s += 1
+        }
+        Some(out)
+      }
+    }
+
+    /** 60-bit frame-energy delta signature of a mono 16-bit WAV — the
+      * audio member of the perceptual-fingerprint family (echoprint-style,
+      * radically simplified to stay engine-exact): the samples split into
+      * 61 frames of `frameLen`, each frame's energy is the EXACT integer
+      * Σ sample² (≤ 2³¹·frameLen — no overflow for any realistic frame),
+      * and bit p = energy(p+1) > energy(p) — loudness-scale-invariant
+      * (energy scales cancel in the comparison) and bit-replayable by any
+      * engine. 60 bits for the same BIGINT/chunk-machinery reasons as
+      * [[aHash60]]. Payloads shorter than 61 frames (or non-16-bit-mono)
+      * return None — dropped, not guessed at. */
+    def audioSig60(payload: Array[Byte], frameLen: Int = 64): Option[Long] =
+      wavSamples16(payload).flatMap { s =>
+        if (s.length < 61 * frameLen) None
+        else {
+          val energies = Array.tabulate(61) { p =>
+            var e = 0L; var i = p * frameLen
+            val end = i + frameLen
+            while (i < end) { e += s(i).toLong * s(i); i += 1 }
+            e
+          }
+          var hash = 0L
+          var p = 0
+          while (p < 60) {
+            if (energies(p + 1) > energies(p)) hash |= (1L << p)
+            p += 1
+          }
+          Some(hash)
+        }
+      }
+
+    /** Encode 16-bit mono PCM samples as a standard RIFF/WAVE payload
+      * (the inverse of [[wavSamples16]]) — fixture/bridge use. */
+    def toWav16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+      buf.put("data".getBytes).putInt(dataBytes)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+
     /** Full decode: byte-level features always, plus the format-specific
       * header fields when the payload is a valid BMP, JPEG, PNG, or WAV.
       * For the ImageIO formats, bit_depth is the color model's pixel
@@ -439,6 +519,59 @@ object Multimodal {
                         payloadCol: org.apache.spark.sql.Column,
                         maxHamming: Int): DataFrame =
     DedupOps.simhashPairs(imageHashes(media, idCol, payloadCol), maxHamming)
+
+  /** Per-payload 60-bit audio signatures via typed mapPartitions — the
+    * audio twin of [[imageHashes]]. Non-WAV / short / non-mono payloads
+    * drop silently. Output (doc_id, simhash) for
+    * [[DedupOps.simhashPairs]]. */
+  def audioHashes(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                  payloadCol: org.apache.spark.sql.Column,
+                  frameLen: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(idCol.cast("long").as("doc_id"), payloadCol.as("payload"),
+        lit("audio").as("media_type")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r => MediaDecoder.audioSig60(r.payload, frameLen)
+          .map(h => (r.doc_id, h)))
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** Audio near-dup pairs — the audio member of the dedup family:
+    * frame-energy delta signatures ([[MediaDecoder.audioSig60]] —
+    * loudness-invariant by construction), candidates + verification via
+    * the d04 chunk machinery verbatim. Composes with clustering/canonical
+    * selection like every other pair miner. */
+  def audioNearDupPairs(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                        payloadCol: org.apache.spark.sql.Column,
+                        maxHamming: Int, frameLen: Int = 64): DataFrame =
+    DedupOps.simhashPairs(audioHashes(media, idCol, payloadCol, frameLen),
+      maxHamming)
+
+  /** Deterministic mono 16-bit WAV corpus derived from a document frame —
+    * the audio analog of [[demoBmpCorpus]]: sample i of group
+    * `doc_id div groupSize` is `hash60("aud:<group>:<i>") mod 65536 −
+    * 32768` (exact md5 integers any engine replays), and variant
+    * `j = doc_id mod groupSize` SILENCES frames 0..j−1 (all-zero
+    * samples) — each silenced frame flips the adjacent energy-delta
+    * bits, so groups are planted near-dup families. 61 frames of 64
+    * samples; genuine RIFF bytes round-trip through [[MediaDecoder]]. */
+  def demoWavCorpus(df: DataFrame, idCol: org.apache.spark.sql.Column,
+                    groupSize: Int = 4): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Par.ensure(df.select(idCol.cast("long").as("doc_id"))).as[Long].map { docId =>
+      val group = docId / groupSize
+      val j = (docId % groupSize).toInt
+      val samples = Array.tabulate(61 * 64) { i =>
+        if (i / 64 < j) 0
+        else (graft.functions.Hashing.hash60Scalar(s"aud:$group:$i") % 65536L
+          - 32768L).toInt
+      }
+      (docId, MediaDecoder.toWav16(samples))
+    }.toDF("doc_id", "payload")
+  }
 
   /** Deterministic 16×16 24-bpp BMP corpus derived from a document frame —
     * the image-side analog of [[attachBinary]]'s text stand-in, but with

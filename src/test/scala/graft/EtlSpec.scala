@@ -351,6 +351,41 @@ class EtlSpec extends SparkSpec {
     assert(hashes.toSeq === Seq(1L))
   }
 
+  test("audioSig60: WAV round-trip, loudness invariance, drop cases") {
+    import Multimodal.MediaDecoder
+    // deterministic samples; the signature must survive the byte round-trip
+    val samples = Array.tabulate(61 * 64)(i => ((i * 7919) % 65536) - 32768)
+    val wav = MediaDecoder.toWav16(samples)
+    assert(MediaDecoder.wavSamples16(wav).get.toSeq === samples.toSeq)
+    val sig = MediaDecoder.audioSig60(wav).get
+    // loudness invariance: halving every sample scales all energies by 4
+    // — the delta comparisons are unchanged
+    val quiet = MediaDecoder.toWav16(samples.map(_ / 2))
+    assert(MediaDecoder.audioSig60(quiet).get === sig)
+    // non-degenerate signature
+    val bits = java.lang.Long.bitCount(sig)
+    assert(bits >= 10 && bits <= 50, s"degenerate signature: $bits bits")
+    // drop cases: too short, stereo-unsupported marker, not a WAV
+    assert(MediaDecoder.audioSig60(
+      MediaDecoder.toWav16(samples.take(60 * 64))).isEmpty)
+    assert(MediaDecoder.audioSig60("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaDecoder.audioSig60(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audioNearDupPairs: planted variant groups pair, cross-group never") {
+    import spark.implicits._
+    val docs = (0L until 8L).toDF("doc_id") // 2 groups of 4
+    val wavs = Multimodal.demoWavCorpus(docs, col("doc_id"))
+    val pairs = Multimodal.audioNearDupPairs(wavs, col("doc_id"),
+        col("payload"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, _) => a / 4 == b / 4 },
+      s"cross-group audio pair leaked: ${pairs.mkString(",")}")
+    // silencing j frames flips at most j+1 delta bits: all pairs survive
+    assert(pairs.length === 12) // both groups complete: 2 * C(4,2)
+  }
+
   test("aHash60: JPEG re-encoding of a smooth image preserves the hash") {
     // horizontal gray gradient: cell means are well separated, so the
     // lossy JPEG round-trip may move lumas slightly but not across the
