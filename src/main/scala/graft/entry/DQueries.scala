@@ -296,6 +296,17 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    "m07_video_dedup" -> ((s, dir) => {
+      // E125 through the gate: frame-level containment over the binary
+      // payloads (32-byte "frames", stride 1) — a doc whose every frame
+      // appears in another is a contained clip. Pure composition of the
+      // m02 frame explode, hash60, and the d17 inverted-index report.
+      val media = Multimodal.attachBinary(documents(s, dir))
+      Multimodal.videoNearDupPairs(media, col("doc_id"), col("payload"),
+          frameBytes = 32, thresholdPpm = 600000L, maxDf = 50L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "m06_audio_dedup" -> ((s, dir) => {
       // E124 through the gate: REAL audio bytes — each doc renders as a
       // deterministic mono 16-bit WAV (samples from hash60, groups of 4
@@ -1665,6 +1676,40 @@ object DQueries {
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |       ELSE CAST(('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2)) AS INT) END AS last_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // twin of videoNearDupPairs(frameBytes=32, 0.6, maxDf=50): stride-1
+    // hex-sliced frames (the m02 convention — both engines hex blobs
+    // identically), hash60 keys, and the d17 containment report
+    "m07_video_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, encode(text) AS payload FROM documents),
+         |f AS (
+         |  SELECT doc_id, payload,
+         |    CAST(ceil(octet_length(payload) / 32.0) AS BIGINT) AS n_frames
+         |  FROM m),
+         |fr AS (
+         |  SELECT doc_id, payload, unnest(range(0, n_frames)) AS fno
+         |  FROM f WHERE n_frames > 0),
+         |e AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${h60Sql("substring(hex(payload), CAST(fno * 64 + 1 AS BIGINT), 64)")} AS k
+         |  FROM fr),
+         |dfk AS (SELECT k, count(*) AS dfc FROM e GROUP BY 1),
+         |kept AS (SELECT e.doc_id, e.k FROM e JOIN dfk USING (k) WHERE dfc <= 50),
+         |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc
+         |      FROM kept a JOIN kept b ON a.k = b.k AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |s2 AS (SELECT i.da, i.db, i.nc, x.n AS na, y.n AS nb FROM i
+         |       JOIN sz x ON x.doc_id = i.da JOIN sz y ON y.doc_id = i.db),
+         |u AS (
+         |  SELECT da AS doc_a, db AS doc_b, nc AS n_common, na AS n_keys_a,
+         |    nc * 1000000 // na AS containment_ppm FROM s2
+         |  UNION ALL
+         |  SELECT db, da, nc, nb, nc * 1000000 // nb FROM s2)
+         |SELECT doc_a, doc_b, n_common, n_keys_a, containment_ppm
+         |FROM u WHERE containment_ppm >= 600000
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // twin of audioNearDupPairs over demoWavCorpus: the oracle engine
     // cannot parse RIFF bytes, but every sample is exact md5-derived

@@ -520,6 +520,40 @@ object Multimodal {
                         maxHamming: Int): DataFrame =
     DedupOps.simhashPairs(imageHashes(media, idCol, payloadCol), maxHamming)
 
+  /** Distinct (doc_id, key) frame-hash set of "video" payloads — every
+    * fixed-size frame (stride 1, metadata-driven like [[sampleFrames]])
+    * hashed to a 60-bit key over its hex form (blobs hex identically in
+    * every engine — the m02 convention). The feeder for frame-level
+    * video containment; output partitioned by key (the E93/E107
+    * discipline). */
+  def videoFrameKeys(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                     payloadCol: org.apache.spark.sql.Column,
+                     frameBytes: Int): DataFrame =
+    sampleFrames(media.select(idCol.as("doc_id"), payloadCol.as("payload")),
+        frameBytes, stride = 1)
+      .select(col("doc_id"),
+        graft.functions.Hashing.hash60(hex(col("frame_bytes"))).as("key"))
+      .dropDuplicates("key", "doc_id")
+      .repartition(col("key"))
+
+  /** Video near-dup via frame-hash containment — the video member of the
+    * dedup family as a pure COMPOSITION of existing oracle-gated pieces:
+    * [[sampleFrames]]' metadata-driven frame explode × the 60-bit hash ×
+    * `DedupOps.containmentFromKeys`' inverted-index intersection. A clip
+    * embedded inside a longer video has frame-set containment ~1 at any
+    * offset that preserves frame alignment — the E107 asymmetric-Jaccard
+    * argument, framewise. All the scale properties are inherited: one
+    * exchange on the frame key, maxDf pruning of intro/outro boilerplate
+    * frames, per-key fan-out ≤ maxDf². Output: (doc_a, doc_b, n_common,
+    * n_keys_a, containment_ppm), ordered pairs. */
+  def videoNearDupPairs(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                        payloadCol: org.apache.spark.sql.Column,
+                        frameBytes: Int, thresholdPpm: Long,
+                        maxDf: Long = Long.MaxValue): DataFrame =
+    DedupOps.containmentFromKeys(
+      videoFrameKeys(media, idCol, payloadCol, frameBytes), thresholdPpm,
+      maxDf)
+
   /** Per-payload 60-bit audio signatures via typed mapPartitions — the
     * audio twin of [[imageHashes]]. Non-WAV / short / non-mono payloads
     * drop silently. Output (doc_id, simhash) for

@@ -48,7 +48,8 @@ class OlapPlanSpec extends SparkSpec {
     // their candidate generation must plan as hash-key equi-joins (d18's
     // internal checkpoints re-root parts of the plan, but the bucket
     // self-join and the cosine-verify joins remain visible downstream)
-    for (key <- Seq("m03_image_dedup", "d18_embedding_simhash")) {
+    for (key <- Seq("m03_image_dedup", "d18_embedding_simhash",
+        "d19_cross_embedding_dedup", "m06_audio_dedup", "m07_video_dedup")) {
       val plan = dPlanOf(key)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
