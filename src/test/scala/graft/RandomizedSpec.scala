@@ -600,4 +600,65 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("audioSig60 matches a direct-samples reference through random WAV bytes") {
+    import graft.operators.Multimodal.MediaDecoder
+    // the byte round-trip (toWav16 encode -> RIFF walk -> sign-extend) is
+    // where an encoding bug would hide; the reference computes the
+    // signature straight from the sample array
+    def ref(s: Array[Int], frameLen: Int): Long = {
+      val e = Array.tabulate(61)(p =>
+        (p * frameLen until (p + 1) * frameLen).map(i => s(i).toLong * s(i)).sum)
+      (0 until 60).foldLeft(0L)((h, p) =>
+        if (e(p + 1) > e(p)) h | (1L << p) else h)
+    }
+    for (seed <- Seq(3, 19, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // adversarial shapes: full-range samples, long zero runs, constants
+      val n = 61 * 64
+      val samples = Array.tabulate(n) { i =>
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(65536) - 32768
+          case 1 => 0
+          case 2 => -32768 // the asymmetric extreme
+          case _ => 1000
+        }
+      }
+      val got = MediaDecoder.audioSig60(MediaDecoder.toWav16(samples)).get
+      assert(got === ref(samples, 64), s"seed $seed")
+    }
+  }
+
+  test("aHash60 matches a direct-pixel reference through random BMP bytes") {
+    import graft.operators.Multimodal.MediaDecoder
+    def refHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      def luma(x: Int, y: Int): Int = {
+        val rgb = img.getRGB(x, y)
+        (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+      }
+      val means = Array.tabulate(60) { k =>
+        val bx = k % 8; val by = k / 8
+        val xs = bx * w / 8 until (bx + 1) * w / 8
+        val ys = by * h / 8 until (by + 1) * h / 8
+        xs.flatMap(x => ys.map(y => luma(x, y).toLong)).sum / (xs.size * ys.size)
+      }
+      val avg = means.sum / 60
+      (0 until 60).foldLeft(0L)((acc, k) =>
+        if (means(k) > avg) acc | (1L << k) else acc)
+    }
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      // non-multiple-of-8 dims exercise the floor cell boundaries; odd
+      // widths exercise BMP row padding
+      val (w, h) = (9 + rnd.nextInt(24), 8 + rnd.nextInt(25))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt(0x1000000))
+      val got = MediaDecoder.aHash60(MediaDecoder.toBmp24(img)).get
+      assert(got === refHash(img), s"seed $seed dims ${w}x$h")
+    }
+  }
 }
