@@ -332,6 +332,40 @@ class EtlSpec extends SparkSpec {
     assert(keep === byRep.values.toSet, s"keepers $keep vs $byRep")
   }
 
+  test("MediaSource: a directory of real media files flows into the decode pipeline") {
+    import graft.sources.MediaSource
+    val dir = java.nio.file.Files.createTempDirectory("media_src").toFile
+    try {
+      val bmp = Multimodal.MediaDecoder.toBmp24(testImage(6, 5,
+        (x, y) => (x * 40 << 16) | (y * 50 << 8) | 128))
+      val wav = Multimodal.MediaDecoder.toWav16(Array.tabulate(100)(_ * 300))
+      java.nio.file.Files.write(new java.io.File(dir, "a.bmp").toPath, bmp)
+      java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath, wav)
+      java.nio.file.Files.write(new java.io.File(dir, "junk.bin").toPath,
+        "BMnot really".getBytes)
+      // glob pushes the format filter into the LISTING
+      val onlyBmp = MediaSource.readBinaryDir(spark, dir.getPath,
+        glob = Some("*.bmp"))
+      assert(onlyBmp.count() === 1L)
+      // the full read decodes by magic bytes, junk degrades to raw
+      val all = MediaSource.readBinaryDir(spark, dir.getPath)
+        .select(col("doc_id"), col("path"), col("payload"),
+          struct(lit(0L).as("n_chars"), lit("xx").as("lang"),
+            lit("application/octet-stream").as("mime")).as("meta"))
+      val feats = Multimodal.extractFeatures(all)
+        .collect().map(r => r.getString(4)).sorted
+      assert(feats.toSeq === Seq("bmp", "raw", "wav"))
+      // doc_id is a pure function of the path: a second listing agrees
+      val ids1 = MediaSource.readBinaryDir(spark, dir.getPath)
+        .select("path", "doc_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ids2 = MediaSource.readBinaryDir(spark, dir.getPath)
+        .select("path", "doc_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ids1 === ids2 && ids1.size === 3)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("aHash60/imageHashes edge cases: empty, sub-8x8, corrupt rows drop silently") {
     import spark.implicits._
     import Multimodal.MediaDecoder
