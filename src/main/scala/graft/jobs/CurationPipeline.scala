@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{CurationOps, DedupOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, SimilarityOps, TextOps}
 
 /** End-to-end training-data curation recipe — the composition story for the
   * §2E operator families: one call takes a raw (doc_id, text, source)
@@ -36,13 +36,25 @@ object CurationPipeline {
     * after each stage, input first. */
   case class Result(curated: DataFrame, stageCounts: Seq[(String, Long)])
 
+  /** @param embeddings optional (doc_id, embedding) frame keyed like
+    *   `docs` — when present, a SEMANTIC near-dup stage (SemDeDup-style)
+    *   runs after the lexical one: hyperplane-sketch pair mining over the
+    *   SURVIVORS' embeddings (E122's banded plan — no all-pairs), the
+    *   E5b/E91 cluster + best-quality-canonical machinery, non-canonical
+    *   members dropped. Lexical near-dup catches copies that SHARE text;
+    *   the embedding stage catches paraphrases/translations that share
+    *   meaning — different recall classes, both real curation stages.
+    *   Docs without an embedding row pass through untouched (no embedding
+    *   is not evidence of duplication). */
   def run(docs: DataFrame, bench: DataFrame,
           jaccard: Double = 0.8,
           decontamK: Int = 5,
           qualityQuantile: Double = 0.5,
           splits: Seq[(String, Long)] = Seq("train" -> 800000L,
             "val" -> 100000L, "test" -> 100000L),
-          nShards: Int = 4): Result = {
+          nShards: Int = 4,
+          embeddings: Option[DataFrame] = None,
+          embCosine: Double = 0.95): Result = {
     val n0 = docs.count()
     val qMicro = round(TextOps.qualityScore(col("text")) * lit(1000000.0))
       .cast("long")
@@ -63,10 +75,28 @@ object CurationPipeline {
       .filter(col("keep") === 1).select("doc_id")
     val d2 = d1.join(keepNear, "doc_id").localCheckpoint(true)
 
+    // 2b. optional semantic near-dedup over the survivors' embeddings
+    val d2b = embeddings match {
+      case None => d2
+      case Some(emb) =>
+        val survEmb = emb.select(col("doc_id"), col("embedding"))
+          .join(d2.select(col("doc_id")), "doc_id")
+        val ePairs = SimilarityOps.embeddingNearDupPairs(survEmb,
+            threshold = embCosine, idCol = col("doc_id"))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val eClusters = DedupOps.dedupClusters(
+          survEmb.select(col("doc_id")), ePairs)
+        val dropped = DedupOps.canonicalPerCluster(eClusters,
+            d2.select(col("doc_id"), qMicro.as("q_micro")),
+            col("doc_id"), col("q_micro"))
+          .filter(col("keep") === 0).select("doc_id")
+        d2.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    }
+
     // 3. decontamination: drop docs sharing any k-gram with the benchmark
-    val contaminated = DedupOps.decontaminate(d2, col("doc_id"), col("text"),
+    val contaminated = DedupOps.decontaminate(d2b, col("doc_id"), col("text"),
       bench, col("text"), decontamK)
-    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
+    val d3 = d2b.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
     // 4. quality gate: per-source top quantile, sketch-threshold path
@@ -90,8 +120,10 @@ object CurationPipeline {
     Result(curated, Seq(
       "input" -> n0,
       "exact_dedup" -> d1.count(),
-      "near_dedup" -> d2.count(),
-      "decontaminated" -> d3.count(),
-      "quality" -> d4.count()))
+      "near_dedup" -> d2.count()) ++
+      (if (embeddings.isDefined) Seq("embed_dedup" -> d2b.count()) else Nil) ++
+      Seq(
+        "decontaminated" -> d3.count(),
+        "quality" -> d4.count()))
   }
 }

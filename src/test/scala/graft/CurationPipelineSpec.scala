@@ -59,6 +59,37 @@ class CurationPipelineSpec extends SparkSpec {
       r.curated.orderBy("doc_id").collect().map(_.toString).toSeq)
   }
 
+  test("optional semantic stage: paraphrase-by-embedding drops, no-embedding docs pass") {
+    // docs 10/11 share NO text (lexical stages keep both) but carry
+    // near-identical embeddings — the semantic stage must collapse them
+    // to the better-quality member; docs without embedding rows (the
+    // whole filler set) pass through untouched
+    def vec(seed: Int): Array[Double] = Array.tabulate(16) { d =>
+      ((graft.functions.Hashing.hash60Scalar(s"cpe_${seed}_$d") % 2001) - 1000) / 1000.0
+    }
+    val docs2 = corpus.unionByName(Seq(
+      (10L, "completely original prose about gardening and long walks outside", "s0"),
+      (11L, "unrelated words entirely discussing mountains rivers and weather maps", "s0"))
+      .toDF("doc_id", "text", "source"))
+    val perturbed = { val v = vec(1); v(0) *= 1.1; v }
+    val emb = Seq((10L, vec(1)), (11L, perturbed), (3L, vec(7)))
+      .toDF("doc_id", "embedding")
+    val r = CurationPipeline.run(docs2, bench, qualityQuantile = 1.0,
+      nShards = 2, embeddings = Some(emb))
+    val counts = r.stageCounts.toMap
+    assert(counts("near_dedup") === 45L)  // lexical stages see no 10/11 dup
+    assert(counts("embed_dedup") === 44L) // the semantic stage does
+    val ids = r.curated.collect().map(_.getLong(0)).toSet
+    assert(Seq(10L, 11L).count(ids.contains) === 1,
+      s"semantic pair not collapsed: $ids")
+    // without embeddings the stage is absent and nothing else changes
+    val r0 = CurationPipeline.run(docs2, bench, qualityQuantile = 1.0,
+      nShards = 2)
+    assert(!r0.stageCounts.exists(_._1 == "embed_dedup"))
+    val ids0 = r0.curated.collect().map(_.getLong(0)).toSet
+    assert(ids0.contains(10L) && ids0.contains(11L))
+  }
+
   test("quality gate engages below q = 1.0 and only ever shrinks the corpus") {
     val r = CurationPipeline.run(corpus, bench, qualityQuantile = 0.5,
       nShards = 2)
