@@ -17,8 +17,13 @@ object CurationSweep {
     val spark = graft.GraftSession.build("graft-curation-sweep")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bench = docs.filter(col("doc_id") % 997 === 0).select(col("text"))
+    // the embeddings table covers a doc_id prefix — enough to exercise
+    // the optional semantic stage at scale (uncovered docs pass through)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     val t0 = System.nanoTime()
-    val r = graft.jobs.CurationPipeline.run(docs, bench)
+    val r = graft.jobs.CurationPipeline.run(docs, bench,
+      embeddings = Some(emb))
     val n = r.curated.count()
     val elapsed = (System.nanoTime() - t0) / 1e9
     val stages = r.stageCounts.map { case (s, c) => s""""$s":$c""" }
