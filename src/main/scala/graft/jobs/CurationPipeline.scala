@@ -81,8 +81,13 @@ object CurationPipeline {
       case Some(emb) =>
         val survEmb = emb.select(col("doc_id"), col("embedding"))
           .join(d2.select(col("doc_id")), "doc_id")
+        // sketch dim must MATCH the data (a mismatch fails loudly in the
+        // miner — wrong-dim vectors would otherwise all sketch to 0 and
+        // degenerate candidates to all-pairs); detect it from one row
+        val dim = survEmb.select(size(col("embedding"))).head(1)
+          .headOption.map(_.getInt(0)).getOrElse(64)
         val ePairs = SimilarityOps.embeddingNearDupPairs(survEmb,
-            threshold = embCosine, idCol = col("doc_id"))
+            threshold = embCosine, dim = dim, idCol = col("doc_id"))
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
         val eClusters = DedupOps.dedupClusters(
           survEmb.select(col("doc_id")), ePairs)

@@ -53,15 +53,15 @@ object PackingPipeline {
     val packed = CurationOps.packChunks(chunks, col("id"), col("chunk_id"),
         col("n_tokens"), budgetTokens, nShards)
       .localCheckpoint(true)
-    val Array(nChunks, nTokens) = packed
-      .agg(count(lit(1)), sum(col("n_tokens"))).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
-    val nPacks = packed.select(col("shard"), col("pack_id")).distinct().count()
+    // ONE aggregate over the checkpointed output (null-safe: an empty or
+    // all-filtered corpus yields zeros, not an NPE on the null sum)
+    val s = packed.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L)),
+      countDistinct(struct(col("shard"), col("pack_id")))).collect()(0)
     Result(packed, merges, Seq(
       "docs" -> docs.count(),
-      "bpe_tokens" -> nTokens,
-      "chunks" -> nChunks,
-      "packs" -> nPacks))
+      "bpe_tokens" -> s.getLong(1),
+      "chunks" -> s.getLong(0),
+      "packs" -> s.getLong(2)))
   }
 }

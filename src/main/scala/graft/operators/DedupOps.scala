@@ -520,16 +520,8 @@ object DedupOps {
     * verified by bit_count(xor). Chunk-bucket join keeps candidate
     * generation linear — same shape as the minhash banding. */
   def simhashPairs(simhashed: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ck")))
-    val buckets = simhashed.select(col("doc_id"), col("simhash"),
-        explode(array(chunks: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
-    val l = buckets.select(col("chunk"), col("ck"), col("doc_id").as("doc_a"),
-      col("simhash").as("ha"))
-    val r = buckets.select(col("chunk"), col("ck"), col("doc_id").as("doc_b"),
-      col("simhash").as("hb"))
+    val l = chunkBuckets(simhashed, "doc_a", "ha")
+    val r = chunkBuckets(simhashed, "doc_b", "hb")
     l.join(r, Seq("chunk", "ck"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -545,22 +537,27 @@ object DedupOps {
     * side's bucket table is the persisted artifact; a daily shard sketches
     * only itself. Output (doc_a ∈ left, doc_b ∈ right, hamming). */
   def simhashPairsCross(left: DataFrame, right: DataFrame,
-                        maxHamming: Int): DataFrame = {
-    def buckets(fp: DataFrame, idName: String, hName: String): DataFrame = {
-      val chunks = (0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ck")))
-      fp.select(col("doc_id"), col("simhash"),
-          explode(array(chunks: _*)).as("bk"))
-        .select(col("doc_id").as(idName), col("simhash").as(hName),
-          col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
-    }
-    buckets(left, "doc_a", "ha").join(buckets(right, "doc_b", "hb"),
-        Seq("chunk", "ck"))
+                        maxHamming: Int): DataFrame =
+    chunkBuckets(left, "doc_a", "ha")
+      .join(chunkBuckets(right, "doc_b", "hb"), Seq("chunk", "ck"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+  /** The 4×15-bit pigeonhole banding of a (doc_id, simhash) frame — the
+    * ONE place the chunk scheme is written: both the self-join and the
+    * cross-table miners read it, so a banding change (chunk count/width)
+    * cannot silently break one caller's exact-recall guarantee. */
+  private def chunkBuckets(fp: DataFrame, idName: String,
+                           hName: String): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ck")))
+    fp.select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id").as(idName), col("simhash").as(hName),
+        col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
   }
 
   /** Boilerplate line removal (CCNet/RefinedWeb-style): drop every "line"

@@ -75,34 +75,49 @@ object Multimodal {
       else Some((w, math.abs(h), bpp))
     }
 
-    /** (channels, sample_rate, bit_depth, n_samples) from a RIFF/WAVE file:
-      * walks the chunk list (chunks pad to even offsets) for "fmt " and
-      * "data"; n_samples = data bytes / block align. */
-    def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
-      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    /** The ONE RIFF chunk walk, shared by [[decodeWav]] and
+      * [[wavSamples16]] (two divergent copies would drift on
+      * malformed-size handling): locates the first structurally-complete
+      * "fmt " chunk and the "data" chunk — chunks pad to even offsets,
+      * declared sizes clamp to a truncated payload, a non-advancing or
+      * overflowing size aborts the whole walk (never loops, never
+      * throws). Returns (fmt payload offset, data offset, data length),
+      * -1 each when missing/aborted. */
+    private def walkRiff(b: Array[Byte]): (Int, Int, Int) = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return (-1, -1, -1)
       var i = 12
-      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
-      var dataBytes = -1L
-      while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      var fmtOff = -1; var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
         val id = tag(b, i); val size = u32le(b, i + 4)
-        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
-          val channels = u16le(b, i + 10)
-          val rate = u32le(b, i + 12)
-          val blockAlign = u16le(b, i + 20)
-          val bits = u16le(b, i + 22)
-          if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
-            fmt = Some((channels, rate.toInt, bits, blockAlign))
-        } else if (id == "data") {
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length &&
+          fmtOff < 0) fmtOff = i + 8
+        else if (id == "data" && dataOff < 0) {
+          dataOff = i + 8
           // the declared size may overrun a truncated payload: clamp
-          dataBytes = math.min(size, (b.length - i - 8).toLong)
+          dataLen = math.min(size, (b.length - i - 8).toLong).toInt
         }
         val advance = 8L + size + (size & 1L) // chunks pad to even
-        if (advance <= 0 || i + advance > Int.MaxValue) return None
+        if (advance <= 0 || i + advance > Int.MaxValue) return (-1, -1, -1)
         i += advance.toInt
       }
-      fmt.flatMap { case (channels, rate, bits, blockAlign) =>
-        if (dataBytes < 0 || blockAlign <= 0) None
-        else Some((channels, rate, bits, dataBytes / blockAlign))
+      (fmtOff, dataOff, dataLen)
+    }
+
+    /** (channels, sample_rate, bit_depth, n_samples) from a RIFF/WAVE file
+      * via [[walkRiff]]; n_samples = data bytes / block align. */
+    def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      val (fmtOff, dataOff, dataLen) = walkRiff(b)
+      if (fmtOff < 0 || dataOff < 0 || dataLen < 0) None
+      else {
+        val channels = u16le(b, fmtOff + 2)
+        val rate = u32le(b, fmtOff + 4)
+        val blockAlign = u16le(b, fmtOff + 12)
+        val bits = u16le(b, fmtOff + 14)
+        if (channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0 &&
+          blockAlign > 0)
+          Some((channels, rate.toInt, bits, dataLen.toLong / blockAlign))
+        else None
       }
     }
 
@@ -305,28 +320,12 @@ object Multimodal {
     }
 
     /** 16-bit little-endian PCM samples of a mono RIFF/WAVE payload —
-      * the data-chunk walk of [[decodeWav]], returning the raw samples.
-      * None for anything that isn't valid 16-bit mono PCM. */
+      * the same [[walkRiff]] walk as [[decodeWav]], returning the raw
+      * samples. None for anything that isn't valid 16-bit mono PCM. */
     def wavSamples16(b: Array[Byte]): Option[Array[Int]] = {
-      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
-        return None
-      var i = 12
-      var ok = false
-      var dataOff = -1; var dataLen = -1
-      while (i + 8 <= b.length && (!ok || dataOff < 0)) {
-        val id = tag(b, i); val size = u32le(b, i + 4)
-        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
-          val channels = u16le(b, i + 10); val bits = u16le(b, i + 22)
-          ok = channels == 1 && bits == 16
-        } else if (id == "data") {
-          dataOff = i + 8
-          dataLen = math.min(size, (b.length - i - 8).toLong).toInt
-        }
-        val advance = 8L + size + (size & 1L)
-        if (advance <= 0 || i + advance > Int.MaxValue) return None
-        i += advance.toInt
-      }
-      if (!ok || dataOff < 0) None
+      val (fmtOff, dataOff, dataLen) = walkRiff(b)
+      if (fmtOff < 0 || dataOff < 0 || dataLen < 0) None
+      else if (u16le(b, fmtOff + 2) != 1 || u16le(b, fmtOff + 14) != 16) None
       else {
         val n = dataLen / 2
         val out = new Array[Int](n)

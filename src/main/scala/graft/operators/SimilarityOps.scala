@@ -99,27 +99,52 @@ object SimilarityOps {
     // both sides and would otherwise pay the projection plan per branch.
     // One row per vector each: at scale the sketch table IS the persisted
     // artifact, like the minhash signature table.
-    // Zero-magnitude vectors are EXCLUDED (the quantizeInt8 zero-vector
-    // precedent): they have no defined cosine to anything, and under
-    // ANSI mode (Spark 4 default) their 0/0 would kill the job rather
-    // than emit NaN.
-    val e = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
-      .filter(dot(col("embedding"), col("embedding")) > 0)
-      .localCheckpoint(true)
+    val e = preparedVectors(corpus, idCol, embCol, dim)
     val pairs = graft.operators.DedupOps
       .simhashPairs(embeddingSimhash(e, dim = dim).localCheckpoint(true),
         maxHamming)
+    verifyCosine(pairs, e, e, threshold)
+  }
+
+  /** Shared prep for the embedding pair miners: project to the canonical
+    * (vec_id, embedding) shape, EXCLUDE zero-magnitude vectors (the
+    * quantizeInt8 precedent — no defined cosine to anything, and under
+    * ANSI mode, Spark 4's default, their 0/0 would kill the job rather
+    * than emit NaN), materialize eagerly (the d03 persist lesson), and
+    * FAIL LOUDLY on a dim mismatch: `graft_dot` returns null when array
+    * lengths differ, a null projection signs to a 0-bit, and every
+    * wrong-dim vector would silently sketch to 0 — collapsing candidate
+    * generation into the all-pairs blowup the sketch exists to prevent.
+    * The check reads one row off the already-materialized frame. */
+  private def preparedVectors(corpus: DataFrame, idCol: Column,
+                              embCol: Column, dim: Int): DataFrame = {
+    val e = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint(true)
+    e.select(size(col("embedding"))).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"embedding dim ${r.getInt(0)} != sketch dim $dim — wrong-dim " +
+          "vectors would silently sketch to 0 (null-dot sign bits) and " +
+          "candidate generation would degenerate to all-pairs; pass " +
+          s"dim = ${r.getInt(0)}")
+    }
+    e
+  }
+
+  /** Shared verification tail of the miners: exact cosine over candidate
+    * pairs only, threshold filter, canonical output shape. */
+  private def verifyCosine(pairs: DataFrame, left: DataFrame,
+                           right: DataFrame, threshold: Double): DataFrame =
     pairs
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         col("hamming"))
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")),
+      .join(left.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")),
         "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")),
+      .join(right.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")),
         "vec_b")
       .withColumn("cos", cosine(col("__ea"), col("__eb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "hamming", "cos")
-  }
 
   /** Cross-corpus embedding near-dup — the incremental-ingestion form of
     * [[embeddingNearDupPairs]] (as E85 is to E3, for vectors): (new
@@ -135,27 +160,14 @@ object SimilarityOps {
                                  dim: Int = 64,
                                  idCol: Column = col("vec_id"),
                                  embCol: Column = col("embedding")): DataFrame = {
-    // zero-magnitude vectors excluded on both sides — see
-    // [[embeddingNearDupPairs]]'s ANSI-division note
-    val n = newVecs.select(idCol.as("vec_id"), embCol.as("embedding"))
-      .filter(dot(col("embedding"), col("embedding")) > 0)
-      .localCheckpoint(true)
-    val c = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
-      .filter(dot(col("embedding"), col("embedding")) > 0)
-      .localCheckpoint(true)
+    // zero-filter + eager materialization + loud dim check on both sides,
+    // shared with [[embeddingNearDupPairs]] via [[preparedVectors]]
+    val n = preparedVectors(newVecs, idCol, embCol, dim)
+    val c = preparedVectors(corpus, idCol, embCol, dim)
     val pairs = graft.operators.DedupOps.simhashPairsCross(
       embeddingSimhash(n, dim = dim).localCheckpoint(true),
       embeddingSimhash(c, dim = dim).localCheckpoint(true), maxHamming)
-    pairs
-      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
-        col("hamming"))
-      .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")),
-        "vec_a")
-      .join(c.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")),
-        "vec_b")
-      .withColumn("cos", cosine(col("__ea"), col("__eb")))
-      .filter(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "hamming", "cos")
+    verifyCosine(pairs, n, c, threshold)
   }
 
   /** Brute-force cosine top-k: queries × corpus cross join (queries

@@ -360,6 +360,13 @@ class SimilaritySpec extends SparkSpec {
     val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
     assert(SimilarityOps.crossEmbeddingNearDupPairs(newSide, empty,
       threshold = 0.95, maxHamming = 3, dim = 16).count() === 0L)
+    // a sketch-dim mismatch fails LOUDLY: wrong-dim vectors would sketch
+    // to hash 0 via null dots and collapse candidates into all-pairs
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.embeddingNearDupPairs(newSide,
+        threshold = 0.95, maxHamming = 3, dim = 64)
+    }
+    assert(ex.getMessage.contains("dim 16 != sketch dim 64"), ex.getMessage)
   }
 
   test("embeddingNearDupPairs: zero vectors are excluded, not a crash or a pair") {
