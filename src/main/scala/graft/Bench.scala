@@ -129,22 +129,38 @@ object Bench {
     // churn out: a blip must both exceed 2.5x its prior and cost more
     // than a second of real wall time before a re-probe is worth two
     // extra executions.
+    // per-sf record file for non-default sf dirs, so scale sweeps never
+    // clobber the driver's sf0.1 record (and get their own priors)
+    def sfRecordFile(dir: String): String =
+      "bench_" + new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
+    def readRecord(path: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+      catch { case _: Throwable => None }
+    def recordSf(txt: String): Option[String] =
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    def recordTrials(txt: String): Int =
+      """"trials":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(1)
     val priors: Map[String, Double] =
       if (trials > 1) Map.empty
-      else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_latest.json")), "UTF-8")
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-        else {
+      else {
+        // prefer the same-sf record wherever it lives: bench_latest.json
+        // for the default sf, the per-sf side file for scale sweeps
+        val txtOpt = readRecord("bench_latest.json")
+          .filter(recordSf(_).contains(sfDir))
+          .orElse(readRecord(sfRecordFile(sfDir))
+            .filter(recordSf(_).contains(sfDir)))
+        txtOpt.map { txt =>
           val qStart = txt.indexOf("\"queries\":{")
-          if (qStart < 0) Map.empty
+          if (qStart < 0) Map.empty[String, Double]
           else {
             val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
             """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
-        }
-      } catch { case _: Throwable => Map.empty }
+        }.getOrElse(Map.empty)
+      }
     val reprobed = scala.collection.mutable.ListBuffer.empty[String]
     val results = medianed.map {
       case (name, t, true) if priors.get(name).exists(p =>
@@ -188,13 +204,31 @@ object Bench {
     // the driver keeps only the last 2000 chars of stdout, which truncates
     // the per-query map; persist the complete line so per-query numbers
     // survive the round without a re-run (full-registry runs only — a
-    // prefix-subset iteration must not overwrite the round's record)
+    // prefix-subset iteration must not overwrite the round's record).
+    // OVERWRITE GUARD (r9 hazard: the driver's post-commit single-trial
+    // run clobbered the committed 3-trial record, degrading next round's
+    // reprobe priors): bench_latest.json is only replaced by a run at the
+    // SAME sf with AT LEAST as many trials; a lower-trials same-sf run
+    // lands in bench_single.json, and a different-sf run lands in its own
+    // per-sf record (bench_<dirname>.json) — which the priors read above
+    // already consults, so scale sweeps keep their reprobe protection.
     if (prefixes.isEmpty) {
+      val existing = readRecord("bench_latest.json")
+      val target =
+        if (existing.forall(recordSf(_).contains(sfDir))) {
+          if (existing.forall(recordTrials(_) <= trials)) "bench_latest.json"
+          else "bench_single.json"
+        } else sfRecordFile(sfDir)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_latest.json"), json + "\n")
+        java.nio.file.Paths.get(target), json + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] bench_latest.json write failed: ${e.getMessage}")
+        System.err.println(s"[bench] $target write failed: ${e.getMessage}")
       }
+      if (target != "bench_latest.json")
+        System.err.println(s"[bench] record written to $target " +
+          "(bench_latest.json preserved: " +
+          existing.map(t => s"sf=${recordSf(t).getOrElse("?")} " +
+            s"trials=${recordTrials(t)}").getOrElse("absent") + ")")
     }
     spark.stop()
   }

@@ -182,11 +182,21 @@ object Multimodal {
         (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0x0A
 
     /** Decoded images above this pixel count are treated as undecodable:
-      * the 24-bpp re-encode ([[toBmp24]]) needs rowBytes·h + 54 to fit an
-      * Int (JVM array limit), and 3·(w·h) stays under 2³¹ iff
-      * w·h ≤ ~7.1e8 — half a gigapixel is far past any legitimate
-      * thumbnail/feature input, so the cap costs nothing real. */
+      * half a gigapixel is far past any legitimate thumbnail/feature
+      * input, so the cap costs nothing real. NOTE the pixel cap alone
+      * does NOT bound the BMP re-encode size — row padding makes
+      * rowBytes·h pad-dominated for degenerate narrow-tall shapes (w=1,
+      * h=2²⁹ passes the pixel cap yet 4·2²⁹ wraps an Int) — so
+      * [[decodeImageIo]] also gates on [[bmp24Bytes]], the EXACT output
+      * size [[toBmp24]] will allocate. */
     private val MaxImagePixels = 1L << 29
+
+    /** Exact byte size of [[toBmp24]]'s output for a w×h image, in Long
+      * arithmetic (54-byte header + 4-byte-padded 24-bpp rows).
+      * Package-visible so the spec can pin the gate arithmetic without
+      * decoding a gigapixel fixture. */
+    private[graft] def bmp24Bytes(w: Long, h: Long): Long =
+      54L + (w * 3 + 3) / 4 * 4 * h
 
     // ImageIO's default InputStream path spools through a TEMP FILE
     // (FileCacheImageInputStream) — per-row disk I/O on the executor hot
@@ -208,7 +218,13 @@ object Multimodal {
       else try {
         imageIoNoCache
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-          .filter(img => img.getWidth.toLong * img.getHeight <= MaxImagePixels)
+          .filter { img =>
+            val w = img.getWidth.toLong; val h = img.getHeight.toLong
+            // both gates: pixel budget AND the re-encode's actual
+            // allocation — every toBmp24 call site feeds from here, so
+            // this is the single never-throw choke point
+            w * h <= MaxImagePixels && bmp24Bytes(w, h) <= Int.MaxValue
+          }
           .map(img => (fmt, img))
       } catch { case _: Throwable => None }
     }
@@ -325,7 +341,12 @@ object Multimodal {
     def wavSamples16(b: Array[Byte]): Option[Array[Int]] = {
       val (fmtOff, dataOff, dataLen) = walkRiff(b)
       if (fmtOff < 0 || dataOff < 0 || dataLen < 0) None
-      else if (u16le(b, fmtOff + 2) != 1 || u16le(b, fmtOff + 14) != 16) None
+      // fmt tag (offset +0) must be 1 = WAVE_FORMAT_PCM: an extensible
+      // (0xFFFE) or compressed-codec header declaring 16-bit mono would
+      // otherwise be misread as raw PCM — garbage samples and a bogus
+      // audioSig60 polluting near-dup mining instead of a clean None
+      else if (u16le(b, fmtOff) != 1 || u16le(b, fmtOff + 2) != 1 ||
+        u16le(b, fmtOff + 14) != 16) None
       else {
         val n = dataLen / 2
         val out = new Array[Int](n)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LogicalRange}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Join, LocalRelation, RepartitionOperation, Sort, Window, Range => LogicalRange}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
@@ -33,9 +33,24 @@ object Par {
     * untouched — micro-batch splits are the trigger's concern). Unknown
     * leaf shapes are treated as under-split: in this repo they only occur
     * for small in-memory frames, and a spurious row-sized exchange is
-    * noise next to the per-row compute these operators exist to spread. */
+    * noise next to the per-row compute these operators exist to spread.
+    *
+    * DEMOTION GUARD: the leaf estimate cannot see partitioning raised
+    * ABOVE the leaves by an upstream exchange (a repartition/join/agg in
+    * the plan), so a transformed frame whose parallelism is already fine
+    * could be wrapped in an exchange that REDUCES it. Any
+    * shuffle-introducing node in the analyzed plan therefore disables the
+    * guard outright — such a frame's partitioning is governed by
+    * `spark.sql.shuffle.partitions`/AQE, never by source splits, and the
+    * under-split problem this object exists for cannot apply to it. */
   def ensure(df: DataFrame): DataFrame = {
     if (df.isStreaming) df
+    else if (df.queryExecution.analyzed.exists {
+      case _: RepartitionOperation | _: Join | _: Aggregate | _: Window |
+           _: Distinct | _: Deduplicate => true
+      case s: Sort => s.global
+      case _ => false
+    }) df
     else {
       val par = df.sparkSession.sparkContext.defaultParallelism
       estimatedSourceSplits(df) match {

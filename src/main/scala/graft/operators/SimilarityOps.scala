@@ -115,19 +115,23 @@ object SimilarityOps {
     * lengths differ, a null projection signs to a 0-bit, and every
     * wrong-dim vector would silently sketch to 0 — collapsing candidate
     * generation into the all-pairs blowup the sketch exists to prevent.
-    * The check reads one row off the already-materialized frame. */
+    * The check is a 1-row min/max aggregate over the WHOLE materialized
+    * frame (a first-row sample would pass a mixed-dim corpus whose first
+    * vector happens to match) — one cheap scan of the checkpoint, next
+    * to nothing beside the 60-plane sketch pass that follows it. */
   private def preparedVectors(corpus: DataFrame, idCol: Column,
                               embCol: Column, dim: Int): DataFrame = {
     val e = corpus.select(idCol.as("vec_id"), embCol.as("embedding"))
       .filter(dot(col("embedding"), col("embedding")) > 0)
       .localCheckpoint(true)
-    e.select(size(col("embedding"))).head(1).foreach { r =>
-      require(r.getInt(0) == dim,
-        s"embedding dim ${r.getInt(0)} != sketch dim $dim — wrong-dim " +
-          "vectors would silently sketch to 0 (null-dot sign bits) and " +
-          "candidate generation would degenerate to all-pairs; pass " +
-          s"dim = ${r.getInt(0)}")
-    }
+    val dims = e.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx")).head()
+    if (!dims.isNullAt(0)) // empty frame: nothing to sketch, nothing to check
+      require(dims.getInt(0) == dim && dims.getInt(1) == dim,
+        s"embedding dims [${dims.getInt(0)}, ${dims.getInt(1)}] != sketch " +
+          s"dim $dim — wrong-dim vectors would silently sketch to 0 " +
+          "(null-dot sign bits) and candidate generation would degenerate " +
+          "to all-pairs; fix the corpus or pass the real dim")
     e
   }
 

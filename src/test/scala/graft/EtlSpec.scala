@@ -385,6 +385,20 @@ class EtlSpec extends SparkSpec {
     assert(hashes.toSeq === Seq(1L))
   }
 
+  test("toBmp24 size gate: pad-dominated narrow-tall shapes are rejected") {
+    import Multimodal.MediaDecoder
+    // w=1, h=2^29 passes the half-gigapixel cap (w*h = 2^29 exactly) but
+    // its BMP re-encode is pad-dominated (rowBytes=4 -> 4*2^29 + 54
+    // bytes), which wraps an Int — decodeImageIo's byte gate must reject
+    // the shape so toBmp24 never allocates on it (never-throw contract)
+    assert(MediaDecoder.bmp24Bytes(1L, 1L << 29) > Int.MaxValue.toLong)
+    assert(MediaDecoder.bmp24Bytes(1L << 29, 1L) <= Int.MaxValue.toLong)
+    // a realistic large image still fits
+    assert(MediaDecoder.bmp24Bytes(8192L, 8192L) <= Int.MaxValue.toLong)
+    // the arithmetic is exact: 54-byte header + 4-byte-padded rows
+    assert(MediaDecoder.bmp24Bytes(3L, 2L) === 54L + 12L * 2)
+  }
+
   test("audioSig60: WAV round-trip, loudness invariance, drop cases") {
     import Multimodal.MediaDecoder
     // deterministic samples; the signature must survive the byte round-trip
@@ -404,6 +418,14 @@ class EtlSpec extends SparkSpec {
       MediaDecoder.toWav16(samples.take(60 * 64))).isEmpty)
     assert(MediaDecoder.audioSig60("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(MediaDecoder.audioSig60(Array.emptyByteArray).isEmpty)
+    // non-PCM format tag: an extensible (0xFFFE) or compressed-codec
+    // header declaring 16-bit mono must be DROPPED, not misread as raw
+    // PCM (garbage samples -> bogus signature polluting near-dup mining).
+    // toWav16's fmt body starts at byte 20; tag is its first u16le.
+    val nonPcm = wav.clone()
+    nonPcm(20) = 0xFE.toByte; nonPcm(21) = 0xFF.toByte
+    assert(MediaDecoder.wavSamples16(nonPcm).isEmpty)
+    assert(MediaDecoder.audioSig60(nonPcm).isEmpty)
   }
 
   test("audioNearDupPairs: planted variant groups pair, cross-group never") {

@@ -366,7 +366,20 @@ class SimilaritySpec extends SparkSpec {
       SimilarityOps.embeddingNearDupPairs(newSide,
         threshold = 0.95, maxHamming = 3, dim = 64)
     }
-    assert(ex.getMessage.contains("dim 16 != sketch dim 64"), ex.getMessage)
+    assert(ex.getMessage.contains("dims [16, 16] != sketch dim 64"),
+      ex.getMessage)
+    // ... and the guard must see the WHOLE frame, not a first-row sample:
+    // a mixed-dim corpus whose FIRST vector matches the sketch dim used to
+    // slip through, with every other vector silently sketching to 0
+    val mixed = (Seq((30L, vec(4))) ++
+      Seq((31L, vec(5).take(8)), (32L, vec(6).take(8))))
+      .toDF("vec_id", "embedding")
+    val exMixed = intercept[IllegalArgumentException] {
+      SimilarityOps.embeddingNearDupPairs(mixed,
+        threshold = 0.95, maxHamming = 3, dim = 16)
+    }
+    assert(exMixed.getMessage.contains("dims [8, 16] != sketch dim 16"),
+      exMixed.getMessage)
   }
 
   test("embeddingNearDupPairs: zero vectors are excluded, not a crash or a pair") {
