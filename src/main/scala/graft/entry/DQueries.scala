@@ -216,6 +216,17 @@ object DQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    "d20_dedup_recall_eval" -> ((s, dir) => {
+      // E128: the dedup-quality audit — MEASURED recall/precision of the
+      // banded LSH miner vs brute ground truth on the deterministic
+      // half-sample (t05 machinery). The oracle replays the sample and
+      // the brute truth and asserts the miner found every pair: at 32×4
+      // banding the per-pair miss probability at J≥0.8 is < 5e-8 (the
+      // d03 adjudication), so any measured miss hash-mismatches the gate.
+      DedupOps.dedupRecallEval(documents(s, dir), col("doc_id"),
+        col("text"), JaccardThreshold)
+    }),
+
     "s01_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -951,6 +962,16 @@ object DQueries {
           exact = false)
         .select(col("id").as("doc_id"), col("stratum").as("lang"),
           col("score").as("quality"))
+    }),
+    "d20_dedup_recall_eval" -> ((s, dir) => {
+      // The audit budget is ABSOLUTE, not proportional: ground truth is
+      // O(sample²) by design, so at bench sf (50k docs) the gate's
+      // half-sample would put ~3×10⁸ pairs through the brute side.
+      // 2% keeps the sampled set near the gate's absolute size — the
+      // bench measures the operator pipeline, not the quadratic budget
+      // knob (which a production audit would hold constant anyway).
+      DedupOps.dedupRecallEval(documents(s, dir), col("doc_id"),
+        col("text"), JaccardThreshold, sampleRate = 0.02)
     })
   )
 
@@ -1611,6 +1632,36 @@ object DQueries {
          |JOIN corp eb ON eb.vec_id = c.vec_b
          |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // twin of DedupOps.dedupRecallEval: replay the deterministic
+    // half-sample (the t05 hash-bucket formula) and the brute exact-
+    // Jaccard ground truth, then assert the banded miner is EXHAUSTIVE —
+    // banded = matched = truth (32×4 banding misses a J≥0.8 pair with
+    // probability < 5e-8, the d03 adjudication; an actual miss or a
+    // verification regression hash-mismatches the counts/ppm columns)
+    "d20_dedup_recall_eval" ->
+      s"""WITH samp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${h60Sql("'sample_' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |    < 0.5 * 1000000),
+         |shs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM (SELECT doc_id, $toksSql AS w FROM samp)),
+         |t AS (
+         |  SELECT COUNT(*) AS n FROM shs a, shs b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s)) * 1.0
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= $JaccardThreshold)
+         |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  (SELECT COUNT(*) FROM samp) AS n_sampled,
+         |  t.n AS truth_pairs, t.n AS banded_pairs, t.n AS matched_pairs,
+         |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE t.n * 1000000 // t.n END AS recall_ppm,
+         |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE t.n * 1000000 // t.n END AS precision_ppm
+         |FROM t""".stripMargin,
 
     "s01_ann_topk" ->
       s"""SELECT q_id, rank, nn_id, ${rndSql("c")} AS cos FROM (

@@ -998,4 +998,57 @@ object DedupOps {
         expr("coalesce(__nd, 0L) * 1000000 div greatest(coalesce(__nw, 0L), 1)")
           .as("dup_ppm"))
   }
+
+  /** Dedup-quality audit — the `s10_ann_eval` of the dedup family: MEASURED
+    * recall/precision of the banded MinHash+LSH miner against brute-force
+    * ground truth, computable on a USER's corpus (every banded miner ships
+    * a recall CLAIM — 1-(1-J^r)^b for LSH — but without this operator the
+    * claim is only provable in a spec against planted fixtures).
+    *
+    * The audit runs on a hash-deterministic sample (the t05
+    * `stratifiedHashSample` machinery — same subset every run, replayable
+    * by any engine): brute exact-Jaccard pairs on the sample are ground
+    * truth, the banded miner runs on the same sample (LSH candidacy is a
+    * per-PAIR property of the two signatures, so per-pair recall on the
+    * sample equals per-pair recall in the full corpus), and the two pair
+    * sets meet in an equi-join. `sampleRate` is the quadratic audit
+    * budget: ground truth is O(sample²) BY DESIGN — at a growing corpus,
+    * hold the absolute sample size constant by shrinking the rate.
+    *
+    * Output (one row, exact int64 ppm grid): (n_docs, n_sampled,
+    * truth_pairs, banded_pairs, matched_pairs, recall_ppm,
+    * precision_ppm). recall = matched/truth, precision = matched/banded;
+    * an empty denominator reports the vacuous 1000000. Because the miner
+    * verifies candidates with exact Jaccard, banded ⊆ truth (up to the
+    * negligible 60-bit hash-collision odds) — precision < 1000000 would
+    * flag a verification regression, recall < 1000000 a banding miss. */
+  def dedupRecallEval(df: DataFrame, idCol: Column, textCol: Column,
+                      threshold: Double, k: Int = 3,
+                      sampleRate: Double = 0.5,
+                      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val sample = CurationOps.stratifiedHashSample(
+      df.select(idCol.as("doc_id"), textCol.as("text")),
+      col("doc_id"), lit("all"), Map.empty, sampleRate)
+    // the shingle sets feed the brute side twice and the LSH side once;
+    // materialize so tokenize+shingle runs once (the d03 persist lesson)
+    val sh = shingleSets(sample, col("doc_id"), col("text"), k)
+      .localCheckpoint(true)
+    val truth = jaccardPairsBrute(sh, threshold).select("doc_a", "doc_b")
+      .localCheckpoint(true) // reused by the count and the match join
+    val banded = minhashLshPairs(sh, threshold, bands, rowsPerBand)
+      .select("doc_a", "doc_b") // already materialized (release=true)
+    val matched = truth.join(banded, Seq("doc_a", "doc_b"))
+    // five 1-row aggregates; the crossJoins are broadcast 1-row frames
+    df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sample.agg(count(lit(1)).as("n_sampled")))
+      .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
+      .crossJoin(banded.agg(count(lit(1)).as("banded_pairs")))
+      .crossJoin(matched.agg(count(lit(1)).as("matched_pairs")))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN truth_pairs = 0 THEN 1000000 " +
+          "ELSE matched_pairs * 1000000 div truth_pairs END"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN banded_pairs = 0 THEN 1000000 " +
+          "ELSE matched_pairs * 1000000 div banded_pairs END"))
+  }
 }

@@ -492,4 +492,59 @@ class DedupSpec extends SparkSpec {
       ("A", "C") -> (2L, 2L, 0L, 0L),
       ("B", "C") -> (2L, 2L, 0L, 0L)))
   }
+
+  test("dedupRecallEval: measured LSH recall on the sf0.01 corpus meets " +
+      "the 1-(1-J^r)^b floor") {
+    // the d03 recall CLAIM made measurable: on the real sf0.01 documents
+    // corpus (sampleRate = 1.0 -> the whole corpus is the sample, so the
+    // audit covers every true pair), the banded miner's measured recall
+    // must meet its analytic per-pair floor at J = threshold, and — since
+    // candidates verify with exact Jaccard — precision must be exact
+    val (threshold, bands, rowsPerBand) = (0.8, 32, 4)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val row = DedupOps.dedupRecallEval(docs, col("doc_id"), col("text"),
+      threshold, sampleRate = 1.0, bands = bands,
+      rowsPerBand = rowsPerBand).head()
+    val nDocs = row.getAs[Long]("n_docs")
+    val nSampled = row.getAs[Long]("n_sampled")
+    val truth = row.getAs[Long]("truth_pairs")
+    val banded = row.getAs[Long]("banded_pairs")
+    val matched = row.getAs[Long]("matched_pairs")
+    val recallPpm = row.getAs[Long]("recall_ppm")
+    val precisionPpm = row.getAs[Long]("precision_ppm")
+    assert(nSampled === nDocs) // rate 1.0: every doc sampled
+    assert(truth > 0, "corpus has no true near-dup pairs - vacuous audit")
+    // analytic floor: P[pair at J = threshold survives banding]
+    val floorPpm = math.floor(
+      (1.0 - math.pow(1.0 - math.pow(threshold, rowsPerBand), bands)) * 1e6
+    ).toLong
+    assert(recallPpm >= floorPpm, s"recall $recallPpm < floor $floorPpm")
+    // exact-verify miner: every banded pair is a true pair
+    assert(precisionPpm === 1000000L)
+    assert(matched === banded)
+  }
+
+  test("dedupRecallEval: deterministic sample, empty-truth guard") {
+    // strangers only: no pair reaches the threshold -> truth = 0 and the
+    // ppm columns report the vacuous 1000000 instead of dividing by zero
+    val strangers = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "red green blue cyan magenta")
+    ).toDF("doc_id", "text")
+    val row = DedupOps.dedupRecallEval(strangers, col("doc_id"),
+      col("text"), 0.8, sampleRate = 1.0).head()
+    assert(row.getAs[Long]("truth_pairs") === 0L)
+    assert(row.getAs[Long]("banded_pairs") === 0L)
+    assert(row.getAs[Long]("recall_ppm") === 1000000L)
+    assert(row.getAs[Long]("precision_ppm") === 1000000L)
+    // half-sample is hash-deterministic: same subset on every invocation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = DedupOps.dedupRecallEval(docs, col("doc_id"), col("text"), 0.8)
+      .head()
+    val b = DedupOps.dedupRecallEval(docs, col("doc_id"), col("text"), 0.8)
+      .head()
+    assert(a === b)
+    assert(a.getAs[Long]("n_sampled") < a.getAs[Long]("n_docs"))
+  }
 }
