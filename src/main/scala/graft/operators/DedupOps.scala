@@ -253,28 +253,61 @@ object DedupOps {
                         threshold: Double, bands: Int = 32,
                         rowsPerBand: Int = 4,
                         release: Boolean = true): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // same eager-persist rationale as minhashLshPairs: each hashed side
     // feeds two sibling stages (signatures + its verification join side)
     val nh = hashedShingleSets(newShingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nh.count()
+    val (ch, cb) = corpusDedupArtifact(corpusShingled, bands, rowsPerBand)
+    val verified =
+      crossNearDupPairsFromArtifact(nh, ch, cb, threshold, bands, rowsPerBand)
+    if (release) materializeReleasing(verified, nh, ch) else verified
+  }
+
+  /** The corpus-side PERSISTED ARTIFACT of incremental ingestion dedup
+    * (E85): (hashed shingle sets, LSH band-bucket table), computed once
+    * when the corpus is built and grown incrementally from admitted
+    * shards. At scale both frames are written tables; a daily crawl shard
+    * re-hashes only ITSELF and joins against them
+    * ([[crossNearDupPairsFromArtifact]]). The hashed side is persisted
+    * eagerly here (it feeds the bucket build AND every arriving shard's
+    * verification join); callers streaming many shards should keep both
+    * frames materialized across triggers. */
+  def corpusDedupArtifact(corpusShingled: DataFrame, bands: Int = 32,
+                          rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     val ch = hashedShingleSets(corpusShingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ch.count()
-    val nb = bandBuckets(minhashSignatures(nh, numHashes), bands, rowsPerBand)
-    val cb = bandBuckets(minhashSignatures(ch, numHashes), bands, rowsPerBand)
+    val cb =
+      bandBuckets(minhashSignatures(ch, bands * rowsPerBand), bands, rowsPerBand)
+    (ch, cb)
+  }
+
+  /** [[crossNearDupPairs]] against an already-built corpus artifact — the
+    * streaming/incremental form: each arriving shard (`newHashed`, the
+    * shard's [[hashedShingleSets]]) computes signatures and buckets for
+    * ITSELF ONLY, equi-joins the standing `corpusBuckets`, and verifies
+    * candidates with exact Jaccard against `corpusHashed`. The corpus
+    * never rescans; per-trigger cost is linear in shard size + bucket
+    * collisions. Union over triggers ≡ one batch [[crossNearDupPairs]]
+    * run (proven in StreamingSpec). */
+  def crossNearDupPairsFromArtifact(newHashed: DataFrame,
+                                    corpusHashed: DataFrame,
+                                    corpusBuckets: DataFrame,
+                                    threshold: Double, bands: Int = 32,
+                                    rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val nb = bandBuckets(minhashSignatures(newHashed, numHashes), bands, rowsPerBand)
     val candidates = nb.select(col("band"), col("bsig"), col("doc_id").as("new_id"))
-      .join(cb.select(col("band"), col("bsig"), col("doc_id").as("corpus_id")),
-        Seq("band", "bsig"))
+      .join(corpusBuckets.select(col("band"), col("bsig"),
+        col("doc_id").as("corpus_id")), Seq("band", "bsig"))
       .select("new_id", "corpus_id").distinct()
-    val sa = nh.select(col("doc_id").as("new_id"), col("hs").as("sa"))
-    val sb = ch.select(col("doc_id").as("corpus_id"), col("hs").as("sb"))
-    val verified = candidates.join(sa, "new_id").join(sb, "corpus_id")
+    val sa = newHashed.select(col("doc_id").as("new_id"), col("hs").as("sa"))
+    val sb = corpusHashed.select(col("doc_id").as("corpus_id"), col("hs").as("sb"))
+    candidates.join(sa, "new_id").join(sb, "corpus_id")
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
-    if (release) materializeReleasing(verified, nh, ch) else verified
   }
 
   /** Duplicate-cluster assignment: connected components over near-dup pairs

@@ -164,14 +164,43 @@ object SimilarityOps {
                                  dim: Int = 64,
                                  idCol: Column = col("vec_id"),
                                  embCol: Column = col("embedding")): DataFrame = {
-    // zero-filter + eager materialization + loud dim check on both sides,
+    val (c, csk) = corpusEmbeddingArtifact(corpus, dim, idCol, embCol)
+    crossEmbeddingNearDupPairsFromArtifact(newVecs, c, csk, threshold,
+      maxHamming, dim, idCol, embCol)
+  }
+
+  /** The corpus-side PERSISTED ARTIFACT of incremental embedding dedup
+    * (E123): (prepared vectors, hyperplane sketch table). At scale both
+    * are written tables, built once and grown from admitted shards; a
+    * daily shard sketches only itself and joins against them
+    * ([[crossEmbeddingNearDupPairsFromArtifact]]). Both frames come back
+    * eagerly materialized (the d03 persist lesson); streaming callers
+    * keep them across triggers. */
+  def corpusEmbeddingArtifact(corpus: DataFrame, dim: Int = 64,
+                              idCol: Column = col("vec_id"),
+                              embCol: Column = col("embedding"))
+      : (DataFrame, DataFrame) = {
+    val c = preparedVectors(corpus, idCol, embCol, dim)
+    (c, embeddingSimhash(c, dim = dim).localCheckpoint(true))
+  }
+
+  /** [[crossEmbeddingNearDupPairs]] against an already-built corpus
+    * artifact — the streaming/incremental form: each arriving shard
+    * prepares and sketches ITSELF ONLY (with the same hash-derived
+    * planes), chunk-joins the standing sketch table, and verifies exact
+    * cosine against the standing vectors. Union over triggers ≡ one
+    * batch run (proven in StreamingSpec). */
+  def crossEmbeddingNearDupPairsFromArtifact(newVecs: DataFrame,
+      corpusPrepared: DataFrame, corpusSketch: DataFrame, threshold: Double,
+      maxHamming: Int = 3, dim: Int = 64, idCol: Column = col("vec_id"),
+      embCol: Column = col("embedding")): DataFrame = {
+    // zero-filter + eager materialization + loud dim check on the shard,
     // shared with [[embeddingNearDupPairs]] via [[preparedVectors]]
     val n = preparedVectors(newVecs, idCol, embCol, dim)
-    val c = preparedVectors(corpus, idCol, embCol, dim)
     val pairs = graft.operators.DedupOps.simhashPairsCross(
       embeddingSimhash(n, dim = dim).localCheckpoint(true),
-      embeddingSimhash(c, dim = dim).localCheckpoint(true), maxHamming)
-    verifyCosine(pairs, n, c, threshold)
+      corpusSketch, maxHamming)
+    verifyCosine(pairs, n, corpusPrepared, threshold)
   }
 
   /** Brute-force cosine top-k: queries × corpus cross join (queries

@@ -598,11 +598,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("cross-corpus dedup as incremental ingestion: per-trigger pairs union to the batch result") {
-    // the retrieval-side incremental story: corpus shingle sets are a
-    // STATIC artifact; each trigger scores only its new docs against it
-    // (E85's banded join), and results append — no cross-trigger state
-    // beyond the output itself. The union over triggers must equal one
-    // batch run over all new docs.
+    // the retrieval-side incremental story, driven the way E85 claims it
+    // deploys: the corpus bucket + hashed-shingle tables are built ONCE
+    // (the persisted artifact) and each trigger hashes/signs/buckets only
+    // its OWN docs before joining the standing tables — the corpus never
+    // rescans; results append with no cross-trigger state beyond the
+    // output itself. The union over triggers must equal one batch run.
     import graft.operators.DedupOps
     implicit val sqlCtx = spark.sqlContext
     val corpusDocs = Seq(
@@ -612,6 +613,10 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val corpSh = DedupOps.shingleSets(corpusDocs, $"doc_id", $"text", 3)
       .localCheckpoint(true)
+    // the artifact: computed once, pinned across triggers (at scale:
+    // written tables)
+    val (corpHashed, corpBuckets) = DedupOps.corpusDedupArtifact(corpSh)
+    val pinnedBuckets = corpBuckets.localCheckpoint(true)
     val newDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // dup of 100
       (2L, "completely different text with no overlap at all"),
@@ -621,9 +626,10 @@ class StreamingSpec extends SparkSpec {
     var streamed = Seq.empty[(Long, Long)]
     val q = mem.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val nsh = DedupOps.shingleSets(batch, $"doc_id", $"text", 3)
+        val nh = DedupOps.hashedShingleSets(
+          DedupOps.shingleSets(batch, $"doc_id", $"text", 3))
         streamed = streamed ++ DedupOps
-          .crossNearDupPairs(nsh, corpSh, 0.8, release = false)
+          .crossNearDupPairsFromArtifact(nh, corpHashed, pinnedBuckets, 0.8)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
       }.start()
     try {
@@ -638,6 +644,54 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(streamed.toSet === batchAll.toSet)
       assert(streamed.toSet === Set((1L, 100L), (3L, 101L), (4L, 102L)))
+    } finally q.stop()
+  }
+
+  test("cross-corpus embedding dedup as incremental ingestion: per-trigger sketches vs the static corpus artifact") {
+    // the E123 claim driven end-to-end: the corpus (vectors, sketch
+    // table) artifact is built once; each micro-batch prepares and
+    // sketches only its own vectors (same hash-derived planes), joins
+    // the standing sketch table, and verifies cosine against the
+    // standing vectors. Union over triggers ≡ batch
+    // crossEmbeddingNearDupPairs, and pairs stay CROSS-side only (the
+    // internal dup inside the new stream is never emitted).
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Array[Double] = Array.tabulate(16) { d =>
+      ((graft.functions.Hashing.hash60Scalar(s"sinc_${seed}_$d") % 2001) - 1000) / 1000.0
+    }
+    val corpus = Seq((100L, vec(1)), (101L, vec(2)), (102L, vec(3)))
+      .toDF("vec_id", "embedding")
+    val (corpVecs, corpSketch) =
+      SimilarityOps.corpusEmbeddingArtifact(corpus, dim = 16)
+    // new side: dups of corpus 100/101/102, one stranger, and an INTERNAL
+    // dup pair (1, 5 both = vec(1)) split across triggers
+    val newVecs = Seq((1L, vec(1)), (2L, vec(9)), (3L, vec(2)),
+      (4L, vec(3)), (5L, vec(1)))
+    val mem = MemoryStream[Long]
+    var streamed = Seq.empty[(Long, Long)]
+    val q = mem.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val shard = batch.join(newVecs.toDF("vec_id", "embedding"), "vec_id")
+        streamed = streamed ++ SimilarityOps
+          .crossEmbeddingNearDupPairsFromArtifact(shard, corpVecs,
+            corpSketch, threshold = 0.95, maxHamming = 3, dim = 16)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.start()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L, 4L, 5L)
+      q.processAllAvailable()
+      val batchAll = SimilarityOps.crossEmbeddingNearDupPairs(
+          newVecs.toDF("vec_id", "embedding"), corpus,
+          threshold = 0.95, maxHamming = 3, dim = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSet === batchAll.toSet)
+      // exact copies land on their corpus anchors; the stranger pairs with
+      // nothing; the internal (1, 5) dup is NOT emitted (cross-side only)
+      assert(streamed.toSet === Set((1L, 100L), (3L, 101L), (4L, 102L),
+        (5L, 100L)), s"got $streamed")
     } finally q.stop()
   }
 
