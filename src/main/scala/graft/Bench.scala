@@ -62,9 +62,20 @@ object Bench {
     // r01 benched the exact plans under the same keys, so r01→r02 deltas on
     // these keys measure the plan swap, not a same-plan speedup. The
     // plan_notes field in the output JSON records this for trend readers.
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated exact keys to skip, for
+    // scale sweeps where one key's cost is already adjudicated elsewhere
+    // (the r9 precedent: d17's fixed-vocab fixture saturates the shingle
+    // key space, so its Σdf²/2 irreducible work is quadratic in copies at
+    // sf ≥ 1 — analyzed with a k=5 A/B in SCALING, excluded from decade
+    // sweeps BY that analysis, not silently). The exclusion is recorded
+    // in the output JSON ("excluded") — no silent caps. The driver sets
+    // no env, so gate runs are unaffected.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val headline = (SparkEntry.queries ++ graft.entry.AQueries.benchOverrides ++
       graft.entry.DQueries.benchOverrides ++ graft.entry.OlapQueries.benchOverrides)
-      .filterNot { case (k, _) => bruteForceTwins(k) }
+      .filterNot { case (k, _) => bruteForceTwins(k) || excluded(k) }
       .filter { case (k, _) => prefixes.forall(_.exists(k.startsWith)) }
     // warm the JVM against the BENCH sf dir before timing (guarded — a
     // failed warm-up must not kill the whole run). Three representative
@@ -199,7 +210,9 @@ object Bench {
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
       """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size"}"""
     val reprobedJson = reprobed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"reprobed":$reprobedJson,"plan_notes":$planNotes,"sf":"$sfDir"}"""
+    val excludedJson = excluded.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"reprobed":$reprobedJson,"excluded":$excludedJson,"plan_notes":$planNotes,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the last 2000 chars of stdout, which truncates
     // the per-query map; persist the complete line so per-query numbers

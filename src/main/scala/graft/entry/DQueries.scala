@@ -965,13 +965,16 @@ object DQueries {
     }),
     "d20_dedup_recall_eval" -> ((s, dir) => {
       // The audit budget is ABSOLUTE, not proportional: ground truth is
-      // O(sample²) by design, so at bench sf (50k docs) the gate's
-      // half-sample would put ~3×10⁸ pairs through the brute side.
-      // 2% keeps the sampled set near the gate's absolute size — the
-      // bench measures the operator pipeline, not the quadratic budget
-      // knob (which a production audit would hold constant anyway).
-      DedupOps.dedupRecallEval(documents(s, dir), col("doc_id"),
-        col("text"), JaccardThreshold, sampleRate = 0.02)
+      // O(sample²) by design, so a fixed RATE grows the brute side
+      // quadratically per decade (the r10 sf10 sweep measured the first
+      // cut's fixed 2% at 105 s — 10k docs, 5×10⁷ brute pairs). Target
+      // ~1000 sampled docs at any corpus size (= the gate's absolute
+      // scale; a production audit holds its sample constant the same
+      // way); the count is parquet-metadata cheap.
+      val docs = documents(s, dir)
+      val rate = math.min(1.0, 1000.0 / math.max(1L, docs.count()))
+      DedupOps.dedupRecallEval(docs, col("doc_id"),
+        col("text"), JaccardThreshold, sampleRate = rate)
     })
   )
 

@@ -329,8 +329,10 @@ object OlapQueries {
     "b40_fuzzy_match" -> ((s, dir) => {
       // E56: distance-1 fuzzy join of deterministically-corrupted supplier
       // names (one char deleted at a doc-derived position) back onto the
-      // originals; pigeonhole prefix/suffix blocking must be invisible —
-      // the oracle is the brute-force levenshtein join.
+      // originals; deletion-neighborhood blocking must be invisible —
+      // the oracle is the brute-force levenshtein join. (The boilerplate
+      // "Supplier#" prefix is exactly the regime that collapsed the old
+      // prefix/suffix pigeonhole blocking at sf10 — see SCALING.)
       val sup = supplier(s, dir).select("s_suppkey", "s_name")
       val pos = pmod(col("s_suppkey"), lit(10)) + lit(5)
       val corrupted = sup.select(col("s_suppkey").as("c_id"),
@@ -338,7 +340,7 @@ object OlapQueries {
           col("s_name").substr(pos + 1, lit(99))).as("c_name"))
       graft.operators.JoinOps.fuzzyJoinDist1(
           corrupted, col("c_id"), col("c_name"),
-          sup, col("s_suppkey"), col("s_name"), prefixLen = 4)
+          sup, col("s_suppkey"), col("s_name"))
         .select(col("l_id"), col("r_id"), col("dist"))
         .orderBy("l_id", "r_id")
     }),

@@ -1071,9 +1071,12 @@ object DedupOps {
     val banded = minhashLshPairs(sh, threshold, bands, rowsPerBand)
       .select("doc_a", "doc_b") // already materialized (release=true)
     val matched = truth.join(banded, Seq("doc_a", "doc_b"))
-    // five 1-row aggregates; the crossJoins are broadcast 1-row frames
+    // five 1-row aggregates; the crossJoins are broadcast 1-row frames.
+    // n_sampled counts the CHECKPOINTED shingle frame (1:1 with the
+    // sample — shingleSets is a per-row projection), so the sampling
+    // filter scans the corpus once, not twice
     df.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(sample.agg(count(lit(1)).as("n_sampled")))
+      .crossJoin(sh.agg(count(lit(1)).as("n_sampled")))
       .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
       .crossJoin(banded.agg(count(lit(1)).as("banded_pairs")))
       .crossJoin(matched.agg(count(lit(1)).as("matched_pairs")))

@@ -117,40 +117,51 @@ object JoinOps {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** Fuzzy (edit-distance ≤ 1) equi-style join via pigeonhole blocking:
-    * each name emits two block keys — its first `prefixLen` chars and its
-    * last `prefixLen` chars — candidates come from block equality, and an
-    * exact `levenshtein ≤ 1` filter verifies. A single edit cannot touch
-    * both windows when names are at least 2·prefixLen long (a deletion
-    * shifts positions, but the suffix window is aligned FROM THE END, so
-    * an edit before it leaves it byte-identical) — recall is exact under
-    * that length contract, and the brute-force join is the oracle twin
-    * (blocking must be invisible). Shorter names fall back to pairing
-    * only within their (possibly whole-name) blocks — callers with short
-    * dirty keys should lower `prefixLen`.
+  /** Fuzzy (edit-distance ≤ 1) equi-style join via DELETION-NEIGHBORHOOD
+    * blocking (the SymSpell scheme): each name emits its single-deletion
+    * variants plus itself as block keys (≤ len+1, deduped), candidates
+    * come from any shared key, and an exact `levenshtein ≤ 1` filter
+    * verifies. Recall is exact for EVERY name length and alphabet: a
+    * substitution pair shares the variant deleting the edited position,
+    * an insertion/deletion pair shares the shorter string itself.
+    * Overmatches (e.g. transposed pairs sharing two deletion variants)
+    * are killed by the verify step; the brute-force join is the oracle
+    * twin (blocking must be invisible).
     *
-    * Scale: candidates shuffle on the block key; selectivity follows name
-    * entropy — shared boilerplate prefixes (all rows starting
-    * "Customer#") push everything into one prefix block, which the SUFFIX
-    * block then usually discriminates. For higher edit distances or
-    * low-entropy keys, generalize with df-pruned character-q-gram
-    * blocking (the [[TextOps.sparseCosinePairs]] machinery over char
-    * grams). Returns (l_id, l_name, r_id, r_name, dist). */
+    * This REPLACED the round-1..9 prefix/suffix pigeonhole blocking after
+    * the sf10 sweep caught its degenerate-block quadratic: blocking on
+    * the first 4 chars puts every row of a boilerplate-prefixed corpus
+    * ("Supplier#…", "Customer#…" — i.e. most generated/ID-like keys) into
+    * ONE block, whose candidate volume is |L|·|R| no matter how selective
+    * the suffix block is (b40 at sf10: 873 s, 69× for 10× data; the
+    * rewrite measures sub-linear — see SCALING "Round 10"). Deletion
+    * keys carry the FULL name minus one char, so shared boilerplate
+    * stays in the key and block df is bounded by genuine near-duplicate
+    * multiplicity, not prefix entropy.
+    *
+    * Scale: each side explodes to ~len+1 rows carrying an 8-byte hashed
+    * key (hash collisions only add candidates, which verify kills); the
+    * join shuffles on that key; fan-out per key is the number of names
+    * one deletion apart — output-sized, not corpus-sized. Returns
+    * (l_id, l_name, r_id, r_name, dist). */
   def fuzzyJoinDist1(left: DataFrame, leftId: Column, leftName: Column,
-                     right: DataFrame, rightId: Column, rightName: Column,
-                     prefixLen: Int = 4): DataFrame = {
-    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
-    def blocks(d: DataFrame, id: Column, name: Column, idAs: String,
-               nameAs: String): DataFrame =
+                     right: DataFrame, rightId: Column,
+                     rightName: Column): DataFrame = {
+    def keyed(d: DataFrame, id: Column, name: Column, idAs: String,
+              nameAs: String): DataFrame =
       d.select(id.as(idAs), name.as(nameAs))
-        .select(col(idAs), col(nameAs), explode(array(
-          struct(lit(0).as("bk"), substring(col(nameAs), 1, prefixLen).as("bv")),
-          struct(lit(1).as("bk"), substring(col(nameAs), -prefixLen, prefixLen).as("bv"))))
-          .as("b"))
-        .select(col(idAs), col(nameAs), col("b.bk").as("bk"), col("b.bv").as("bv"))
-    val lb = blocks(left, leftId, leftName, "l_id", "l_name")
-    val rb = blocks(right, rightId, rightName, "r_id", "r_name")
-    lb.join(rb, Seq("bk", "bv"))
+        .select(col(idAs), col(nameAs),
+          explode(array_distinct(concat(
+            array(col(nameAs)),
+            transform(sequence(lit(1), greatest(length(col(nameAs)), lit(1))),
+              i => concat(
+                col(nameAs).substr(lit(1), i - lit(1)),
+                col(nameAs).substr(i + lit(1), length(col(nameAs)))))))).as("__v"))
+        .select(col(idAs), col(nameAs),
+          graft.functions.Hashing.hash60(col("__v")).as("bk"))
+    val lb = keyed(left, leftId, leftName, "l_id", "l_name")
+    val rb = keyed(right, rightId, rightName, "r_id", "r_name")
+    lb.join(rb, Seq("bk"))
       .select("l_id", "l_name", "r_id", "r_name").distinct()
       .withColumn("dist", levenshtein(col("l_name"), col("r_name")))
       .filter(col("dist") <= 1)

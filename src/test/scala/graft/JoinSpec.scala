@@ -118,7 +118,7 @@ class JoinSpec extends SparkSpec {
       (12L, "johnson boulevard")               // too far from everything
     ).toDF("id", "name")
     val blocked = JoinOps.fuzzyJoinDist1(left, col("id"), col("name"),
-        right, col("id"), col("name"), prefixLen = 4)
+        right, col("id"), col("name"))
       .select("l_id", "r_id", "dist").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val brute = left.select(col("id").as("l_id"), col("name").as("l_name"))
@@ -130,5 +130,30 @@ class JoinSpec extends SparkSpec {
     assert(blocked === brute)
     assert(blocked.contains((10L, 1L, 0)) && blocked.contains((11L, 1L, 1)))
     assert(!blocked.exists(_._1 == 12L))
+  }
+
+  test("fuzzyJoinDist1: boilerplate-prefixed keys stay exact and block-bounded") {
+    // the b40-at-sf10 regression shape: every name shares a long constant
+    // prefix, so any fixed-window prefix block degenerates to all-pairs.
+    // Deletion-neighborhood keys carry the whole name minus one char —
+    // recall stays brute-exact and the candidate volume output-sized.
+    val right = (1L to 60L).map(i => (i, f"Supplier#$i%09d")).toDF("id", "name")
+    val left = (1L to 60L).map { i =>
+      val name = f"Supplier#$i%09d"
+      val pos = (i % name.length).toInt
+      (100L + i, name.take(pos) + name.drop(pos + 1)) // one deletion
+    }.toDF("id", "name")
+    val blocked = JoinOps.fuzzyJoinDist1(left, col("id"), col("name"),
+        right, col("id"), col("name"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = left.select(col("id").as("l_id"), col("name").as("l_name"))
+      .crossJoin(right.select(col("id").as("r_id"), col("name").as("r_name")))
+      .filter(levenshtein(col("l_name"), col("r_name")) <= 1)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    // every corrupted name finds its own original
+    (1L to 60L).foreach(i => assert(blocked.contains((100L + i, i)), s"missed $i"))
   }
 }

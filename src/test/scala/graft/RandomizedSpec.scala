@@ -311,8 +311,10 @@ class RandomizedSpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       val alpha = "abcdefgh"
       def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString
-      // originals >= 2*prefixLen long (the operator's exactness contract)
-      val orig = (1L to 40L).map(i => (i, word(8 + rnd.nextInt(5))))
+      // mixed lengths INCLUDING short names — deletion-neighborhood
+      // blocking has no length contract (the old pigeonhole scheme
+      // required >= 2*prefixLen)
+      val orig = (1L to 40L).map(i => (i, word(2 + rnd.nextInt(11))))
       // dirty side: half get one random edit (sub/del/ins), half are far
       val dirty = orig.map { case (i, w) =>
         val edited = rnd.nextInt(3) match {
@@ -328,7 +330,7 @@ class RandomizedSpec extends SparkSpec {
       val lDf = dirty.toDF("id", "name")
       val rDf = orig.toDF("id", "name")
       val got = JoinOps.fuzzyJoinDist1(lDf, col("id"), col("name"),
-          rDf, col("id"), col("name"), prefixLen = 4)
+          rDf, col("id"), col("name"))
         .select("l_id", "r_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       def lev(a: String, b: String): Int = {
@@ -341,9 +343,6 @@ class RandomizedSpec extends SparkSpec {
       }
       val want = (for ((li, ln) <- dirty; (ri, rn) <- orig
                       if lev(ln, rn) <= 1) yield (li, ri)).toSet
-      // contract check: deletions can shorten below 2*prefixLen only when
-      // the original was exactly 8 chars; those still satisfy >= 2P - 1
-      // with the edit inside one window, so recall holds for this fixture
       assert(got === want, s"seed $seed")
     }
   }
