@@ -173,9 +173,13 @@ object CurationOps {
           lit(chunkTokens))).as("n_tokens"))
   }
 
-  /** Sequence packing (training-batch prep): assign every chunk to a pack
-    * of ≤ `budgetTokens` tokens (a chunk that would cross the budget opens
-    * the next pack — chunks are never split). Packing is greedy over the
+  /** Sequence packing (training-batch prep): a pack CLOSES when the
+    * cumulative token count crosses `budgetTokens`; the crossing chunk
+    * stays in the pack it started in (chunks are never split), so pack
+    * totals overhang the budget by AT MOST ONE CHUNK — the invariant is
+    * `pack ≤ budgetTokens + chunkTokens − 1`, not `≤ budgetTokens`
+    * (pinned in CurationSpec/PackingPipelineSpec, and measured TIGHT at
+    * sf10 by the PackingSweep). Packing is greedy over the
     * deterministic (id, chunk_id) order WITHIN a hash-assigned shard:
     * a single global order would mean one partition doing all the work, so
     * the cumulative-sum window partitions by `nShards` portable-hash shards

@@ -575,20 +575,48 @@ object SimilarityOps {
     * chosen anchor. nCells-1 scans, each a codegen'd max-cosine against
     * driver-literal anchors — the standard fix for the collapsed-cluster
     * degeneracy of data-blind random inits. */
+  /** Greedy k-center (farthest-point) seeding on a deterministic
+    * hash-ordered sample, run driver-side — ONE TakeOrdered job no matter
+    * how many cells (the pqTrain seeding move). The round-1..9
+    * formulation ran nCells−1 SEQUENTIAL full-corpus jobs whose max-cos
+    * expression grew with the chosen set: O(k) scheduler round-trips and
+    * O(k²) codegen/eval work before a single Lloyd iteration — measured
+    * ~1 min per fit at 20k vectors / k = 64 (seeding alone dominated
+    * training; see SCALING "Round 10"). A k-center seed needs SPREAD,
+    * not the global argmax: greedy selection over a hash-deterministic
+    * sample (engine-portable, ≥ 32·k points) seeds the same planted
+    * clusters (KMeansSpec is unchanged — its fixtures are smaller than
+    * the sample floor, so the sample IS the whole corpus and selection
+    * is identical to the old full-corpus walk). */
   private def farthestInit(corpus: DataFrame, nCells: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val first = corpus.orderBy(col("vec_id")).select("embedding")
-      .as[Array[Float]].head()
-    val chosen = scala.collection.mutable.ArrayBuffer[Array[Float]](first)
+    val sampleN = math.max(32 * nCells, 2048)
+    val pts = corpus
+      .select(col("vec_id"), col("embedding"),
+        Hashing.hash60(concat(lit("kmseed_"), col("vec_id").cast("string")))
+          .as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(sampleN)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1).map(_._2)
+    require(pts.nonEmpty, "kmeansFit: empty corpus")
+    // mirrors [[cosine]]'s exact IEEE op order (dot / (sqrt·sqrt), left-
+    // to-right element folds) so the greedy walk picks the same points
+    // the old full-corpus expression did on any in-sample fixture
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // same greedy rule as before: start from the min-vec_id point, then
+    // repeatedly take the point whose max cosine to the chosen set is
+    // smallest (the farthest point under cosine similarity)
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Float]](pts.head)
     while (chosen.size < nCells) {
-      val maxCos = chosen.toSeq
-        .map(a => cosine(col("embedding"),
-          array(a.map(x => lit(x.toDouble)).toIndexedSeq: _*)))
-        .reduce(greatest(_, _))
-      chosen += corpus.select(col("vec_id"), col("embedding"), maxCos.as("mc"))
-        .orderBy(col("mc").asc, col("vec_id").asc)
-        .select("embedding").as[Array[Float]].head()
+      chosen += pts.minBy(p => chosen.map(c => cosD(p, c)).max)
     }
     chosen.toSeq.zipWithIndex.map { case (a, i) => (i, a) }.toDF("cell", "anchor")
   }

@@ -25,8 +25,13 @@ object AnnTrainSweep {
     val pqIters = if (args.length > 3) args(3).toInt else 3
     val spark = graft.GraftSession.build("graft-ann-train-sweep")
     spark.sparkContext.setLogLevel("WARN")
+    // normalize to the operators' float element contract (the driver's
+    // tables are list<float>; ScaleData's regenerated decades came out
+    // list<double> — the trained paths' typed seeding encoders are
+    // float-locked, everything else casts per-expression)
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("float")).as("embedding"))
     val pinned = raw.localCheckpoint(true)
     val n = pinned.count()
     println(s"""[sweep] {"sf":"$sfDir","vectors":$n,"nCells":$nCells}""")

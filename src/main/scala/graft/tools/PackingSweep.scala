@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *    direct BPE token count (an independent tokenization pass with the
   *    same learned merges);
   *  - chunk bound: no chunk exceeds chunkTokens;
-  *  - budget bound: no (shard, pack) exceeds budgetTokens.
+  *  - overhang bound: no (shard, pack) exceeds budgetTokens + chunkTokens
+  *    − 1 (the t11 contract: the chunk that crosses the budget stays in
+  *    the pack it started in; the first sf0.1 run of this sweep measured
+  *    the bound EXACTLY tight — 639 = 512 + 128 − 1).
   *
   * Usage: runMain graft.tools.PackingSweep <sfDir> */
 object PackingSweep {
@@ -33,10 +36,11 @@ object PackingSweep {
     val bounds = r.packed
       .groupBy(col("shard"), col("pack_id"))
       .agg(sum(col("n_tokens")).as("pack_tokens"), max(col("n_tokens")).as("max_chunk"))
-      .agg(max(col("pack_tokens")), max(col("max_chunk"))).head()
+      .agg(max(col("pack_tokens")).cast("long"),
+        max(col("max_chunk")).cast("long")).head()
     val conserved = stats("bpe_tokens") == direct
     val chunkOk = bounds.getLong(1) <= 128
-    val budgetOk = bounds.getLong(0) <= 512
+    val budgetOk = bounds.getLong(0) <= 512 + 128 - 1
     val statsJson = r.stats.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"packing_pipeline","value":$elapsed%.3f,"unit":"sec","stats":$statsJson,"token_conservation":$conserved,"direct_tokens":$direct,"max_pack_tokens":${bounds.getLong(0)},"max_chunk_tokens":${bounds.getLong(1)},"chunk_bound_ok":$chunkOk,"budget_bound_ok":$budgetOk,"sf":"$sfDir"}""")
