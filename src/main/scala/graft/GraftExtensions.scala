@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg}
+import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, TextScanStats}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"graft_char_stats expects 1 argument, got ${children.size}")
         CharEntropyStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_text_scan"),
+      new ExpressionInfo(classOf[TextScanStats].getName, "graft_text_scan"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_text_scan expects 1 argument, got ${children.size}")
+        TextScanStats(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_agg"),

@@ -19,13 +19,18 @@ object TextOps {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — `size(tokens(text))` semantics through the
+    * native single-pass [[graft.functions.TextScanStats]] scan (no token
+    * array is materialized; bit-equivalence pinned by TextScanSpec). */
+  def tokenCount(text: Column): Column =
+    call_function("graft_text_scan", text).getField("ws_tokens")
 
   /** BPE-ish token count: word pieces + standalone non-word glyphs, the
-    * usual pre-tokenizer regex shape. */
+    * usual pre-tokenizer regex shape `[A-Za-z0-9]+|[^A-Za-z0-9\s]` —
+    * counted by the same native scan instead of materializing every match
+    * just to take the array size. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    call_function("graft_text_scan", text).getField("bpe_tokens")
 
   /** Average token length in characters (whitespace removed / token count). */
   def avgTokenLen(text: Column): Column =
@@ -420,24 +425,26 @@ object TextOps {
     * cheap quality signals (symbol-heavy and shouty documents score out).
     * Every fraction is an exact integer count divided once by the total
     * length, so values are bit-reproducible in any engine without
-    * rounding. Counts come from length differences over regexp_replace
-    * (the Java/RE2 shared dialect); empty documents emit 0.0 across the
-    * board. Pure per-row projections — no shuffle. */
+    * rounding. Counts come from ONE native scan
+    * ([[graft.functions.TextScanStats]]) whose fields match the
+    * `length(t) - length(regexp_replace(t, re, ""))` formulation
+    * bit-for-bit — the regex chain rebuilt the document five times per
+    * row and dominated t23 at sf10 (53 s → one compiled pass). Empty
+    * documents emit 0.0 across the board. Pure per-row projections — no
+    * shuffle. */
   def charClassStats(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    def cnt(t: Column, re: String): Column =
-      length(t) - length(regexp_replace(t, re, ""))
-    val t = col("__t")
-    val n = length(t)
+    val st = col("__st")
+    val n = st.getField("n_chars")
     def frac(c: Column): Column =
       when(n > 0, c.cast("double") / n.cast("double")).otherwise(0.0)
-    df.select(idCol.as("id"), textCol.as("__t"))
+    df.select(idCol.as("id"), call_function("graft_text_scan", textCol).as("__st"))
       .select(col("id"),
         n.as("n_chars"),
-        frac(cnt(t, "[A-Za-z]")).as("alpha_frac"),
-        frac(cnt(t, "[0-9]")).as("digit_frac"),
-        frac(cnt(t, "\\s")).as("space_frac"),
-        frac(cnt(t, "[A-Z]")).as("upper_frac"),
-        frac(cnt(t, "[^A-Za-z0-9\\s]")).as("symbol_frac"))
+        frac(st.getField("alpha")).as("alpha_frac"),
+        frac(st.getField("digit")).as("digit_frac"),
+        frac(st.getField("space")).as("space_frac"),
+        frac(st.getField("upper")).as("upper_frac"),
+        frac(st.getField("symbol")).as("symbol_frac"))
   }
 
   /** URL regex: scheme://host[/path] without spaces — the Java/RE2 shared
