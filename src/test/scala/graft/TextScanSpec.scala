@@ -36,19 +36,21 @@ class TextScanSpec extends SparkSpec {
   private def assertEquivalent(texts: Seq[String]): Unit = {
     import spark.implicits._
     val df = texts.toDF("text")
-      .select(col("text"),
-        scanOf(col("text")).as("st") +: regexCols(col("text")): _*)
+      .select((col("text") +: scanOf(col("text")).as("st") +:
+        regexCols(col("text"))): _*)
     val bad = df.filter(fields.map(f =>
         col(s"st.$f") =!= col(s"r_$f")).reduce(_ || _))
       .collect()
-    assert(bad.isEmpty, {
+    // build the diagnostic only on failure: ScalaTest's assert clue is
+    // by-value, so bad.head in the clue would run even when bad is empty
+    if (bad.nonEmpty) {
       val r = bad.head
       val diffs = fields.filter(f =>
         r.getStruct(1).getAs[Int](f) != r.getAs[Int](s"r_$f"))
-      s"${bad.length} mismatching rows; first: text=${r.getString(0)} " +
+      fail(s"${bad.length} mismatching rows; first: text=${r.getString(0)} " +
         diffs.map(f => s"$f: scan=${r.getStruct(1).getAs[Int](f)} " +
-          s"regex=${r.getAs[Int](s"r_$f")}").mkString(", ")
-    })
+          s"regex=${r.getAs[Int](s"r_$f")}").mkString(", "))
+    }
   }
 
   test("adversarial edges match the regex formulation exactly") {
@@ -95,9 +97,14 @@ class TextScanSpec extends SparkSpec {
     val df = Seq("The 42 quick-brown foxes…", "  ", "ALL CAPS 9").toDF("text")
       .withColumn("doc_id", monotonically_increasing_id())
     // one scan per projection: the optimized plan must contain the native
-    // call and no regexp_replace
+    // call and no regexp_replace. Assert over a parquet-backed frame — a
+    // local Seq.toDF gets constant-folded by ConvertToLocalRelation into a
+    // LocalRelation whose plan string names neither expression.
+    val pq = java.nio.file.Files
+      .createTempDirectory("graft_textscan_plan").resolve("t.parquet").toString
+    df.write.mode("overwrite").parquet(pq)
     val plan = graft.operators.TextOps
-      .charClassStats(df, col("doc_id"), col("text"))
+      .charClassStats(spark.read.parquet(pq), col("doc_id"), col("text"))
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("graft_text_scan") && !plan.contains("regexp_replace"))
     val r = df.orderBy("doc_id").select(
