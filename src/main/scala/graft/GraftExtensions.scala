@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, TextScanStats}
+import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, TextScanStats}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"graft_text_scan expects 1 argument, got ${children.size}")
         TextScanStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_locale_clean"),
+      new ExpressionInfo(classOf[LocaleClean].getName, "graft_locale_clean"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_locale_clean expects 1 argument, got ${children.size}")
+        LocaleClean(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll_agg"),

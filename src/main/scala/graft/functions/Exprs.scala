@@ -49,20 +49,34 @@ object Exprs {
     * null rather than failing the job under ANSI mode (istat_utils.py:39-45
     * coerces with errors="coerce", i.e. null on failure).
     *
-    * Single regex pass: the whitespace strip and the decimal-comma swap are
-    * fixed single-char maps, so they run as translate() (a per-char table
-    * lookup, no automaton) and only the thousands-separator lookahead pays
-    * for a regex engine. The char set of the first translate is exactly
-    * Java's \s ([ \t\n\x0B\f\r]) plus NBSP — what the previous
-    * regexp_replace("[\\u00a0\\s]") matched. Order matters: ',' must become
-    * '.' AFTER the thousands pass, or a decimal comma ("1,234") would be
-    * eaten as a thousands dot. Halved b04 at sf0.1 (4.2 s -> ~2 s). */
+    * The cleanup runs as the native single-pass [[LocaleClean]] scan when
+    * the active session has GraftExtensions installed (the regex pass's
+    * backtracking lookahead dominated b04 at sf10 — 53 s in the r10 sweep,
+    * the same per-row constant TextScanStats killed for t01/t23), and
+    * otherwise as [[localeCleanFallback]], the original translate/regexp
+    * chain — bit-equivalent (pinned by LocaleCleanSpec), so library
+    * consumers on a vanilla session still coerce correctly, just at the
+    * pre-native speed. In the fallback, the whitespace strip and the
+    * decimal-comma swap are fixed single-char maps (translate: per-char
+    * table lookup, no automaton); only the thousands-separator lookahead
+    * pays for a regex engine. The first translate's char set is exactly
+    * Java's \s ([ \t\n\x0B\f\r]) plus NBSP. Order matters: ',' must
+    * become '.' AFTER the thousands pass, or a decimal comma ("1,234")
+    * would be eaten as a thousands dot. try_cast stays in Column space on
+    * both paths: Spark's cast owns number parsing. */
   def localeNumeric(s: Column): Column =
+    (if (Native.has("graft_locale_clean")) call_function("graft_locale_clean", s)
+     else localeCleanFallback(s)).try_cast("double")
+
+  /** The pre-r11 Column formulation of the locale cleanup — the
+    * [[LocaleClean]] bit-equivalence reference and the no-extensions
+    * fallback; see localeNumeric's scaladoc for the chain's semantics. */
+  def localeCleanFallback(s: Column): Column =
     translate(
       regexp_replace(
         translate(s, " \t\n\u000B\f\r\u00A0", ""),
         "\\.(?=\\d{3}(\\D|$))", ""),
-      ",", ".").try_cast("double")
+      ",", ".")
 
   /** Stars normalization: extract first 0-5(.x) number from free text like
     * "hotel 4*" / "3.5" (build_hotels_yaml.py:83-88). */

@@ -19,18 +19,31 @@ object TextOps {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** The [[graft.functions.TextScanStats]] struct when the active session
+    * has GraftExtensions installed, else null — helpers below pair it with
+    * their original regex formulation so they stay usable (correct, just
+    * pre-native speed) on vanilla sessions; bit-equivalence of the two
+    * sides is pinned by TextScanSpec. */
+  private def textScan(text: Column): Option[Column] =
+    if (graft.functions.Native.has("graft_text_scan"))
+      Some(call_function("graft_text_scan", text))
+    else None
+
   /** Whitespace token count — `size(tokens(text))` semantics through the
     * native single-pass [[graft.functions.TextScanStats]] scan (no token
     * array is materialized; bit-equivalence pinned by TextScanSpec). */
   def tokenCount(text: Column): Column =
-    call_function("graft_text_scan", text).getField("ws_tokens")
+    textScan(text).map(_.getField("ws_tokens"))
+      .getOrElse(size(tokens(text)))
 
   /** BPE-ish token count: word pieces + standalone non-word glyphs, the
     * usual pre-tokenizer regex shape `[A-Za-z0-9]+|[^A-Za-z0-9\s]` —
     * counted by the same native scan instead of materializing every match
     * just to take the array size. */
   def bpeTokenCount(text: Column): Column =
-    call_function("graft_text_scan", text).getField("bpe_tokens")
+    textScan(text).map(_.getField("bpe_tokens"))
+      .getOrElse(size(regexp_extract_all(text,
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
   /** Average token length in characters (whitespace removed / token count). */
   def avgTokenLen(text: Column): Column =
@@ -437,7 +450,17 @@ object TextOps {
     val n = st.getField("n_chars")
     def frac(c: Column): Column =
       when(n > 0, c.cast("double") / n.cast("double")).otherwise(0.0)
-    df.select(idCol.as("id"), call_function("graft_text_scan", textCol).as("__st"))
+    // vanilla-session fallback: the original regex-count struct. A struct
+    // of nulls (fallback, null text) and a null struct (native) project
+    // identically through getField/when-otherwise below.
+    val scanned = textScan(textCol).getOrElse {
+      def cnt(re: String) =
+        length(textCol) - length(regexp_replace(textCol, re, ""))
+      struct(length(textCol).as("n_chars"), cnt("[A-Za-z]").as("alpha"),
+        cnt("[0-9]").as("digit"), cnt("\\s").as("space"),
+        cnt("[A-Z]").as("upper"), cnt("[^A-Za-z0-9\\s]").as("symbol"))
+    }
+    df.select(idCol.as("id"), scanned.as("__st"))
       .select(col("id"),
         n.as("n_chars"),
         frac(st.getField("alpha")).as("alpha_frac"),
