@@ -227,6 +227,33 @@ object DQueries {
         col("text"), JaccardThreshold)
     }),
 
+    "d21_simhash_recall_eval" -> ((s, dir) => {
+      // E129: the d04 audit — the 4×15-bit pigeonhole makes the banded
+      // candidate set provably EXHAUSTIVE at maxHamming 3, so measured
+      // recall/precision must be exactly 1000000; the eval exists to
+      // MEASURE that on any corpus (a chunk-scheme bug surfaces here as
+      // recall < 1e6 before it silently loses dup pairs in production).
+      DedupOps.simhashRecallEval(documents(s, dir), col("doc_id"),
+        col("text"), maxHamming = 3)
+    }),
+
+    "d22_embedding_recall_eval" -> ((s, dir) => {
+      // E130: the d18 audit — hyperplane-sketch recall is genuinely
+      // probabilistic (cos ≥ threshold at hamming > 3 is a miss), so this
+      // is a MEASURED number, reproduced exactly by the oracle because
+      // the planes are hash-derived literals. Corpus is d18's
+      // twin-augmented one so the tight cos≥0.95 regime is populated.
+      val base = embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embeddings(s, dir).filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") * lit(1.5))
+              .otherwise(x.cast("double"))).as("embedding"))
+      SimilarityOps.embeddingSketchRecallEval(base.unionByName(twins),
+        threshold = 0.95, maxHamming = 3)
+    }),
+
     "s01_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -975,6 +1002,31 @@ object DQueries {
       val rate = math.min(1.0, 1000.0 / math.max(1L, docs.count()))
       DedupOps.dedupRecallEval(docs, col("doc_id"),
         col("text"), JaccardThreshold, sampleRate = rate)
+    }),
+    "d21_simhash_recall_eval" -> ((s, dir) => {
+      // absolute audit budget, like d20 — but the brute side is one
+      // bit_count per pair (no list intersection), so the same wall-time
+      // envelope affords a 2000-doc sample (4M int64 pair ops)
+      val docs = documents(s, dir)
+      val rate = math.min(1.0, 2000.0 / math.max(1L, docs.count()))
+      DedupOps.simhashRecallEval(docs, col("doc_id"), col("text"),
+        maxHamming = 3, sampleRate = rate)
+    }),
+    "d22_embedding_recall_eval" -> ((s, dir) => {
+      // absolute audit budget: brute truth is a 64-dim dot per pair —
+      // 2000 sampled vectors ≈ 2M pairs ≈ 4·10⁸ multiplies, seconds of
+      // work at any corpus size (the corpus count is metadata-cheap)
+      val base = embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embeddings(s, dir).filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") * lit(1.5))
+              .otherwise(x.cast("double"))).as("embedding"))
+      val n = embeddings(s, dir).count() + 50
+      val rate = math.min(1.0, 2000.0 / math.max(1L, n))
+      SimilarityOps.embeddingSketchRecallEval(base.unionByName(twins),
+        threshold = 0.95, maxHamming = 3, sampleRate = rate)
     })
   )
 
@@ -1643,7 +1695,14 @@ object DQueries {
     // probability < 5e-8, the d03 adjudication; an actual miss or a
     // verification regression hash-mismatches the counts/ppm columns)
     "d20_dedup_recall_eval" ->
-      s"""WITH samp AS (
+      s"""-- DIAGNOSIS NOTE: this twin hard-codes banded = matched = truth —
+         |-- the assertion of perfect recall, not an independent banding
+         |-- replay. The analytic floor: at 32×4 banding, a J ≥ 0.8 pair is
+         |-- missed with P = (1-J^4)^32 ≤ (1-0.8^4)^32 < 5e-8 (d03
+         |-- adjudication). If this key ever hash-mismatches with Spark
+         |-- recall_ppm < 1000000, read it as a (rare, expected-at-some-
+         |-- volume) banding miss to re-adjudicate — not a logic bug.
+         |WITH samp AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE (${h60Sql("'sample_' || CAST(doc_id AS VARCHAR)")} % 1000000)
          |    < 0.5 * 1000000),
@@ -1665,6 +1724,96 @@ object DQueries {
          |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
          |       ELSE t.n * 1000000 // t.n END AS precision_ppm
          |FROM t""".stripMargin,
+
+    // twin of DedupOps.simhashRecallEval: replay the deterministic
+    // half-sample and the brute hamming<=3 ground truth over replayed
+    // 60-bit fingerprints (the d04 CTE chain). banded = matched = truth
+    // is EXACT here, not an analytic floor like d20's 5e-8: with 4
+    // chunks of 15 bits, a hamming<=3 pair shares >= 1 chunk by
+    // pigeonhole (exhaustive candidates), and banded pairs are
+    // hamming-verified (banded ⊆ truth) — so a hash mismatch on this key
+    // IS a chunk-scheme or verification bug, never sampling luck.
+    "d21_simhash_recall_eval" ->
+      s"""WITH samp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${h60Sql("'sample_' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |    < 0.5 * 1000000),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM samp),
+         |th AS (SELECT doc_id, ${h60Sql("t")} AS h FROM toks),
+         |votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, (SELECT unnest(range(60)) AS j) t2(j) GROUP BY 1, 2),
+         |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM votes GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n FROM fp a, fp b
+         |      WHERE a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  (SELECT COUNT(*) FROM fp) AS n_sampled,
+         |  t.n AS truth_pairs, t.n AS banded_pairs, t.n AS matched_pairs,
+         |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE t.n * 1000000 // t.n END AS recall_ppm,
+         |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE t.n * 1000000 // t.n END AS precision_ppm
+         |FROM t""".stripMargin,
+
+    // twin of SimilarityOps.embeddingSketchRecallEval over d18's
+    // twin-augmented corpus: replay the sample, the brute cos>=0.95
+    // ground truth, and the sketch -> 4x15-chunk -> exact-cosine miner
+    // with the same hash-derived planes. Every side is deterministic, so
+    // the MEASURED recall (sketch misses: cos >= threshold but
+    // hamming > 3) reproduces exactly; banded pairs are cosine-verified
+    // (banded ⊆ truth), so precision is identically 1000000.
+    "d22_embedding_recall_eval" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(1, 65),
+         |    i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.5
+         |              ELSE CAST(embedding[i] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id < 50),
+         |e AS (
+         |  SELECT vec_id, embedding FROM aug
+         |  WHERE (${h60Sql("'sample_' || CAST(vec_id AS VARCHAR)")} % 1000000)
+         |    < 0.5 * 1000000
+         |    AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+         |planes AS (
+         |  SELECT p, list_transform(range(0, 64), d ->
+         |    CASE WHEN (${h60Sql("'esh_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS w
+         |  FROM range(0, 60) t(p)),
+         |fp AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+         |               i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(pl.p AS INT)) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM e, planes pl GROUP BY 1),
+         |truth AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a, e b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.95),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM fp a, fp b, range(0, 4) t(c)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ((a.sh >> CAST(c * 15 AS INT)) & 32767) = ((b.sh >> CAST(c * 15 AS INT)) & 32767)
+         |    AND bit_count(xor(a.sh, b.sh)) <= 3),
+         |banded AS (
+         |  SELECT cnd.vec_a, cnd.vec_b FROM cand cnd
+         |  JOIN e ea ON ea.vec_id = cnd.vec_a
+         |  JOIN e eb ON eb.vec_id = cnd.vec_b
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.95),
+         |m AS (SELECT COUNT(*) AS n FROM truth JOIN banded USING (vec_a, vec_b))
+         |SELECT (SELECT COUNT(*) FROM aug) AS n_docs,
+         |  (SELECT COUNT(*) FROM e) AS n_sampled,
+         |  (SELECT COUNT(*) FROM truth) AS truth_pairs,
+         |  (SELECT COUNT(*) FROM banded) AS banded_pairs,
+         |  m.n AS matched_pairs,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE m.n * 1000000 // (SELECT COUNT(*) FROM truth) END AS recall_ppm,
+         |  CASE WHEN (SELECT COUNT(*) FROM banded) = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE m.n * 1000000 // (SELECT COUNT(*) FROM banded) END AS precision_ppm
+         |FROM m""".stripMargin,
 
     "s01_ann_topk" ->
       s"""SELECT q_id, rank, nn_id, ${rndSql("c")} AS cos FROM (

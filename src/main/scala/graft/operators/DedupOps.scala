@@ -1070,13 +1070,23 @@ object DedupOps {
       .localCheckpoint(true) // reused by the count and the match join
     val banded = minhashLshPairs(sh, threshold, bands, rowsPerBand)
       .select("doc_a", "doc_b") // already materialized (release=true)
+    recallReport(df, sh, truth, banded)
+  }
+
+  /** Shared report tail of the recall evals ([[dedupRecallEval]],
+    * [[simhashRecallEval]], `SimilarityOps.embeddingSketchRecallEval`):
+    * one row of exact int64-ppm counts from the full corpus, the sampled
+    * per-item frame, and the truth/banded pair sets (both keyed
+    * (doc_a, doc_b)). Five 1-row aggregates; the crossJoins are broadcast
+    * 1-row frames. n_sampled counts the CHECKPOINTED per-item frame (1:1
+    * with the sample in every caller), so the sampling filter scans the
+    * corpus once, not twice. */
+  private[operators] def recallReport(df: DataFrame, sampled: DataFrame,
+                                      truth: DataFrame,
+                                      banded: DataFrame): DataFrame = {
     val matched = truth.join(banded, Seq("doc_a", "doc_b"))
-    // five 1-row aggregates; the crossJoins are broadcast 1-row frames.
-    // n_sampled counts the CHECKPOINTED shingle frame (1:1 with the
-    // sample — shingleSets is a per-row projection), so the sampling
-    // filter scans the corpus once, not twice
     df.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(sh.agg(count(lit(1)).as("n_sampled")))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
       .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
       .crossJoin(banded.agg(count(lit(1)).as("banded_pairs")))
       .crossJoin(matched.agg(count(lit(1)).as("matched_pairs")))
@@ -1086,5 +1096,48 @@ object DedupOps {
       .withColumn("precision_ppm",
         expr("CASE WHEN banded_pairs = 0 THEN 1000000 " +
           "ELSE matched_pairs * 1000000 div banded_pairs END"))
+  }
+
+  /** Brute all-pairs hamming twin of [[simhashPairs]] — verification/audit
+    * use only (O(sample²), one bit_count per pair). Same
+    * BroadcastNestedLoopJoin parallelism guard as the other brute twins:
+    * the non-equi join's parallelism is the STREAMED side's partition
+    * count, so spread it first. */
+  def simhashPairsBrute(simhashed: DataFrame, maxHamming: Int): DataFrame = {
+    val par = simhashed.sparkSession.sparkContext.defaultParallelism
+    val a = simhashed.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      .repartition(par)
+    val b = simhashed.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[dedupRecallEval]] for the SimHash miner (d04's recall claim is the
+    * 4×15-bit pigeonhole: hamming ≤ 3 pairs ALWAYS share a chunk, so the
+    * banded candidate set is provably EXHAUSTIVE — measured recall below
+    * 1000000 flags a chunk-extraction bug, not sampling luck; precision
+    * below 1000000 flags a verification regression, since banded pairs
+    * are hamming-verified). Same deterministic-sample/brute-truth/report
+    * machinery as the MinHash audit: fingerprints on the hash-sample,
+    * ground truth from [[simhashPairsBrute]], the banded miner
+    * ([[simhashPairs]]) on the same fingerprints. The fingerprint frame
+    * is 1:1 with the sample (split("") = [""], so even empty docs carry
+    * one token row through the vote aggregate). */
+  def simhashRecallEval(df: DataFrame, idCol: Column, textCol: Column,
+                        maxHamming: Int = 3,
+                        sampleRate: Double = 0.5): DataFrame = {
+    val sample = CurationOps.stratifiedHashSample(
+      df.select(idCol.as("doc_id"), textCol.as("text")),
+      col("doc_id"), lit("all"), Map.empty, sampleRate)
+    // feeds the brute side twice and the banded side once — materialize
+    // so tokenize+vote runs once (the d03 persist lesson)
+    val fp = simhash60(sample, col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val truth = simhashPairsBrute(fp, maxHamming).select("doc_a", "doc_b")
+      .localCheckpoint(true) // reused by the count and the match join
+    val banded = simhashPairs(fp, maxHamming).select("doc_a", "doc_b")
+    recallReport(df, fp, truth, banded)
   }
 }

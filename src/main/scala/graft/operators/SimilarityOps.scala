@@ -150,6 +150,44 @@ object SimilarityOps {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "hamming", "cos")
 
+  /** The `dedupRecallEval` of the embedding family: MEASURED recall of
+    * the hyperplane-sketch miner ([[embeddingNearDupPairs]]) against
+    * brute-force cosine ground truth on a hash-deterministic sample.
+    * Unlike the SimHash audit (where pigeonhole makes candidate recall
+    * provably exact), the sketch's recall claim is genuinely
+    * probabilistic: a cos ≥ threshold pair whose 60-bit sketches differ
+    * on more than `maxHamming` bits is MISSED (P(bit differs) = θ/π per
+    * plane — at cos 0.95, E[hamming] ≈ 3.6, so maxHamming 3 trades a
+    * measurable miss rate for the banded plan) — this operator is what
+    * makes that trade measurable on a user's corpus. Precision is 1 by
+    * construction (candidates are exact-cosine verified; below 1000000
+    * flags a verification regression). Ground truth is O(sample²) BY
+    * DESIGN: hold the absolute sample size constant via `sampleRate` as
+    * the corpus grows, like the other audits. Output: the
+    * `DedupOps.recallReport` one-row ppm shape (n_docs = corpus vectors,
+    * n_sampled = sampled nonzero vectors). */
+  def embeddingSketchRecallEval(corpus: DataFrame, threshold: Double,
+                                maxHamming: Int = 3, dim: Int = 64,
+                                sampleRate: Double = 0.5,
+                                idCol: Column = col("vec_id"),
+                                embCol: Column = col("embedding")): DataFrame = {
+    val sample = graft.operators.CurationOps.stratifiedHashSample(
+      corpus.select(idCol.as("vec_id"), embCol.as("embedding")),
+      col("vec_id"), lit("all"), Map.empty, sampleRate)
+    // zero-filter + eager materialization + loud dim check, shared with
+    // the miners; feeds the brute side, the sketch, and the verify join
+    val e = preparedVectors(sample, col("vec_id"), col("embedding"), dim)
+    val truth = cosinePairsBrute(e, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint(true) // reused by the count and the match join
+    val banded = graft.operators.DedupOps
+      .simhashPairs(embeddingSimhash(e, dim = dim).localCheckpoint(true),
+        maxHamming)
+    val verified = verifyCosine(banded, e, e, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.operators.DedupOps.recallReport(corpus, e, truth, verified)
+  }
+
   /** Cross-corpus embedding near-dup — the incremental-ingestion form of
     * [[embeddingNearDupPairs]] (as E85 is to E3, for vectors): (new
     * vector, corpus vector) pairs with cos ≥ threshold, WITHOUT

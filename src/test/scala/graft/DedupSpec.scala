@@ -547,4 +547,28 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
     assert(a.getAs[Long]("n_sampled") < a.getAs[Long]("n_docs"))
   }
+
+  test("simhashRecallEval: pigeonhole makes banded recall EXACTLY 1 on the " +
+      "sf0.01 corpus") {
+    // unlike the LSH audit's probabilistic floor, the 4x15-bit chunk
+    // scheme is provably exhaustive at maxHamming 3: every hamming<=3
+    // pair shares a chunk, and banded pairs are hamming-verified — so on
+    // a full-corpus sample (rate 1.0, every true pair audited) recall
+    // AND precision must come back exactly 1000000. Anything less is a
+    // chunk-extraction or verification bug, not sampling luck.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val row = DedupOps.simhashRecallEval(docs, col("doc_id"), col("text"),
+      maxHamming = 3, sampleRate = 1.0).head()
+    assert(row.getAs[Long]("n_sampled") === row.getAs[Long]("n_docs"))
+    assert(row.getAs[Long]("truth_pairs") > 0,
+      "corpus has no hamming<=3 pairs - vacuous audit")
+    assert(row.getAs[Long]("banded_pairs") === row.getAs[Long]("truth_pairs"))
+    assert(row.getAs[Long]("recall_ppm") === 1000000L)
+    assert(row.getAs[Long]("precision_ppm") === 1000000L)
+    // the audit is hash-deterministic at fractional rates too
+    val a = DedupOps.simhashRecallEval(docs, col("doc_id"), col("text")).head()
+    val b = DedupOps.simhashRecallEval(docs, col("doc_id"), col("text")).head()
+    assert(a === b)
+    assert(a.getAs[Long]("n_sampled") < a.getAs[Long]("n_docs"))
+  }
 }

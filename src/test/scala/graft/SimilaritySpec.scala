@@ -396,4 +396,38 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.0, maxHamming = 3, dim = 16).collect()
     assert(got.isEmpty, s"zero-vector pair leaked: ${got.mkString(",")}")
   }
+
+  test("embeddingSketchRecallEval: measured sketch recall on the " +
+      "twin-augmented sf0.01 corpus") {
+    import spark.implicits._
+    // the d18 audit: truth = brute cos>=0.95 pairs, banded = the
+    // sketch->chunk->verify miner. Sketch recall is PROBABILISTIC (a true
+    // pair at hamming > 3 is missed), so the assertions are structural:
+    // precision exactly 1 (cosine-verified candidates), banded ⊆ truth
+    // (matched == banded), nonzero truth, and hash-deterministic replay.
+    val base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * lit(1.5)).otherwise(x)).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val row = SimilarityOps.embeddingSketchRecallEval(corpus,
+      threshold = 0.95, maxHamming = 3, sampleRate = 1.0).head()
+    assert(row.getAs[Long]("n_sampled") === row.getAs[Long]("n_docs"))
+    val truth = row.getAs[Long]("truth_pairs")
+    val banded = row.getAs[Long]("banded_pairs")
+    assert(truth > 0, "augmented corpus has no cos>=0.95 pairs - vacuous audit")
+    assert(row.getAs[Long]("matched_pairs") === banded)
+    assert(row.getAs[Long]("precision_ppm") === 1000000L)
+    assert(row.getAs[Long]("recall_ppm") ===
+      banded * 1000000L / truth) // the ppm grid is the exact int64 ratio
+    // planted identical twins sketch identically (hamming 0): raising
+    // maxHamming can only add pairs, never lose one
+    val row5 = SimilarityOps.embeddingSketchRecallEval(corpus,
+      threshold = 0.95, maxHamming = 5, sampleRate = 1.0).head()
+    assert(row5.getAs[Long]("banded_pairs") >= banded)
+    assert(row5.getAs[Long]("recall_ppm") >= row.getAs[Long]("recall_ppm"))
+  }
 }
