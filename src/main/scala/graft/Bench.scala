@@ -23,6 +23,14 @@ object Bench {
   /** Queries excluded from the bench (all-pairs verification twins). */
   private val bruteForceTwins = Set("d02_ngram_jaccard", "d05_embedding_dup", "s01_ann_topk")
 
+  /** The driver's canonical bench sf dir (the SPARK_GRAFT_SF_DIR default).
+    * bench_latest.json is THE record for this sf: a full-registry run here
+    * always owns it, even if a stale different-sf record somehow landed in
+    * the file (otherwise every subsequent default-sf run would route to
+    * the per-sf side file forever and the canonical record would never
+    * recover). */
+  private val DefaultSfDir = "/root/testdata/sf0.1"
+
   def main(args: Array[String]): Unit = {
     // optional args: (1) comma-separated key prefixes to bench a subset
     // while iterating (same convention as Verify; "" = all), (2) trials N
@@ -42,7 +50,7 @@ object Bench {
       .filter(_.nonEmpty)
     val trials = if (args.length > 1) args(1).trim.toInt else 1
     require(trials >= 1, s"trials must be >= 1: $trials")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -231,7 +239,8 @@ object Bench {
         if (existing.forall(recordSf(_).contains(sfDir))) {
           if (existing.forall(recordTrials(_) <= trials)) "bench_latest.json"
           else "bench_single.json"
-        } else sfRecordFile(sfDir)
+        } else if (sfDir == DefaultSfDir) "bench_latest.json" // reclaim from a stale non-default-sf record
+        else sfRecordFile(sfDir)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), json + "\n")
       catch { case e: Throwable =>

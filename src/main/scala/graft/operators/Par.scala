@@ -38,26 +38,71 @@ object Par {
     * DEMOTION GUARD: the leaf estimate cannot see partitioning raised
     * ABOVE the leaves by an upstream exchange (a repartition/join/agg in
     * the plan), so a transformed frame whose parallelism is already fine
-    * could be wrapped in an exchange that REDUCES it. Any
-    * shuffle-introducing node in the analyzed plan therefore disables the
-    * guard outright — such a frame's partitioning is governed by
-    * `spark.sql.shuffle.partitions`/AQE, never by source splits, and the
-    * under-split problem this object exists for cannot apply to it. */
+    * could be wrapped in an exchange that REDUCES it. A
+    * shuffle-introducing node in the analyzed plan therefore switches the
+    * gate from the leaf estimate to the POST-SHUFFLE floor: such a
+    * frame's partitioning is governed by `spark.sql.shuffle.partitions`
+    * and AQE, never by source splits. The static floor usually clears
+    * `defaultParallelism` — but AQE's coalescePartitions can shrink a
+    * byte-small shuffle below it at runtime (down to 1 partition when the
+    * whole output fits one minPartitionSize), which re-creates the
+    * under-split trap for heavy per-row work DOWNSTREAM of a join/agg
+    * (the Multimodal decode shape). So the skip is conditional: skip when
+    * the static floor holds and either AQE coalescing is off or the
+    * frame's optimizer size estimate says AQE cannot coalesce below the
+    * floor; otherwise append an explicit `repartition(par)` — which AQE
+    * never coalesces (user-specified), and which is a row-sized exchange
+    * on exactly the byte-small frames the branch selects for.
+    * Size over-estimates (join stats multiply) err toward skipping — the
+    * pre-r11 behavior — never toward adding exchanges to big frames. */
   def ensure(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.isStreaming) df
+    // an explicit repartition/coalesce in the plan is the caller's own
+    // partitioning decision — AQE never coalesces user-specified
+    // repartitions, so the floor cannot be broken at runtime, and wrapping
+    // would demote (the r10 guard's original scenario)
     else if (df.queryExecution.analyzed.exists {
-      case _: RepartitionOperation | _: Join | _: Aggregate | _: Window |
+      case _: RepartitionOperation => true
+      case _ => false
+    }) df
+    else if (df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window |
            _: Distinct | _: Deduplicate => true
       case s: Sort => s.global
       case _ => false
-    }) df
+    }) {
+      if (postShuffleFloorHolds(df, par)) df else df.repartition(par)
+    }
     else {
-      val par = df.sparkSession.sparkContext.defaultParallelism
       estimatedSourceSplits(df) match {
         case Some(n) if n >= par => df
         case _                   => df.repartition(par)
       }
     }
+  }
+
+  /** True iff a shuffle-bearing frame is guaranteed at least `par`
+    * partitions at runtime: the static `spark.sql.shuffle.partitions`
+    * floor clears `par`, and — when AQE partition coalescing is enabled —
+    * the optimizer's byte estimate keeps the coalescer above `par`
+    * partitions too (AQE never coalesces a partition below its target
+    * size: minPartitionSize under the default parallelismFirst policy,
+    * advisoryPartitionSizeInBytes otherwise, so a frame estimated at
+    * ≥ par × target bytes cannot land under par partitions). */
+  private def postShuffleFloorHolds(df: DataFrame, par: Int): Boolean = {
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = df.sparkSession.sessionState.conf
+    if (conf.numShufflePartitions < par) return false
+    val aqeCoalesce = conf.adaptiveExecutionEnabled &&
+      conf.coalesceShufflePartitionsEnabled
+    if (!aqeCoalesce) return true
+    val targetBytes =
+      if (conf.getConf(SQLConf.COALESCE_PARTITIONS_PARALLELISM_FIRST))
+        conf.getConf(SQLConf.COALESCE_PARTITIONS_MIN_PARTITION_SIZE)
+      else conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(par.toLong * math.max(1L, targetBytes))
   }
 
   /** Estimated split count of `df`'s source leaves, without physical

@@ -29,13 +29,56 @@ class ParSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === par * 2)
   }
 
-  test("aggregated and joined frames pass through untouched") {
+  test("byte-small aggregated/joined frames are spread: AQE coalesce can " +
+      "shrink them below the floor") {
+    // the r11 refinement of the demotion guard: a post-shuffle frame is
+    // governed by shuffle.partitions — but AQE's coalescePartitions can
+    // shrink a BYTE-SMALL shuffle to fewer than defaultParallelism
+    // partitions at runtime (down to 1), recreating the under-split trap
+    // for heavy per-row work downstream of a join/agg. Such frames get an
+    // explicit repartition (which AQE never coalesces).
+    val par = spark.sparkContext.defaultParallelism
     val base = spark.read.parquet(docs)
     val agg = base.groupBy("lang").count()
-    assert(Par.ensure(agg) eq agg)
-    val joined = base.select("doc_id", "lang")
-      .join(agg, "lang")
-    assert(Par.ensure(joined) eq joined)
+    val out = Par.ensure(agg)
+    assert(!(out eq agg), "byte-small agg frame was not spread")
+    assert(out.rdd.getNumPartitions === par)
+    val joined = base.select("doc_id", "lang").join(agg, "lang")
+    assert(Par.ensure(joined).rdd.getNumPartitions === par)
+  }
+
+  test("post-shuffle frames pass through untouched when the floor provably " +
+      "holds") {
+    val base = spark.read.parquet(docs)
+    val agg = base.groupBy("lang").count()
+    // (a) AQE coalescing off: the static shuffle.partitions floor is the
+    // runtime partitioning, nothing can shrink it
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      assert(Par.ensure(agg) eq agg)
+    } finally spark.conf.set(coalesceKey, prev)
+    // (b) coalescing on, but the frame's byte estimate clears
+    // par × target-size, so AQE cannot land under par partitions
+    val sizeKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevSize = spark.conf.getOption(sizeKey)
+    try {
+      spark.conf.set(sizeKey, "1b")
+      assert(Par.ensure(agg) eq agg)
+    } finally prevSize match {
+      case Some(v) => spark.conf.set(sizeKey, v)
+      case None    => spark.conf.unset(sizeKey)
+    }
+  }
+
+  test("an explicit repartition is the caller's decision - never wrapped, " +
+      "even below the floor") {
+    // AQE never coalesces user-specified repartitions, so the floor can't
+    // break at runtime; and wrapping a deliberate below-par partitioning
+    // would override the caller
+    val two = spark.read.parquet(docs).groupBy("lang").count().repartition(2)
+    assert(Par.ensure(two) eq two)
   }
 
   test("already-materialized RDD leaves read their partition count for free") {
