@@ -281,6 +281,22 @@ object DQueries {
         .orderBy("q_id", "mmr_rank")
     }),
 
+    "s12_kmeans_iter" -> ((s, dir) => {
+      // E131: the Lloyd TRAINING LOOP oracle-gated end-to-end — the r11
+      // exact-long nano-grid means make each iteration order-independent,
+      // so two iterations from the fixed hash-anchor ivfCodebook replay
+      // exactly in DuckDB (assignment via the s03 argmax shape, means on
+      // the E72/s07 grid; all sums < 2^53, so the final doubles are
+      // bit-identical with no rounding). The greedy farthestInit seeding
+      // stays spec-gated — this key pins everything after the seed.
+      val (cb, _) = SimilarityOps.kmeansFit(embeddings(s, dir), nCells = 8,
+        iters = 2,
+        init = Some(SimilarityOps.ivfCodebook(s, nCells = 8, dim = 64)))
+      cb.select(col("cell"), posexplode(col("anchor")))
+        .select(col("cell"), col("pos"), col("col").as("centroid"))
+        .orderBy("cell", "pos")
+    }),
+
     "s03_ann_ivf" -> ((s, dir) => {
       // Approximate, but fully deterministic: the codebook anchors are
       // hash60 literals, so the DuckDB twin reproduces the cell assignment.
@@ -1236,6 +1252,44 @@ object DQueries {
 
   val oracle: Map[String, String] = Map(
     "s02_ann_lsh" -> lshOracle,
+
+    // twin of kmeansFit(nCells=8, iters=2, init=ivfCodebook): two unrolled
+    // Lloyd iterations — hash-anchor seed codebook, the s03 argmax-cosine
+    // assignment shape (row_number by cos DESC, cell ASC ≡ min(struct)),
+    // exact-long nano-grid means (the s07 convention; sums < 2^53 so the
+    // divided doubles are bit-identical, no rounding needed)
+    "s12_kmeans_iter" -> {
+      val anchorBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+      s"""WITH cb0 AS (
+         |  SELECT cell, list_transform(range(0, 64), d ->
+         |    CASE WHEN ($anchorBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+         |  FROM range(0, 8) t1(cell)),
+         |a1 AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM embeddings e, cb0 c) WHERE r = 1),
+         |m1 AS (
+         |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+         |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+         |  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+         |cb1 AS (
+         |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
+         |  FROM m1 GROUP BY cell),
+         |a2 AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM embeddings e, cb1 c) WHERE r = 1),
+         |m2 AS (
+         |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+         |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+         |  FROM a2, range(1, 65) t(i) GROUP BY 1, 2)
+         |SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos,
+         |  CAST(CAST(s AS BIGINT) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000) AS centroid
+         |FROM m2 ORDER BY cell, pos""".stripMargin
+    },
 
     "s09_hard_negatives" -> lshOracleOf(excludeSameLabel = true),
 

@@ -596,18 +596,29 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
 
   /** Lloyd's k-means over the embedding column, seeded by the
-    * deterministic [[farthestInit]] anchors: each iteration is one
-    * [[ivfAssign]] (argmax-cosine, broadcast codebook) plus a centroid
-    * recompute — `posexplode` → per-(cell, pos) mean → rebuild anchor
-    * arrays. One shuffle per iteration (the (cell,pos) agg; the assign side
-    * is a broadcast crossJoin + map-side min), codebook stays k·dim rows
-    * (always broadcastable). Empty cells drop out (standard Lloyd's).
+    * deterministic [[farthestInit]] anchors (or an explicit `init`
+    * codebook): each iteration is one [[ivfAssign]] (argmax-cosine,
+    * broadcast codebook) plus a centroid recompute — `posexplode` →
+    * per-(cell, pos) exact-long mean → rebuild anchor arrays. One shuffle
+    * per iteration (the (cell,pos) agg; the assign side is a broadcast
+    * crossJoin + map-side min), codebook stays k·dim rows (always
+    * broadcastable). Empty cells drop out (standard Lloyd's).
     * Returns (codebook, assignment).
     *
-    * NOT oracle-gated, deliberately: the centroid means sum floats in
-    * partition order, so the result is only reproducible up to float-sum
-    * associativity — KMeansSpec gates it instead (planted-cluster recovery
-    * + non-increasing inertia), mirroring the E26 one-pass justification. */
+    * Centroid means are ORDER-INDEPENDENT since r11 (the [[groupCentroids]]
+    * / E72 convention): components quantize to nano units
+    * (`round(x·10⁹)` long), sum exactly, divide once — a double-sum mean
+    * differs run-to-run at cluster scale because fp addition isn't
+    * associative across partition orders, which made every fit
+    * UNREPRODUCIBLE at exactly the corpus sizes where reproducibility
+    * matters (a re-run of a 100 TB training-data clustering must yield
+    * the same clusters). Quantization bias ≤ 5·10⁻¹⁰ per component, far
+    * below embedding noise; KMeansSpec's planted-cluster/inertia gates
+    * are unchanged. The iteration chain is therefore oracle-replayable
+    * end-to-end given a fixed seed — s12_kmeans_iter gates TWO Lloyd
+    * iterations from the hash-anchor [[ivfCodebook]] against a DuckDB
+    * replay. The greedy [[farthestInit]] seeding stays spec-gated (its
+    * sequential driver-side walk has no tractable SQL twin). */
   /** Deterministic farthest-point (greedy k-center) seeding: start from the
     * min-id vector, then repeatedly take the vector least similar to every
     * chosen anchor. nCells-1 scans, each a codegen'd max-cosine against
@@ -660,13 +671,20 @@ object SimilarityOps {
   }
 
   def kmeansFit(corpus: DataFrame, nCells: Int, iters: Int,
-                dim: Int = 64): (DataFrame, DataFrame) = {
+                dim: Int = 64,
+                init: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(iters > 0, s"iters must be positive: $iters")
-    var codebook = farthestInit(corpus, nCells)
+    var codebook = init.getOrElse(farthestInit(corpus, nCells))
     for (_ <- 0 until iters) {
+      // exact-long nano-grid mean (order-independent — see scaladoc)
       val means = ivfAssign(corpus, codebook)
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .select(col("cell"), posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * lit(1.0e9)).cast("long"))))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("__n"), sum(col("col")).as("__s"))
+        .select(col("cell"), col("pos"),
+          (col("__s").cast("double") / (col("__n").cast("double") * lit(1.0e9)))
+            .as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("anchor"))
