@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.SimilarityOps
 
-/** kmeansFit's correctness gate (the operator is deliberately not
-  * oracle-hashed — float-mean partition order): planted-cluster recovery,
-  * non-increasing inertia, and bounded codebook size. */
+/** kmeansFit's correctness gate: planted-cluster recovery, non-increasing
+  * inertia, bounded codebook size, and — since the r11 exact-long nano-grid
+  * means — bit-identical centroids regardless of input partitioning (the
+  * seeded iteration chain is additionally oracle-hashed via
+  * s12_kmeans_iter; only the greedy seeding remains spec-only). */
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
 
@@ -56,5 +58,23 @@ class KMeansSpec extends SparkSpec {
     inertias.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-9, s"inertia rose: $inertias")
     }
+  }
+
+  test("centroids are BIT-identical under different input partitionings") {
+    // the r11 reproducibility contract: nano-grid long sums make the
+    // per-(cell,pos) mean order-independent, so re-running the fit on the
+    // same data shuffled across a different partition count must yield
+    // the exact same doubles — the fp-sum formulation this replaced fails
+    // this test (partition-order-dependent addition). Seed fixed via init
+    // so the comparison isolates the iteration chain.
+    val df = planted.map { case (id, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val seed = SimilarityOps.ivfCodebook(spark, nCells = 3, dim = dim)
+    def centroids(parts: Int): Array[(Int, Seq[Double])] = {
+      val (cb, _) = SimilarityOps.kmeansFit(df.repartition(parts),
+        nCells = 3, iters = 3, dim = dim, init = Some(seed))
+      cb.select(col("cell"), col("anchor")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    }
+    assert(centroids(7) === centroids(2))
   }
 }
