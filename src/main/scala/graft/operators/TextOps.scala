@@ -45,10 +45,22 @@ object TextOps {
       .getOrElse(size(regexp_extract_all(text,
         lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
-  /** Average token length in characters (whitespace removed / token count). */
+  /** Average token length in characters (whitespace removed / token count).
+    * The numerator's semantic definition is
+    * `length(regexp_replace(trim(text), "\\s+", ""))` (and that stays the
+    * oracle-SQL form) — but counting the survivors of a full string
+    * REBUILD equals `n_chars − space` from the scan struct (trim removes
+    * only `\s` chars, the replace removes every `\s`, so what's left is
+    * exactly the non-`\s` code points), which drops the last per-row
+    * regex string rebuild from the quality-score path. Pinned against the
+    * regex formulation in TextScanSpec. */
   def avgTokenLen(text: Column): Column =
-    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
-      tokenCount(text)
+    textScan(text).map { st =>
+      (st.getField("n_chars") - st.getField("space")).cast("double") /
+        st.getField("ws_tokens")
+    }.getOrElse(
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+        size(tokens(text)))
 
   /** Share of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -81,6 +81,21 @@ class TextScanSpec extends SparkSpec {
     assertEquivalent(texts)
   }
 
+  test("avgTokenLen scan arithmetic == the regex string-rebuild formulation") {
+    import spark.implicits._
+    // n_chars - space == length(regexp_replace(trim(text), "\s+", "")):
+    // trim removes only \s chars, the replace removes every \s, so the
+    // rebuilt string's length is exactly the non-\s code-point count
+    val texts = Seq("", " ", "  a  b  ", "a\tb\nc", "don’t stop",
+      "😀 x 😀", "a b", "x" * 300, "  \t \n ", "é ü ß")
+    val df = texts.toDF("text").select(
+      graft.operators.TextOps.avgTokenLen(col("text")).as("scan"),
+      (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") /
+        size(split(trim(col("text")), "\\s+"))).as("regex"))
+    val bad = df.filter(not(col("scan") <=> col("regex"))).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
   test("null text yields a null struct, matching length(null)/size(null)") {
     import spark.implicits._
     val df = Seq[(Integer, String)]((1, null), (2, "ab c"))
