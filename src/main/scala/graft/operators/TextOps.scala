@@ -69,10 +69,20 @@ object TextOps {
       tokenCount(text)
   }
 
-  /** Punctuation character share. */
+  /** Punctuation character share. Semantic definition (and the
+    * vanilla-session/oracle form): code points matching
+    * `[^\p{Alnum}\s]` over total length — and Java's `\p{Alnum}` WITHOUT
+    * `UNICODE_CHARACTER_CLASS` is the POSIX ASCII class `[A-Za-z0-9]`,
+    * which makes the count exactly the scan struct's `symbol` field
+    * (`[^A-Za-z0-9\s]`), so the native path needs no regex and no string
+    * rebuild. Pinned in TextScanSpec. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^\\p{Alnum}\\s]", "")))
-      .cast("double") / greatest(length(text), lit(1))
+    textScan(text).map { st =>
+      st.getField("symbol").cast("double") /
+        greatest(st.getField("n_chars"), lit(1))
+    }.getOrElse(
+      (length(text) - length(regexp_replace(text, "[^\\p{Alnum}\\s]", "")))
+        .cast("double") / greatest(length(text), lit(1)))
 
   /** Composite quality score in [0, 1]: length saturation, stopword balance,
     * token-shape, punctuation penalty — the standard cheap pre-filter shape

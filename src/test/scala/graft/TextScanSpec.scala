@@ -96,6 +96,22 @@ class TextScanSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("punctRatio scan arithmetic == the \\p{Alnum} regex formulation") {
+    import spark.implicits._
+    // Java \p{Alnum} without UNICODE_CHARACTER_CLASS is ASCII [A-Za-z0-9],
+    // so the regex count equals the scan's symbol field on ANY text —
+    // including unicode letters, which are "symbols" to both forms
+    val texts = Seq("", " ", "a.b,c;d!", "é ü ß", "don’t", "😀!x",
+      "ALL CAPS 9?", "~`!@#$%^&*()", "1,234.56", "x" * 200 + "!!!")
+    val df = texts.toDF("text").select(
+      graft.operators.TextOps.punctRatio(col("text")).as("scan"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "[^\\p{Alnum}\\s]", "")))
+        .cast("double") / greatest(length(col("text")), lit(1))).as("regex"))
+    val bad = df.filter(not(col("scan") <=> col("regex"))).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
   test("null text yields a null struct, matching length(null)/size(null)") {
     import spark.implicits._
     val df = Seq[(Integer, String)]((1, null), (2, "ab c"))
