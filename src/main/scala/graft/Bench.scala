@@ -29,7 +29,35 @@ object Bench {
     * the file (otherwise every subsequent default-sf run would route to
     * the per-sf side file forever and the canonical record would never
     * recover). */
-  private val DefaultSfDir = "/root/testdata/sf0.1"
+  private[graft] val DefaultSfDir = "/root/testdata/sf0.1"
+
+  private[graft] def sfRecordFile(dir: String): String =
+    "bench_" + new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
+
+  private[graft] def recordSf(txt: String): Option[String] =
+    """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  private[graft] def recordTrials(txt: String): Int =
+    """"trials":(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
+
+  /** Which file a full-registry run's record lands in, given the current
+    * content of bench_latest.json (None = absent). The three rules, in
+    * order (BenchRecordSpec pins them):
+    *  1. same-sf record: bench_latest.json iff this run has at least as
+    *     many trials (the r9 overwrite hazard — a single-trial run must
+    *     not clobber a 3-trial record → bench_single.json);
+    *  2. different-sf record, but THIS run is at the canonical default sf:
+    *     reclaim bench_latest.json (a stale non-default record must not
+    *     exile the canonical sf to a side file forever — the r11 ADVICE);
+    *  3. otherwise: the per-sf side file. */
+  private[graft] def recordTarget(existing: Option[String], sfDir: String,
+                                  trials: Int): String =
+    if (existing.forall(recordSf(_).contains(sfDir))) {
+      if (existing.forall(recordTrials(_) <= trials)) "bench_latest.json"
+      else "bench_single.json"
+    } else if (sfDir == DefaultSfDir) "bench_latest.json"
+    else sfRecordFile(sfDir)
 
   def main(args: Array[String]): Unit = {
     // optional args: (1) comma-separated key prefixes to bench a subset
@@ -149,18 +177,12 @@ object Bench {
     // than a second of real wall time before a re-probe is worth two
     // extra executions.
     // per-sf record file for non-default sf dirs, so scale sweeps never
-    // clobber the driver's sf0.1 record (and get their own priors)
-    def sfRecordFile(dir: String): String =
-      "bench_" + new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
+    // clobber the driver's sf0.1 record (and get their own priors);
+    // record parsing/routing helpers live on the object (BenchRecordSpec)
     def readRecord(path: String): Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8"))
       catch { case _: Throwable => None }
-    def recordSf(txt: String): Option[String] =
-      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-    def recordTrials(txt: String): Int =
-      """"trials":(\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toInt).getOrElse(1)
     val priors: Map[String, Double] =
       if (trials > 1) Map.empty
       else {
@@ -235,12 +257,7 @@ object Bench {
     // already consults, so scale sweeps keep their reprobe protection.
     if (prefixes.isEmpty) {
       val existing = readRecord("bench_latest.json")
-      val target =
-        if (existing.forall(recordSf(_).contains(sfDir))) {
-          if (existing.forall(recordTrials(_) <= trials)) "bench_latest.json"
-          else "bench_single.json"
-        } else if (sfDir == DefaultSfDir) "bench_latest.json" // reclaim from a stale non-default-sf record
-        else sfRecordFile(sfDir)
+      val target = recordTarget(existing, sfDir, trials)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), json + "\n")
       catch { case e: Throwable =>
