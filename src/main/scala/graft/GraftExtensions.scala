@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, TextScanStats}
+import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, SimHash60, TextScanStats}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"graft_text_scan expects 1 argument, got ${children.size}")
         TextScanStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_simhash60 expects 1 argument, got ${children.size}")
+        SimHash60(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_locale_clean"),

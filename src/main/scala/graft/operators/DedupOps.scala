@@ -527,12 +527,34 @@ object DedupOps {
     Some(out)
   }
 
-  /** 60-bit SimHash per document: explode tokens, hash, per-bit signed vote
-    * (60 conditional sums in one aggregate pass), reassemble the sign bits.
-    * 60 bits (not 64) keeps the fingerprint a positive BIGINT in every
-    * engine — no signed-overflow edge at the top bit. Hamming distance
-    * between simhashes tracks token-set similarity. */
+  /** 60-bit SimHash per document. 60 bits (not 64) keeps the fingerprint
+    * a positive BIGINT in every engine — no signed-overflow edge at the
+    * top bit. Hamming distance between simhashes tracks token-set
+    * similarity.
+    *
+    * On a graft session this is ONE per-row native scan
+    * ([[graft.functions.SimHash60]]): SimHash is a per-document function,
+    * so the relational formulation below — explode tokens, hash, shuffle
+    * one row per token into a 60-conditional-sum aggregate — moved the
+    * entire token stream through an exchange just to come back to one
+    * row per doc. The native path computes the fingerprint where the
+    * text already is: no explode, no shuffle, no aggregate (the plan
+    * that survives 100 TB). The aggregate formulation remains as the
+    * vanilla-session fallback; bit-equivalence is pinned by
+    * SimHashScanSpec, and the null-text filter reproduces explode(null)
+    * dropping the row. */
   def simhash60(df: DataFrame, id: Column, text: Column): DataFrame = {
+    if (graft.functions.Native.has("graft_simhash60"))
+      df.filter(text.isNotNull)
+        .select(id.as("doc_id"),
+          call_function("graft_simhash60", text).as("simhash"))
+    else simhash60Agg(df, id, text)
+  }
+
+  /** The pre-r11 explode/aggregate formulation of [[simhash60]] — the
+    * bit-equivalence reference and the no-extensions fallback. */
+  private[graft] def simhash60Agg(df: DataFrame, id: Column,
+                                  text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"),
       explode(TextOps.tokens(text)).as("t"))
       .withColumn("h", Hashing.hash60(col("t")))
