@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, SimHash60, TextScanStats}
+import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, MinHashBands, SimHash60, TextScanStats, TokenDiversity}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -44,6 +44,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"graft_simhash60 expects 1 argument, got ${children.size}")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_diversity"),
+      new ExpressionInfo(classOf[TokenDiversity].getName, "graft_token_diversity"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_token_diversity expects 1 argument, got ${children.size}")
+        TokenDiversity(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          s"graft_minhash_bands expects 3 arguments (hs, bands, rowsPerBand), got ${children.size}")
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_bands: $what must be an integer literal, got $other")
+        }
+        MinHashBands(children.head, lit(children(1), "bands"),
+          lit(children(2), "rowsPerBand"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_locale_clean"),

@@ -47,7 +47,7 @@ object Hashing {
     * kept < 2^30 so every intermediate product stays under 2^62 — no Long
     * overflow, the arithmetic is exact and portable to any engine. */
   val MinhashPrime: Long = 4294967291L
-  private val CoefPrime: Long = 1073741789L // < 2^30
+  private[functions] val CoefPrime: Long = 1073741789L // < 2^30
 
   /** i-th affine permutation of a base hash: (a_i * (x mod P) + b_i) mod P,
     * with deterministic coefficients derived from the permutation index. */

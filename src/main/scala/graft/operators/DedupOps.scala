@@ -177,7 +177,6 @@ object DedupOps {
   def minhashLshPairs(shingled: DataFrame, threshold: Double,
                       bands: Int = 32, rowsPerBand: Int = 4,
                       release: Boolean = true): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // the hashed sets feed three plan branches (signatures + both sides of
     // the verification join); persist so shingling+md5 runs once — the
     // at-scale equivalent is materializing the signature table between
@@ -190,7 +189,7 @@ object DedupOps {
     val hashed = hashedShingleSets(shingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count()
-    val buckets = bandBuckets(minhashSignatures(hashed, numHashes), bands, rowsPerBand)
+    val buckets = lshBuckets(hashed, bands, rowsPerBand)
     val l = buckets.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
     val r = buckets.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
     val candidates = l.join(r, Seq("band", "bsig"))
@@ -232,6 +231,35 @@ object DedupOps {
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
   }
+
+  /** (doc_id, band, bsig) LSH bucket table straight from hashed shingle
+    * sets — the composition every signature consumer actually wants
+    * ([[minhashLshPairs]], [[crossNearDupPairs]], [[corpusDedupArtifact]]
+    * all go signatures → bands and never read a raw signature).
+    *
+    * On a graft session this is ONE per-row native scan
+    * ([[graft.functions.MinHashBands]]) + posexplode: all
+    * bands×rowsPerBand affine-permutation minima and the band signature
+    * strings are computed in a single compiled pass over the doc's own
+    * shingle hashes — no token explode, no exchange, no 128-buffer hash
+    * aggregate, no 128-column concat projection. MinHash, like SimHash,
+    * is per-document: the relational formulation shuffled one row per
+    * shingle through the aggregate just to come back to one row per doc
+    * (the [[minhashSignatures]] scaladoc's measured rejection of the HOF
+    * rewrite was about INTERPRETED per-row work; the native scan is the
+    * compiled version of the same idea). Falls back to the aggregate
+    * formulation on vanilla sessions; bit-equivalence of the two bucket
+    * tables is pinned by MinHashBandsSpec. The `size(hs) > 0` filter
+    * reproduces the aggregate path's explode dropping empty/null docs. */
+  def lshBuckets(hashedShingles: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    if (graft.functions.Native.has("graft_minhash_bands"))
+      hashedShingles.filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_minhash_bands", col("hs"),
+            lit(bands), lit(rowsPerBand))).as(Seq("band", "bsig")))
+    else
+      bandBuckets(minhashSignatures(hashedShingles, bands * rowsPerBand),
+        bands, rowsPerBand)
 
   /** Cross-corpus near-dup join — the incremental-ingestion dedup primitive:
     * find every (new doc, corpus doc) pair with Jaccard ≥ threshold WITHOUT
@@ -278,8 +306,7 @@ object DedupOps {
     val ch = hashedShingleSets(corpusShingled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ch.count()
-    val cb =
-      bandBuckets(minhashSignatures(ch, bands * rowsPerBand), bands, rowsPerBand)
+    val cb = lshBuckets(ch, bands, rowsPerBand)
     (ch, cb)
   }
 
@@ -296,8 +323,7 @@ object DedupOps {
                                     corpusBuckets: DataFrame,
                                     threshold: Double, bands: Int = 32,
                                     rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val nb = bandBuckets(minhashSignatures(newHashed, numHashes), bands, rowsPerBand)
+    val nb = lshBuckets(newHashed, bands, rowsPerBand)
     val candidates = nb.select(col("band"), col("bsig"), col("doc_id").as("new_id"))
       .join(corpusBuckets.select(col("band"), col("bsig"),
         col("doc_id").as("corpus_id")), Seq("band", "bsig"))

@@ -527,6 +527,29 @@ object TextOps {
     * with fewer than 2 tokens have no defined collision probability →
     * null. Returns (id, n_tokens, collision_p, diversity). */
   def tokenDiversity(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    if (graft.functions.Native.has("graft_token_diversity")) {
+      // one compiled pass per row ([[graft.functions.TokenDiversity]]):
+      // tokenize + hash-count + Σ tf·(tf−1), replacing the interpreted
+      // per-element run-length fold below (kept as the vanilla-session
+      // fallback; equivalence pinned by TokenDiversitySpec). The repeated
+      // getField uses collapse to one evaluation via codegen
+      // subexpression elimination.
+      val st = call_function("graft_token_diversity", textCol)
+      val nTok = st.getField("n_tokens")
+      return df.select(idCol.as("id"), nTok.as("n_tokens"),
+          when(nTok > 1,
+            st.getField("coll").cast("double") / (nTok * (nTok - 1L)))
+            .as("collision_p"))
+        .withColumn("diversity",
+          when(col("collision_p").isNotNull, lit(1.0) - col("collision_p")))
+    }
+    tokenDiversityFold(df, idCol, textCol)
+  }
+
+  /** The pre-r11 sorted run-length-fold formulation of [[tokenDiversity]]
+    * — the equivalence reference and the no-extensions fallback. */
+  private[graft] def tokenDiversityFold(df: DataFrame, idCol: Column,
+                                        textCol: Column): DataFrame = {
     val sorted = array_sort(col("__toks"))
     // run-length fold over the sorted tokens: acc = (prev, run, acc_sum);
     // run == 0 marks "no previous token" (so a leading "" is not confused
