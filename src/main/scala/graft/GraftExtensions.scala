@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, MinHashBands, SimHash60, TextScanStats, TokenDiversity}
+import graft.functions.{CharEntropyStats, DotFold, EmbeddingSimhash60, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, MinHashBands, SimHash60, TextScanStats, TokenDiversity}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -66,6 +66,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashBands(children.head, lit(children(1), "bands"),
           lit(children(2), "rowsPerBand"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_embedding_simhash"),
+      new ExpressionInfo(classOf[EmbeddingSimhash60].getName, "graft_embedding_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_embedding_simhash expects 2 arguments (emb, dim), got ${children.size}")
+        val dim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_embedding_simhash: dim must be an integer literal, got $other")
+        }
+        EmbeddingSimhash60(children.head, dim)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_locale_clean"),

@@ -54,12 +54,34 @@ object SimilarityOps {
     * pairs (θ≈18°) differ on ~6% of bits (E[hamming]≈3.6 of 60) —
     * chunk-banded candidates at maxHamming 3 target the TIGHT near-dup
     * regime (dup detection), not broad similarity (that's [[lshTopK]]'s
-    * job). All 60 planes ship as one nested literal, one `transform`
-    * computes the projections (the lshBuckets plan-compilation lesson).
-    * Output (doc_id, simhash) — named for simhashPairs. */
+    * job).
+    *
+    * On a graft session this is ONE compiled per-row pass
+    * ([[graft.functions.EmbeddingSimhash60]]): the HOF formulation below
+    * ran 60 interpreted `transform` lambda calls per row (Spark's array
+    * HOFs carry no codegen) plus an interpreted `aggregate` bit fold —
+    * the same interpretation tax the SimHash/MinHash scans just removed
+    * from the text miners. The HOF form remains as the vanilla-session
+    * fallback and the oracle-SQL definition; bit-equivalence is pinned by
+    * EmbeddingSimhashSpec. Output (doc_id, simhash) — named for
+    * simhashPairs. */
   def embeddingSimhash(corpus: DataFrame, idCol: Column = col("vec_id"),
                        embCol: Column = col("embedding"),
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64): DataFrame =
+    if (graft.functions.Native.has("graft_embedding_simhash"))
+      corpus.select(idCol.as("doc_id"),
+        call_function("graft_embedding_simhash", embCol, lit(dim))
+          .as("simhash"))
+    else embeddingSimhashHof(corpus, idCol, embCol, dim)
+
+  /** The pre-r11 `transform`+`aggregate` formulation of
+    * [[embeddingSimhash]] — the bit-equivalence reference and the
+    * no-extensions fallback. All 60 planes ship as one nested literal,
+    * one `transform` computes the projections (the lshBuckets
+    * plan-compilation lesson). */
+  private[graft] def embeddingSimhashHof(corpus: DataFrame, idCol: Column,
+                                         embCol: Column,
+                                         dim: Int): DataFrame = {
     val planesLit = array((0 until 60).map(p =>
       array(Array.tabulate(dim) { d =>
         if ((Hashing.hash60Scalar(s"esh_${p}_$d") & 1L) == 0L) 1.0 else -1.0
