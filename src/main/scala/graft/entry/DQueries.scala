@@ -164,7 +164,7 @@ object DQueries {
     }),
 
     "d04_simhash" -> ((s, dir) => {
-      // maxHamming 3 with 4x15-bit chunk candidates: pigeonhole makes the
+      // maxHamming 3 with multi-index chunk candidates: pigeonhole makes the
       // chunked plan's recall exact, so it matches the brute-force oracle.
       val fp = DedupOps.simhash60(documents(s, dir), col("doc_id"), col("text"))
       DedupOps.simhashPairs(fp, maxHamming = 3)
@@ -228,7 +228,7 @@ object DQueries {
     }),
 
     "d21_simhash_recall_eval" -> ((s, dir) => {
-      // E129: the d04 audit — the 4×15-bit pigeonhole makes the banded
+      // E129: the d04 audit — the multi-index pigeonhole makes the banded
       // candidate set provably EXHAUSTIVE at maxHamming 3, so measured
       // recall/precision must be exactly 1000000; the eval exists to
       // MEASURE that on any corpus (a chunk-scheme bug surfaces here as
@@ -385,6 +385,19 @@ object DQueries {
       Multimodal.imageNearDupPairs(imgs, col("doc_id"), col("payload"),
           maxHamming = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "m08_image_recall_eval" -> ((s, dir) => {
+      // E132: the m03 audit — the d21 treatment for the image miner.
+      // Same planted-BMP corpus; MEASURED recall/precision of the
+      // chunk-banded aHash miner vs brute all-pairs hamming truth on the
+      // deterministic half-sample. The multi-index pigeonhole makes both
+      // ppms provably 1000000 — the audit is the tripwire that catches a
+      // chunk-extraction or verification bug before it silently loses
+      // image dup pairs.
+      val imgs = Multimodal.demoBmpCorpus(documents(s, dir), col("doc_id"))
+      Multimodal.imageRecallEval(imgs, col("doc_id"), col("payload"),
+        maxHamming = 3)
     }),
 
     "s04_range_join" -> ((s, dir) => {
@@ -1043,6 +1056,24 @@ object DQueries {
       val rate = math.min(1.0, 2000.0 / math.max(1L, n))
       SimilarityOps.embeddingSketchRecallEval(base.unionByName(twins),
         threshold = 0.95, maxHamming = 3, sampleRate = rate)
+    }),
+    "m08_image_recall_eval" -> ((s, dir) => {
+      // absolute audit budget like d21 (brute = one bit_count per pair:
+      // 2000 images ≈ 4M pair ops) — and the BMP render is fixture
+      // synthesis, not the operator, so render only the ids that pass
+      // the audit's own deterministic sample predicate (demoBmpCorpus is
+      // a typed map; a downstream filter cannot push below it). The
+      // report's n_docs then counts the pre-sampled media frame — a
+      // production corpus arrives as stored payloads and the audit
+      // samples it directly, which is exactly what the gate key does.
+      val docs = documents(s, dir)
+      val rate = math.min(1.0, 2000.0 / math.max(1L, docs.count()))
+      val sampledIds = graft.operators.CurationOps.stratifiedHashSample(
+        docs.select(col("doc_id")), col("doc_id"), lit("all"), Map.empty,
+        rate)
+      Multimodal.imageRecallEval(
+        Multimodal.demoBmpCorpus(sampledIds, col("doc_id")),
+        col("doc_id"), col("payload"), maxHamming = 3, sampleRate = rate)
     })
   )
 
@@ -1662,7 +1693,7 @@ object DQueries {
 
     // twin of embeddingNearDupPairs(threshold=0.95, maxHamming=3) over the
     // twin-augmented corpus: planes rebuilt from hash60('esh_p_d'), the
-    // same left-fold double projections, 4x15-bit chunk candidates, exact
+    // same left-fold double projections, banded chunk candidates, exact
     // cosine verify — sketches are deterministic, so banded == replayed
     "d18_embedding_simhash" ->
       s"""WITH aug AS (
@@ -1812,7 +1843,7 @@ object DQueries {
 
     // twin of SimilarityOps.embeddingSketchRecallEval over d18's
     // twin-augmented corpus: replay the sample, the brute cos>=0.95
-    // ground truth, and the sketch -> 4x15-chunk -> exact-cosine miner
+    // ground truth, and the sketch -> banded-chunk -> exact-cosine miner
     // with the same hash-derived planes. Every side is deterministic, so
     // the MEASURED recall (sketch misses: cos >= threshold but
     // hamming > 3) reproduces exactly; banded pairs are cosine-verified
@@ -2053,6 +2084,51 @@ object DQueries {
         |FROM hashes a, hashes b
         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // twin of Multimodal.imageRecallEval over m03's planted-BMP corpus:
+    // replay the deterministic half-sample, the pixel/aHash arithmetic
+    // (m03's CTEs restricted to the sample), and the brute hamming truth;
+    // banded = matched = truth is EXACT by the multi-index pigeonhole (the
+    // d21 precedent, not an analytic floor), so both ppms are 1000000.
+    "m08_image_recall_eval" ->
+      s"""WITH samp AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE (${h60Sql("'sample_' || CAST(doc_id AS VARCHAR)")} % 1000000)
+         |    < 0.5 * 1000000),
+         |raw AS (
+         |  SELECT d.doc_id, x.x, y.y,
+         |    CAST('0x' || substr(md5('img:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' || CAST(x.x AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+         |    ((y.y // 2) * 8 + (x.x // 2) < (d.doc_id % 4)) AS inv
+         |  FROM samp d, range(0, 16) x(x), range(0, 16) y(y)),
+         |ch AS (
+         |  SELECT doc_id, x, y,
+         |    CASE WHEN inv THEN 255 - (h % 256) ELSE (h % 256) END AS b,
+         |    CASE WHEN inv THEN 255 - ((h // 256) % 256) ELSE ((h // 256) % 256) END AS g,
+         |    CASE WHEN inv THEN 255 - ((h // 65536) % 256) ELSE ((h // 65536) % 256) END AS r
+         |  FROM raw),
+         |cells AS (
+         |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS k,
+         |    SUM((299 * r + 587 * g + 114 * b) // 1000) // 4 AS mean
+         |  FROM ch WHERE (y // 2) * 8 + (x // 2) < 60 GROUP BY 1, 2),
+         |withavg AS (
+         |  SELECT doc_id, k, mean,
+         |    SUM(mean) OVER (PARTITION BY doc_id) // 60 AS avg
+         |  FROM cells),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN mean > avg THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS sh
+         |  FROM withavg GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n FROM hashes a, hashes b
+         |      WHERE a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.sh, b.sh)) <= 3)
+         |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  (SELECT COUNT(*) FROM hashes) AS n_sampled,
+         |  t.n AS truth_pairs, t.n AS banded_pairs, t.n AS matched_pairs,
+         |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE t.n * 1000000 // t.n END AS recall_ppm,
+         |  CASE WHEN t.n = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE t.n * 1000000 // t.n END AS precision_ppm
+         |FROM t""".stripMargin,
 
     // the naive inequality join — bucketization must be invisible
     "s04_range_join" ->

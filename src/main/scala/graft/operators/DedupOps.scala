@@ -595,14 +595,16 @@ object DedupOps {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming <= maxHamming: candidates via
-    * 15-bit chunk equality (pigeonhole: with 4 chunks, hamming <= 3
-    * guarantees at least one equal chunk — exact recall at maxHamming 3),
-    * verified by bit_count(xor). Chunk-bucket join keeps candidate
-    * generation linear — same shape as the minhash banding. */
+  /** SimHash near-dup pairs with hamming <= maxHamming: multi-index
+    * chunk-combination candidates ([[chunkBuckets]] — provably exhaustive
+    * for maxHamming <= 5 by pigeonhole), verified by bit_count(xor).
+    * Band-bucket join keeps candidate generation linear — same shape as
+    * the minhash banding, and the 30-bit band keys (at maxHamming 3) put
+    * the random-collision wall at n²/2³⁰ rather than the single-chunk
+    * scheme's n²/2¹⁵. */
   def simhashPairs(simhashed: DataFrame, maxHamming: Int): DataFrame = {
-    val l = chunkBuckets(simhashed, "doc_a", "ha")
-    val r = chunkBuckets(simhashed, "doc_b", "hb")
+    val l = chunkBuckets(simhashed, "doc_a", "ha", maxHamming)
+    val r = chunkBuckets(simhashed, "doc_b", "hb", maxHamming)
     l.join(r, Seq("chunk", "ck"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -619,24 +621,53 @@ object DedupOps {
     * only itself. Output (doc_a ∈ left, doc_b ∈ right, hamming). */
   def simhashPairsCross(left: DataFrame, right: DataFrame,
                         maxHamming: Int): DataFrame =
-    chunkBuckets(left, "doc_a", "ha")
-      .join(chunkBuckets(right, "doc_b", "hb"), Seq("chunk", "ck"))
+    chunkBuckets(left, "doc_a", "ha", maxHamming)
+      .join(chunkBuckets(right, "doc_b", "hb", maxHamming), Seq("chunk", "ck"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
 
-  /** The 4×15-bit pigeonhole banding of a (doc_id, simhash) frame — the
-    * ONE place the chunk scheme is written: both the self-join and the
-    * cross-table miners read it, so a banding change (chunk count/width)
-    * cannot silently break one caller's exact-recall guarantee. */
+  /** The multi-index pigeonhole banding of a (doc_id, simhash) frame —
+    * the ONE place the band scheme is written: both the self-join and the
+    * cross-table miners read it, so a banding change (chunk count/width,
+    * combination size) cannot silently break one caller's exact-recall
+    * guarantee.
+    *
+    * Scheme (the multi-index hashing idea from the published
+    * hamming-search literature, specialized to 60 bits): split the
+    * fingerprint into 6 chunks of 10 bits; a pair within hamming h has
+    * errors in at most h chunks, so at least 6−h chunks match EXACTLY —
+    * by pigeonhole the pair agrees on at least one (6−h)-sized chunk
+    * COMBINATION. Bands are all C(6, c) combinations with c = 6−h
+    * (clamped to [1, 6]), keyed by the c chunk values packed into one
+    * 10c-bit long. Exhaustive for h <= 5 (at h > 5 no chunk is
+    * guaranteed clean; callers stay in the verified-subset regime, as
+    * they did under the old scheme for h > 3).
+    *
+    * Why combinations instead of the classic one-chunk-per-band split
+    * (4×15 bits for h = 3): band-key selectivity is what bounds the
+    * verify step. Random chunk collisions cost n²·bands/2^bits — at
+    * h = 3 the 20 triple bands of 30 bits put that wall at n²·20/2³⁰,
+    * where 4 bands of 15 bits hit n²·4/2¹⁵ (≈ 1.5·10⁹ candidate pairs
+    * at 5M docs — measured as the dominant d04 cost at sf10). The 5×
+    * extra explode rows are linear; the collision term is the quadratic
+    * one, and it shrinks 6554×. */
   private def chunkBuckets(fp: DataFrame, idName: String,
-                           hName: String): DataFrame = {
-    val chunks = (0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("ck")))
+                           hName: String, maxHamming: Int): DataFrame = {
+    val nChunks = 6
+    val width = 10
+    val mask = (1L << width) - 1
+    val c = math.min(nChunks, math.max(1, nChunks - maxHamming))
+    val bands = (0 until nChunks).combinations(c).zipWithIndex.map {
+      case (combo, bi) =>
+        val key = combo.map(ci =>
+            shiftright(col("simhash"), ci * width).bitwiseAND(mask))
+          .reduceLeft((acc, ck) => shiftleft(acc, width).bitwiseOR(ck))
+        struct(lit(bi).as("chunk"), key.as("ck"))
+    }.toSeq
     fp.select(col("doc_id"), col("simhash"),
-        explode(array(chunks: _*)).as("bk"))
+        explode(array(bands: _*)).as("bk"))
       .select(col("doc_id").as(idName), col("simhash").as(hName),
         col("bk.chunk").as("chunk"), col("bk.ck").as("ck"))
   }
@@ -1163,7 +1194,7 @@ object DedupOps {
   }
 
   /** [[dedupRecallEval]] for the SimHash miner (d04's recall claim is the
-    * 4×15-bit pigeonhole: hamming ≤ 3 pairs ALWAYS share a chunk, so the
+    * multi-index pigeonhole: hamming ≤ 3 pairs ALWAYS share a chunk, so the
     * banded candidate set is provably EXHAUSTIVE — measured recall below
     * 1000000 flags a chunk-extraction bug, not sampling luck; precision
     * below 1000000 flags a verification regression, since banded pairs

@@ -290,7 +290,7 @@ object Multimodal {
       * classic 64 for the same reason [[DedupOps.simhash60]] is 60-bit:
       * the value stays clear of the sign bit, every engine (and the
       * DuckDB oracle) can rebuild it in plain BIGINT arithmetic, and the
-      * d04 4×15-bit pigeonhole chunk machinery applies unchanged
+      * d04 multi-index pigeonhole chunk machinery applies unchanged
       * (hamming ≤ 3 ⇒ one equal chunk — exact recall).
       *
       * All math is exact integers: cell (bx, by) covers
@@ -530,7 +530,7 @@ object Multimodal {
     * .aHash60]] — resize-robust by construction: the 8×8 cell means of an
     * integer-factor downsample are means of the same pixel regions), then
     * candidates and verification ride the d04 simhash machinery verbatim —
-    * 4×15-bit pigeonhole chunks (exact recall at hamming ≤ 3), bucket
+    * multi-index pigeonhole chunks (exact recall at hamming ≤ 3), bucket
     * equi-join, bit_count(xor) verify. No image×image term anywhere; the
     * only all-pairs work is within hash-equal chunk buckets, the standard
     * banding bound. Composable with [[DedupOps.dedupClusters]] /
@@ -539,6 +539,47 @@ object Multimodal {
                         payloadCol: org.apache.spark.sql.Column,
                         maxHamming: Int): DataFrame =
     DedupOps.simhashPairs(imageHashes(media, idCol, payloadCol), maxHamming)
+
+  /** The recall audit of the image miner — `dedupRecallEval` for
+    * [[imageNearDupPairs]], completing the audit family (minhash d20,
+    * simhash d21, embedding sketch d22): MEASURED recall/precision of the
+    * chunk-banded aHash miner against brute all-pairs hamming truth on a
+    * hash-deterministic sample of the media frame. Like the simhash
+    * audit, the multi-index pigeonhole makes the banded candidate set
+    * provably EXHAUSTIVE at maxHamming 3, so a measured recall below
+    * 1000000 flags a chunk-extraction bug and a precision below 1000000 a
+    * verification regression — the audit is the tripwire, not a
+    * probability estimate.
+    *
+    * The sample predicate is [[CurationOps.stratifiedHashSample]]'s on
+    * the id alone, so only the SAMPLED payloads are ever decoded —
+    * decode cost scales with the absolute audit budget, not the corpus.
+    * Unlike the text audits, the fingerprint frame is NOT 1:1 with the
+    * sample: undecodable / sub-8×8 payloads drop in [[imageHashes]]
+    * exactly as the miner drops them, and `n_sampled` counts the
+    * FINGERPRINTED images (the population the recall claim is about).
+    * Output: the one-row ppm report (n_docs = media rows, n_sampled,
+    * truth/banded/matched pairs, recall_ppm, precision_ppm). */
+  def imageRecallEval(media: DataFrame, idCol: org.apache.spark.sql.Column,
+                      payloadCol: org.apache.spark.sql.Column,
+                      maxHamming: Int = 3,
+                      sampleRate: Double = 0.5): DataFrame = {
+    val m = media.select(idCol.as("doc_id"), payloadCol.as("payload"))
+    val sample = CurationOps.stratifiedHashSample(
+      m, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit("all"), Map.empty, sampleRate)
+    // feeds the brute side twice and the banded side once — materialize
+    // so decode+aHash runs once (the d03 persist lesson)
+    val fp = imageHashes(sample,
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .localCheckpoint(true)
+    val truth = DedupOps.simhashPairsBrute(fp, maxHamming)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val banded = DedupOps.simhashPairs(fp, maxHamming)
+      .select("doc_a", "doc_b")
+    DedupOps.recallReport(m, fp, truth, banded)
+  }
 
   /** Distinct (doc_id, key) frame-hash set of "video" payloads — every
     * fixed-size frame (stride 1, metadata-driven like [[sampleFrames]])

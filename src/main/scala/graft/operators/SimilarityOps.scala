@@ -47,7 +47,7 @@ object SimilarityOps {
     * with no stored artifact, and the DuckDB oracle rebuilds every plane).
     * 60 bits, not 64: the sign-bit/BIGINT-portability rule shared with
     * `DedupOps.simhash60` and `Multimodal.aHash60`, and it makes
-    * `DedupOps.simhashPairs`' 4×15-bit pigeonhole machinery apply
+    * `DedupOps.simhashPairs`' multi-index pigeonhole machinery apply
     * verbatim.
     *
     * Hamming distance estimates angle: P(bit differs) = θ/π, so cos 0.95
@@ -95,7 +95,7 @@ object SimilarityOps {
       .select(col("__vid").as("doc_id"), fp.as("simhash"))
   }
 
-  /** All-pairs embedding near-dup mining at scale: sketch → 4×15-bit
+  /** All-pairs embedding near-dup mining at scale: sketch → multi-index
     * pigeonhole chunk candidates (`DedupOps.simhashPairs` verbatim — one
     * bucket equi-join, no vector×vector term) → exact-cosine verification
     * of the candidate pairs only. Exact recall for pairs within

@@ -214,6 +214,38 @@ class DedupSpec extends SparkSpec {
     assert(ham(0L, 2L) > 12) // unrelated
   }
 
+  test("simhashPairs multi-index banding is exhaustive: banded == brute at maxHamming 0..5") {
+    import spark.implicits._
+    // adversarial error placements against a fixed base fingerprint —
+    // errors CONCENTRATED in one 10-bit chunk, SPREAD one-per-chunk (the
+    // pigeonhole worst case), and packed at the top end — at every
+    // distance 1..6, plus an exact duplicate (the maxHamming-0 band) and
+    // random fingerprints. The banded miner must reproduce the brute
+    // pair set EXACTLY for every maxHamming the scheme claims (0..5).
+    val rnd = new scala.util.Random(0xba4d5L)
+    val mask60 = (1L << 60) - 1
+    val base = rnd.nextLong() & mask60
+    val planted = scala.collection.mutable.ArrayBuffer[Long](base, base)
+    for (d <- 1 to 6) {
+      planted += (0 until d).foldLeft(base)((v, i) => v ^ (1L << i))
+      planted += (0 until d).foldLeft(base)((v, i) => v ^ (1L << (i * 10)))
+      planted += (0 until d).foldLeft(base)((v, i) => v ^ (1L << (59 - i)))
+    }
+    val rand = Seq.fill(150)(rnd.nextLong() & mask60)
+    val fp = (planted.toSeq ++ rand).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "simhash")
+    for (h <- 0 to 5) {
+      val banded = DedupOps.simhashPairs(fp, h).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = DedupOps.simhashPairsBrute(fp, h).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === brute,
+        s"banded != brute at maxHamming $h: missed ${brute -- banded}, " +
+          s"extra ${banded -- brute}")
+      if (h > 0) assert(brute.nonEmpty) // the planted variants really pair
+    }
+  }
+
   test("quality score stays in [0,1]; langId votes markers") {
     val q = docs.select(TextOps.qualityScore(col("text")).as("q")).collect()
     assert(q.forall { r => val v = r.getDouble(0); v >= 0.0 && v <= 1.0 })
@@ -550,9 +582,9 @@ class DedupSpec extends SparkSpec {
 
   test("simhashRecallEval: pigeonhole makes banded recall EXACTLY 1 on the " +
       "sf0.01 corpus") {
-    // unlike the LSH audit's probabilistic floor, the 4x15-bit chunk
+    // unlike the LSH audit's probabilistic floor, the multi-index chunk
     // scheme is provably exhaustive at maxHamming 3: every hamming<=3
-    // pair shares a chunk, and banded pairs are hamming-verified — so on
+    // pair shares a clean chunk combination, and banded pairs are hamming-verified — so on
     // a full-corpus sample (rate 1.0, every true pair audited) recall
     // AND precision must come back exactly 1000000. Anything less is a
     // chunk-extraction or verification bug, not sampling luck.

@@ -307,6 +307,30 @@ class EtlSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("imageRecallEval: pigeonhole-exact ppms; undecodable payloads shrink n_sampled only") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id") // 10 planted groups of 4
+    val corpus = Multimodal.demoBmpCorpus(docs, col("doc_id"))
+    // an undecodable payload must never crash the audit; it simply drops
+    // from the fingerprinted population (n_sampled), like in the miner
+    val junk = Seq((1000L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val r = Multimodal.imageRecallEval(corpus.unionByName(junk),
+      col("doc_id"), col("payload"), maxHamming = 3, sampleRate = 1.0)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") === 41L)
+    assert(r.getAs[Long]("n_sampled") === 40L)
+    assert(r.getAs[Long]("truth_pairs") > 0L) // adjacent variants pair
+    assert(r.getAs[Long]("banded_pairs") === r.getAs[Long]("truth_pairs"))
+    assert(r.getAs[Long]("matched_pairs") === r.getAs[Long]("truth_pairs"))
+    assert(r.getAs[Long]("recall_ppm") === 1000000L)
+    assert(r.getAs[Long]("precision_ppm") === 1000000L)
+    // the truth side really is the brute miner: same pair count as m03's
+    // full-corpus pair set at rate 1.0
+    val m03Pairs = Multimodal.imageNearDupPairs(corpus, col("doc_id"),
+      col("payload"), maxHamming = 3).count()
+    assert(r.getAs[Long]("truth_pairs") === m03Pairs)
+  }
+
   test("image pairs compose with dedupClusters + canonicalPerCluster like any miner") {
     import spark.implicits._
     import graft.operators.DedupOps
