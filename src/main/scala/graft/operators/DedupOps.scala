@@ -595,16 +595,22 @@ object DedupOps {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming <= maxHamming: multi-index
-    * chunk-combination candidates ([[chunkBuckets]] — provably exhaustive
-    * for maxHamming <= 5 by pigeonhole), verified by bit_count(xor).
-    * Band-bucket join keeps candidate generation linear — same shape as
-    * the minhash banding, and the 30-bit band keys (at maxHamming 3) put
-    * the random-collision wall at n²/2³⁰ rather than the single-chunk
-    * scheme's n²/2¹⁵. */
-  def simhashPairs(simhashed: DataFrame, maxHamming: Int): DataFrame = {
-    val l = chunkBuckets(simhashed, "doc_a", "ha", maxHamming)
-    val r = chunkBuckets(simhashed, "doc_b", "hb", maxHamming)
+  /** SimHash near-dup pairs with hamming <= maxHamming: pigeonhole
+    * chunk-bucket candidates ([[chunkBuckets]] — provably exhaustive by
+    * pigeonhole), verified by bit_count(xor). Band-bucket join keeps
+    * candidate generation linear — same shape as the minhash banding.
+    *
+    * `multiIndex` picks the band scheme (see [[chunkBuckets]] for the
+    * measured tradeoff): combination bands (default — skew-robust, the
+    * right plan for text/embedding fingerprints whose chunk values
+    * cluster) or classic single-chunk bands (uniform fingerprints at
+    * bounded corpus size, where the 5× band fan-out is pure constant
+    * overhead). Both schemes produce IDENTICAL results — candidates are
+    * hamming-verified either way. */
+  def simhashPairs(simhashed: DataFrame, maxHamming: Int,
+                   multiIndex: Boolean = true): DataFrame = {
+    val l = chunkBuckets(simhashed, "doc_a", "ha", maxHamming, multiIndex)
+    val r = chunkBuckets(simhashed, "doc_b", "hb", maxHamming, multiIndex)
     l.join(r, Seq("chunk", "ck"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -620,9 +626,11 @@ object DedupOps {
     * side's bucket table is the persisted artifact; a daily shard sketches
     * only itself. Output (doc_a ∈ left, doc_b ∈ right, hamming). */
   def simhashPairsCross(left: DataFrame, right: DataFrame,
-                        maxHamming: Int): DataFrame =
-    chunkBuckets(left, "doc_a", "ha", maxHamming)
-      .join(chunkBuckets(right, "doc_b", "hb", maxHamming), Seq("chunk", "ck"))
+                        maxHamming: Int,
+                        multiIndex: Boolean = true): DataFrame =
+    chunkBuckets(left, "doc_a", "ha", maxHamming, multiIndex)
+      .join(chunkBuckets(right, "doc_b", "hb", maxHamming, multiIndex),
+        Seq("chunk", "ck"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .distinct()
@@ -646,19 +654,30 @@ object DedupOps {
     * they did under the old scheme for h > 3).
     *
     * Why combinations instead of the classic one-chunk-per-band split
-    * (4×15 bits for h = 3): band-key selectivity is what bounds the
-    * verify step. Random chunk collisions cost n²·bands/2^bits — at
-    * h = 3 the 20 triple bands of 30 bits put that wall at n²·20/2³⁰,
-    * where 4 bands of 15 bits hit n²·4/2¹⁵ (≈ 1.5·10⁹ candidate pairs
-    * at 5M docs — measured as the dominant d04 cost at sf10). The 5×
-    * extra explode rows are linear; the collision term is the quadratic
-    * one, and it shrinks 6554×. */
-  private def chunkBuckets(fp: DataFrame, idName: String,
-                           hName: String, maxHamming: Int): DataFrame = {
-    val nChunks = 6
-    val width = 10
+    * (`multiIndex = false`: 4 chunks of 15 bits, exhaustive for h <= 3):
+    * band-key selectivity is what bounds the verify step, and it is a
+    * DISTRIBUTION question, not just n². Text/embedding sign fingerprints
+    * are skewed — common-token votes bias every document toward the same
+    * bit pattern, so single 15-bit chunk values cluster into hot buckets
+    * whose |bucket|² candidate cost dwarfs the uniform n²·4/2¹⁵ estimate
+    * (measured: the d04 pair join dominated the key at sf10, and the
+    * 30-bit triple keys cut d04 11.7→7.0 s, d12 18.2→10.9 s — a product
+    * of three 10-bit marginals is far more selective than one skewed
+    * 15-bit marginal). UNIFORM fingerprints (md5-derived pixels/frames:
+    * m03/m06/m08) sit at the opposite end: single-chunk collisions are
+    * already at the n²·4/2¹⁵ floor, the combination scheme's 5× band
+    * fan-out buys nothing, and its constant cost is real (measured: m03
+    * 2.5→5.1 s at sf1) — those callers pass `multiIndex = false`. At
+    * billion-item uniform corpora the 15-bit wall eventually bites and
+    * the default flips back to multi-index; the flag is the caller's
+    * statement about fingerprint distribution and corpus scale. */
+  private def chunkBuckets(fp: DataFrame, idName: String, hName: String,
+                           maxHamming: Int, multiIndex: Boolean): DataFrame = {
+    val (nChunks, width) = if (multiIndex) (6, 10) else (4, 15)
     val mask = (1L << width) - 1
-    val c = math.min(nChunks, math.max(1, nChunks - maxHamming))
+    val c =
+      if (multiIndex) math.min(nChunks, math.max(1, nChunks - maxHamming))
+      else 1
     val bands = (0 until nChunks).combinations(c).zipWithIndex.map {
       case (combo, bi) =>
         val key = combo.map(ci =>

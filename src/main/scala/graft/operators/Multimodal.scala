@@ -290,7 +290,7 @@ object Multimodal {
       * classic 64 for the same reason [[DedupOps.simhash60]] is 60-bit:
       * the value stays clear of the sign bit, every engine (and the
       * DuckDB oracle) can rebuild it in plain BIGINT arithmetic, and the
-      * d04 multi-index pigeonhole chunk machinery applies unchanged
+      * d04 pigeonhole chunk machinery applies unchanged
       * (hamming ≤ 3 ⇒ one equal chunk — exact recall).
       *
       * All math is exact integers: cell (bx, by) covers
@@ -530,7 +530,11 @@ object Multimodal {
     * .aHash60]] — resize-robust by construction: the 8×8 cell means of an
     * integer-factor downsample are means of the same pixel regions), then
     * candidates and verification ride the d04 simhash machinery verbatim —
-    * multi-index pigeonhole chunks (exact recall at hamming ≤ 3), bucket
+    * single-chunk pigeonhole bands (exact recall at hamming ≤ 3; md5-
+    * derived pixel fingerprints are UNIFORM, so the skew-robust
+    * multi-index scheme's 5× band fan-out is pure overhead here —
+    * measured 2× at sf1 — and `multiIndex = false` keeps the classic
+    * 4×15 plan), bucket
     * equi-join, bit_count(xor) verify. No image×image term anywhere; the
     * only all-pairs work is within hash-equal chunk buckets, the standard
     * banding bound. Composable with [[DedupOps.dedupClusters]] /
@@ -538,14 +542,15 @@ object Multimodal {
   def imageNearDupPairs(media: DataFrame, idCol: org.apache.spark.sql.Column,
                         payloadCol: org.apache.spark.sql.Column,
                         maxHamming: Int): DataFrame =
-    DedupOps.simhashPairs(imageHashes(media, idCol, payloadCol), maxHamming)
+    DedupOps.simhashPairs(imageHashes(media, idCol, payloadCol), maxHamming,
+      multiIndex = false)
 
   /** The recall audit of the image miner — `dedupRecallEval` for
     * [[imageNearDupPairs]], completing the audit family (minhash d20,
     * simhash d21, embedding sketch d22): MEASURED recall/precision of the
     * chunk-banded aHash miner against brute all-pairs hamming truth on a
     * hash-deterministic sample of the media frame. Like the simhash
-    * audit, the multi-index pigeonhole makes the banded candidate set
+    * audit, the pigeonhole makes the banded candidate set
     * provably EXHAUSTIVE at maxHamming 3, so a measured recall below
     * 1000000 flags a chunk-extraction bug and a precision below 1000000 a
     * verification regression — the audit is the tripwire, not a
@@ -576,7 +581,7 @@ object Multimodal {
       .localCheckpoint(true)
     val truth = DedupOps.simhashPairsBrute(fp, maxHamming)
       .select("doc_a", "doc_b").localCheckpoint(true)
-    val banded = DedupOps.simhashPairs(fp, maxHamming)
+    val banded = DedupOps.simhashPairs(fp, maxHamming, multiIndex = false)
       .select("doc_a", "doc_b")
     DedupOps.recallReport(m, fp, truth, banded)
   }
@@ -641,7 +646,7 @@ object Multimodal {
                         payloadCol: org.apache.spark.sql.Column,
                         maxHamming: Int, frameLen: Int = 64): DataFrame =
     DedupOps.simhashPairs(audioHashes(media, idCol, payloadCol, frameLen),
-      maxHamming)
+      maxHamming, multiIndex = false)
 
   /** Deterministic mono 16-bit WAV corpus derived from a document frame —
     * the audio analog of [[demoBmpCorpus]]: sample i of group

@@ -234,14 +234,17 @@ class DedupSpec extends SparkSpec {
     val rand = Seq.fill(150)(rnd.nextLong() & mask60)
     val fp = (planted.toSeq ++ rand).zipWithIndex
       .map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "simhash")
-    for (h <- 0 to 5) {
-      val banded = DedupOps.simhashPairs(fp, h).select("doc_a", "doc_b")
+    // multi-index combination bands: exhaustive through hamming 5;
+    // classic single-chunk 4×15 bands: exhaustive through hamming 3
+    for ((multiIndex, maxExact) <- Seq((true, 5), (false, 3)); h <- 0 to maxExact) {
+      val banded = DedupOps.simhashPairs(fp, h, multiIndex)
+        .select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = DedupOps.simhashPairsBrute(fp, h).select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(banded === brute,
-        s"banded != brute at maxHamming $h: missed ${brute -- banded}, " +
-          s"extra ${banded -- brute}")
+        s"banded != brute at maxHamming $h (multiIndex $multiIndex): " +
+          s"missed ${brute -- banded}, extra ${banded -- brute}")
       if (h > 0) assert(brute.nonEmpty) // the planted variants really pair
     }
   }
