@@ -350,7 +350,19 @@ object BQueries {
       // proves the layout is invisible in the result. The timed cost
       // honestly includes the one-off bucketed writes (the
       // write-once-shuffle-never trade).
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_bkt")
+      // the bucketed tables are the fixture, not a product: reclaim the
+      // ~70MB-per-run layout at JVM exit (repeat bench runs were leaking
+      // one copy each into the temp filesystem)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val walk = java.nio.file.Files.walk(tmpDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }))
+      val tmp = tmpDir.toString
       graft.operators.JoinOps.writeBucketed(
         lineitem(s, dir).select("l_suppkey", "l_quantity"),
         "graft_bkt_lineitem", Seq("l_suppkey"), 8, Some(s"$tmp/li"))
