@@ -308,6 +308,23 @@ object DQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "s13_ivfpq_topk" -> ((s, dir) => {
+      // E133: the composed production index (IVFADC) — IVF cell probing ×
+      // PQ asymmetric-distance scoring over stored 1-byte codes. Both
+      // codebooks are hash-derived literals and the ADC table rides the
+      // exact nano grid, so unlike the float-sum pqAdcTopK this search
+      // is fully oracle-replayable.
+      val emb = embeddings(s, dir)
+      val ivfCb = SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      val assigned = SimilarityOps.ivfAssign(emb, ivfCb)
+        .select("vec_id", "cell")
+      val encoded = SimilarityOps.pqEncode(emb, pqCb, m = 8, dim = 64)
+      SimilarityOps.ivfPqTopK(encoded, assigned,
+          emb.filter(col("vec_id") < 10), ivfCb, pqCb, topK = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     "s05_quantize" -> ((s, dir) => {
       // E32 through the gate: symmetric int8 quantization, exploded to
       // scalar rows. scale and q are single correctly-rounded IEEE ops on
@@ -1939,6 +1956,69 @@ object DQueries {
          |  FROM d)
          |SELECT vec_id, sub, code FROM r WHERE rn = 1
          |ORDER BY vec_id, sub""".stripMargin
+    },
+
+    // twin of SimilarityOps.ivfPqTopK(nCells=16, nProbe=4, m=8, k=16,
+    // topK=5): both codebooks rebuilt from hash60, cell probing as in the
+    // s03 twin, PQ codes as in the s06 twin, and the ADC score as the
+    // EXACT long sum of nano-grid table entries (round(dot*1e9) — the s12
+    // grid convention), so ranking reproduces bit-identically
+    "s13_ivfpq_topk" -> {
+      val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+      val pqBit = h60Sql(
+        "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+      s"""WITH icb AS (
+         |  SELECT cell, list_transform(range(0, 64), d ->
+         |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+         |  FROM range(0, 16) t1(cell)),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM embeddings e, icb c) WHERE r = 1),
+         |qcells AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT e.vec_id AS q_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS crank
+         |    FROM embeddings e, icb c WHERE e.vec_id < 10) WHERE crank <= 4),
+         |pcb AS (
+         |  SELECT s AS sub, c AS code, list_transform(range(0, 8), d ->
+         |    CASE WHEN (CASE WHEN d < 4 THEN (c >> d) & 1
+         |                    ELSE $pqBit & 1 END) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS anchor
+         |  FROM range(0, 8) t1(s), range(0, 16) t2(c)),
+         |sv AS (
+         |  SELECT vec_id, s AS sub,
+         |    list_slice(embedding, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS v
+         |  FROM embeddings, range(0, 8) t(s)),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT sv.vec_id, sv.sub, cb.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+         |        ORDER BY (8.0 - 2.0 * list_sum(list_transform(range(1, 9),
+         |          i -> CAST(sv.v[i] AS DOUBLE) * cb.anchor[i]))) ASC, cb.code ASC) AS rn
+         |    FROM sv JOIN pcb cb ON sv.sub = cb.sub) WHERE rn = 1),
+         |qdots AS (
+         |  SELECT q.vec_id AS q_id, cb.sub, cb.code,
+         |    CAST(round(list_sum(list_transform(range(1, 9),
+         |      i -> CAST(list_slice(q.embedding, CAST(cb.sub * 8 + 1 AS INT),
+         |                 CAST(cb.sub * 8 + 8 AS INT))[i] AS DOUBLE)
+         |           * cb.anchor[i])) * 1000000000) AS BIGINT) AS qd
+         |  FROM embeddings q, pcb cb WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT qc.q_id, a.vec_id AS nn_id,
+         |    CAST(SUM(qd.qd) AS BIGINT) AS adc_nano
+         |  FROM qcells qc
+         |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN qdots qd ON qd.q_id = qc.q_id AND qd.sub = e.sub AND qd.code = e.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, nn_id, adc_nano, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_nano DESC, nn_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, nn_id, adc_nano
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
 
     // twin of SimilarityOps.quantizeInt8: same scale division, same

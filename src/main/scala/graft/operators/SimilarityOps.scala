@@ -884,4 +884,64 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "nn_id", "cos")
   }
+
+  /** IVF-PQ (IVFADC) search — [[ivfTopK]]'s cell probing composed with
+    * [[pqAdcTopK]]'s asymmetric-distance scoring, the production ANN
+    * index shape: the STORED representation is (cell assignment, m 1-byte
+    * codes) per vector — the float corpus is read once at index build
+    * ([[ivfAssign]] + [[pqEncode]]) and never again at search. A query
+    * probes its nProbe nearest cells and ADC-scores only those cells'
+    * code rows against its per-(sub, code) lookup table (m·k rows,
+    * broadcast) — touched bytes per query ≈ nProbe/nCells of the encoded
+    * table, which is itself 32× smaller than the floats. That is the
+    * shape that searches a 100 TB embedding corpus: linear scans touch
+    * compressed codes of a corpus fraction, and the only per-query state
+    * is a broadcastable table.
+    *
+    * Unlike [[pqAdcTopK]]'s float-sum scores (spec-gated), the ADC score
+    * here is EXACT and engine-portable: each table entry quantizes to the
+    * nano grid (`round(dot·10⁹)` long — the s07/s12 convention) and a
+    * vector's score is the exact long sum of its m entries, so ranking
+    * (score DESC, id ASC) reproduces bit-identically in any engine and
+    * the key is oracle-hashed, not spec-gated. Quantization perturbs
+    * scores by ≤ m·0.5 nano — below any meaningful ADC gap.
+    *
+    * `encoded` is a [[pqEncode]] output, `assigned` an [[ivfAssign]]
+    * projection (vec_id, cell); queries exclude themselves. Output:
+    * (q_id, rank, nn_id, adc_nano). */
+  def ivfPqTopK(encoded: DataFrame, assigned: DataFrame, queries: DataFrame,
+                ivfCb: DataFrame, pqCb: DataFrame, topK: Int, nProbe: Int,
+                m: Int = 8, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val qCells = queries.crossJoin(broadcast(ivfCb))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        cosine(col("embedding"), col("anchor")).as("acos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("acos").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select("q_id", "cell")
+    val qdots = queries
+      .select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("q_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("__qv"))
+      .join(broadcast(pqCb), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        round(dot(col("__qv"), col("anchor")) * lit(1.0e9)).cast("long")
+          .as("__qd"))
+    qCells
+      .join(assigned.select(col("vec_id"), col("cell")), "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+      .join(encoded, "vec_id")
+      .join(broadcast(qdots), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("__qd")).as("adc_nano"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc_nano").desc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("nn_id"),
+        col("adc_nano"))
+  }
 }

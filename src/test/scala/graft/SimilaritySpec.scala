@@ -132,6 +132,41 @@ class SimilaritySpec extends SparkSpec {
     assert(top === Seq((1L, 2L)), "the exact-code twin must rank first")
   }
 
+  test("ivfPqTopK: twin wins with full probing; candidates honor the probed cells") {
+    import spark.implicits._
+    val ivfCb = SimilarityOps.ivfCodebook(spark, nCells = 16, dim = 64)
+    val pqCb = SimilarityOps.pqCodebook(spark, m = 8, k = 16, dim = 64)
+    val corpus = plantedFromCodes(Map(
+      2L -> Seq(0, 1, 2, 3, 4, 5, 6, 7), // 1L's exact codebook twin
+      3L -> Seq(15, 14, 13, 12, 11, 10, 9, 8),
+      4L -> Seq(8, 9, 10, 11, 12, 13, 14, 15),
+      5L -> Seq(1, 2, 3, 4, 5, 6, 7, 0),
+      6L -> Seq(3, 3, 3, 3, 3, 3, 3, 3)))
+    val q = plantedFromCodes(Map(1L -> Seq(0, 1, 2, 3, 4, 5, 6, 7)))
+    val assigned = SimilarityOps.ivfAssign(corpus, ivfCb).select("vec_id", "cell")
+    val encoded = SimilarityOps.pqEncode(corpus, pqCb)
+    // nProbe = nCells: probing excludes nothing, so ADC alone ranks — the
+    // identically-coded twin must win (the pqAdcTopK contract, on the
+    // exact nano grid)
+    val top = SimilarityOps.ivfPqTopK(encoded, assigned, q, ivfCb, pqCb,
+        topK = 1, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(top === Seq((1L, 2L)), "the exact-code twin must rank first")
+    // structural: with nProbe = 1, every returned neighbor lives in the
+    // query's single probed cell
+    val cells = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = SimilarityOps.ivfAssign(q, ivfCb).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap // (vec_id, embedding, cell)
+    val probed1 = SimilarityOps.ivfPqTopK(encoded, assigned, q, ivfCb, pqCb,
+        topK = 5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(probed1.nonEmpty)
+    probed1.foreach { case (qid, nn) =>
+      assert(cells(nn) === qCell(qid),
+        s"nn $nn (cell ${cells(nn)}) outside q$qid's probed cell ${qCell(qid)}")
+    }
+  }
+
   /** Mean squared reconstruction error of a codebook over the corpus —
     * the quantity PQ training minimizes (recall@k on this corpus is too
     * noisy to gate training on: neighbors are near-orthogonal, so tiny
