@@ -661,16 +661,25 @@ object Multimodal {
     require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
     val spark = df.sparkSession
     import spark.implicits._
-    Par.ensure(df.select(idCol.cast("long").as("doc_id"))).as[Long].map { docId =>
-      val group = docId / groupSize
-      val j = (docId % groupSize).toInt
-      val samples = Array.tabulate(61 * 64) { i =>
-        if (i / 64 < j) 0
-        else (graft.functions.Hashing.hash60Scalar(s"aud:$group:$i") % 65536L
-          - 32768L).toInt
-      }
-      (docId, MediaDecoder.toWav16(samples))
-    }.toDF("doc_id", "payload")
+    // the 3904 md5-derived samples depend on the GROUP only (variants
+    // merely zero a prefix), so render each group's base waveform once
+    // and emit the variants from it — 4× fewer md5s, bit-identical
+    // payloads (the md5 stream was the dominant fixture cost at sf10:
+    // 1.95e9 digests). The groupByKey exchange moves 16 B/doc and
+    // spreads groups across cores, which is what Par.ensure did here.
+    df.select(idCol.cast("long").as("doc_id")).as[Long]
+      .groupByKey(_ / groupSize)
+      .flatMapGroups { (group: Long, ids: Iterator[Long]) =>
+        lazy val base = Array.tabulate(61 * 64)(i =>
+          (graft.functions.Hashing.hash60Scalar(s"aud:$group:$i") % 65536L
+            - 32768L).toInt)
+        ids.map { docId =>
+          val j = (docId % groupSize).toInt
+          val samples = Array.tabulate(61 * 64)(i =>
+            if (i / 64 < j) 0 else base(i))
+          (docId, MediaDecoder.toWav16(samples))
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** Deterministic 16×16 24-bpp BMP corpus derived from a document frame —
@@ -687,31 +696,41 @@ object Multimodal {
     require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
     val spark = df.sparkSession
     import spark.implicits._
-    // 256 md5s + a BMP encode per row: exactly the per-row-heavy shape
-    // Par.ensure exists for (an under-split parquet source would render
-    // the whole corpus on one core)
-    Par.ensure(df.select(idCol.cast("long").as("doc_id"))).as[Long].map { docId =>
-      val group = docId / groupSize
-      val j = (docId % groupSize).toInt
-      val img = new java.awt.image.BufferedImage(16, 16,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 16) {
-        var x = 0
-        while (x < 16) {
-          val h = graft.functions.Hashing.hash60Scalar(s"img:$group:$x:$y")
-          var b = (h % 256).toInt
-          var g = ((h / 256) % 256).toInt
-          var r = ((h / 65536) % 256).toInt
-          // cell (x/2, y/2) in row-major aHash order; invert cells < j
-          if ((y / 2) * 8 + (x / 2) < j) { b = 255 - b; g = 255 - g; r = 255 - r }
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
-          x += 1
+    // the 256 md5-derived pixels depend on the GROUP only (variants
+    // invert cells of the same base image), so hash each group's pixels
+    // once and emit the variants from them — 4× fewer md5s, bit-identical
+    // payloads (same move as demoWavCorpus). The groupByKey exchange
+    // spreads groups across cores, which is what Par.ensure did here.
+    df.select(idCol.cast("long").as("doc_id")).as[Long]
+      .groupByKey(_ / groupSize)
+      .flatMapGroups { (group: Long, ids: Iterator[Long]) =>
+        lazy val basePx: Array[Long] = Array.tabulate(256) { p =>
+          graft.functions.Hashing.hash60Scalar(s"img:$group:${p % 16}:${p / 16}")
         }
-        y += 1
-      }
-      (docId, MediaDecoder.toBmp24(img))
-    }.toDF("doc_id", "payload")
+        ids.map { docId =>
+          val j = (docId % groupSize).toInt
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val h = basePx(y * 16 + x)
+              var b = (h % 256).toInt
+              var g = ((h / 256) % 256).toInt
+              var r = ((h / 65536) % 256).toInt
+              // cell (x/2, y/2) in row-major aHash order; invert cells < j
+              if ((y / 2) * 8 + (x / 2) < j) {
+                b = 255 - b; g = 255 - g; r = 255 - r
+              }
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          (docId, MediaDecoder.toBmp24(img))
+        }
+      }.toDF("doc_id", "payload")
   }
 
   /** Frame sampling over "video" payloads: every `stride`-th frame of a
