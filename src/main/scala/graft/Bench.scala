@@ -128,6 +128,14 @@ object Bench {
         System.err.println(s"[bench] warm-up $k failed: ${e.getMessage}")
       }
     }
+    // the media corpora the m03/m05/m06 overrides read materialize once
+    // per testdata dir — build them here so a cold cache is paid OUTSIDE
+    // the timed region (guarded: a failed build leaves those three keys
+    // to fail individually, not the run)
+    try graft.sources.MediaFixtures.ensureAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] media fixture build failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
     def runOnce(): Seq[(String, Double, Boolean)] =
       headline.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -657,27 +657,56 @@ object Multimodal {
     * bits, so groups are planted near-dup families. 61 frames of 64
     * samples; genuine RIFF bytes round-trip through [[MediaDecoder]]. */
   def demoWavCorpus(df: DataFrame, idCol: org.apache.spark.sql.Column,
-                    groupSize: Int = 4): DataFrame = {
-    require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
-    val spark = df.sparkSession
-    import spark.implicits._
+                    groupSize: Int = 4): DataFrame =
     // the 3904 md5-derived samples depend on the GROUP only (variants
     // merely zero a prefix), so render each group's base waveform once
     // and emit the variants from it — 4× fewer md5s, bit-identical
     // payloads (the md5 stream was the dominant fixture cost at sf10:
-    // 1.95e9 digests). The groupByKey exchange moves 16 B/doc and
-    // spreads groups across cores, which is what Par.ensure did here.
-    df.select(idCol.cast("long").as("doc_id")).as[Long]
-      .groupByKey(_ / groupSize)
-      .flatMapGroups { (group: Long, ids: Iterator[Long]) =>
-        lazy val base = Array.tabulate(61 * 64)(i =>
-          (graft.functions.Hashing.hash60Scalar(s"aud:$group:$i") % 65536L
-            - 32768L).toInt)
-        ids.map { docId =>
-          val j = (docId % groupSize).toInt
-          val samples = Array.tabulate(61 * 64)(i =>
-            if (i / 64 < j) 0 else base(i))
-          (docId, MediaDecoder.toWav16(samples))
+    // 1.95e9 digests).
+    renderByGroup(df, idCol, groupSize) { group =>
+      val base = Array.tabulate(61 * 64)(i =>
+        (graft.functions.Hashing.hash60Scalar(s"aud:$group:$i") % 65536L
+          - 32768L).toInt)
+      docId => {
+        val j = (docId % groupSize).toInt
+        val samples = Array.tabulate(61 * 64)(i =>
+          if (i / 64 < j) 0 else base(i))
+        MediaDecoder.toWav16(samples)
+      }
+    }
+
+  /** Group-batched heavy render with a PINNED partition spread: ids
+    * exchange on the group key via an explicit user repartition to
+    * defaultParallelism — which AQE's coalescePartitions never shrinks,
+    * unlike the byte-small groupByKey exchange this replaces (8-16 B/doc
+    * of shuffle payload would coalesce to ONE partition at small scale,
+    * serializing the million-md5 render downstream — the Par.scala
+    * under-split trap, but past a MapGroups node Par.ensure's match set
+    * can't see). Rows sort by group within each partition so `renderBase`
+    * runs once per group run. */
+  private def renderByGroup(df: DataFrame,
+                            idCol: org.apache.spark.sql.Column,
+                            groupSize: Int)
+                           (renderBase: Long => Long => Array[Byte])
+      : DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    df.select(idCol.cast("long").as("doc_id"))
+      .select(col("doc_id"),
+        expr(s"cast(doc_id div $groupSize as long)").as("grp"))
+      .repartition(par, col("grp"))
+      .sortWithinPartitions("grp", "doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        var curGrp = Long.MinValue
+        var render: Long => Array[Byte] = null
+        rows.map { case (docId, grp) =>
+          if (render == null || grp != curGrp) {
+            curGrp = grp; render = renderBase(grp)
+          }
+          (docId, render(docId))
         }
       }.toDF("doc_id", "payload")
   }
@@ -692,46 +721,39 @@ object Multimodal {
     * The payloads are genuine BMP bytes: the gate round-trips them through
     * [[MediaDecoder]]'s byte-level decode, which is the point. */
   def demoBmpCorpus(df: DataFrame, idCol: org.apache.spark.sql.Column,
-                    groupSize: Int = 4): DataFrame = {
-    require(groupSize >= 1, s"groupSize must be >= 1: $groupSize")
-    val spark = df.sparkSession
-    import spark.implicits._
+                    groupSize: Int = 4): DataFrame =
     // the 256 md5-derived pixels depend on the GROUP only (variants
     // invert cells of the same base image), so hash each group's pixels
     // once and emit the variants from them — 4× fewer md5s, bit-identical
-    // payloads (same move as demoWavCorpus). The groupByKey exchange
-    // spreads groups across cores, which is what Par.ensure did here.
-    df.select(idCol.cast("long").as("doc_id")).as[Long]
-      .groupByKey(_ / groupSize)
-      .flatMapGroups { (group: Long, ids: Iterator[Long]) =>
-        lazy val basePx: Array[Long] = Array.tabulate(256) { p =>
-          graft.functions.Hashing.hash60Scalar(s"img:$group:${p % 16}:${p / 16}")
-        }
-        ids.map { docId =>
-          val j = (docId % groupSize).toInt
-          val img = new java.awt.image.BufferedImage(16, 16,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 16) {
-            var x = 0
-            while (x < 16) {
-              val h = basePx(y * 16 + x)
-              var b = (h % 256).toInt
-              var g = ((h / 256) % 256).toInt
-              var r = ((h / 65536) % 256).toInt
-              // cell (x/2, y/2) in row-major aHash order; invert cells < j
-              if ((y / 2) * 8 + (x / 2) < j) {
-                b = 255 - b; g = 255 - g; r = 255 - r
-              }
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              x += 1
+    // payloads (same move as demoWavCorpus).
+    renderByGroup(df, idCol, groupSize) { group =>
+      val basePx: Array[Long] = Array.tabulate(256) { p =>
+        graft.functions.Hashing.hash60Scalar(s"img:$group:${p % 16}:${p / 16}")
+      }
+      docId => {
+        val j = (docId % groupSize).toInt
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val h = basePx(y * 16 + x)
+            var b = (h % 256).toInt
+            var g = ((h / 256) % 256).toInt
+            var r = ((h / 65536) % 256).toInt
+            // cell (x/2, y/2) in row-major aHash order; invert cells < j
+            if ((y / 2) * 8 + (x / 2) < j) {
+              b = 255 - b; g = 255 - g; r = 255 - r
             }
-            y += 1
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
           }
-          (docId, MediaDecoder.toBmp24(img))
+          y += 1
         }
-      }.toDF("doc_id", "payload")
-  }
+        MediaDecoder.toBmp24(img)
+      }
+    }
 
   /** Frame sampling over "video" payloads: every `stride`-th frame of a
     * binary payload becomes its own row (frame_no, byte offset, fixed-size

@@ -482,4 +482,52 @@ class EtlSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(bmpHash) >= 16 &&
       java.lang.Long.bitCount(bmpHash) <= 44)
   }
+
+  test("demo corpus render spread is PINNED at defaultParallelism " +
+      "(AQE cannot coalesce the byte-small group exchange)") {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val docs = (0L until 64L).toDF("doc_id")
+    // the render's input exchange is a user repartition — partition count
+    // must equal defaultParallelism regardless of how small the shuffle
+    // payload is (the Par.scala under-split trap, closed for MapGroups-
+    // shaped renders by renderByGroup's explicit repartition)
+    assert(Multimodal.demoBmpCorpus(docs, col("doc_id"))
+      .rdd.getNumPartitions === par)
+    assert(Multimodal.demoWavCorpus(docs, col("doc_id"))
+      .rdd.getNumPartitions === par)
+  }
+
+  test("MediaFixtures: cached corpora are byte-identical to the inline " +
+      "render and rebuild only when absent") {
+    import spark.implicits._
+    import graft.sources.MediaFixtures
+    val tmp = java.nio.file.Files.createTempDirectory("media_cache_spec")
+      .toString
+    sys.props("spark.graft.mediaCache") = tmp
+    try {
+      val dir = "/root/testdata/sf0.001"
+      def key(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Byte]] =
+        df.collect().map(r =>
+          r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // first call builds the cache; payloads match the inline render
+      assert(key(MediaFixtures.bmpCorpus(spark, dir)) ===
+        key(Multimodal.demoBmpCorpus(docs, col("doc_id"))))
+      assert(key(MediaFixtures.wavCorpus(spark, dir)) ===
+        key(Multimodal.demoWavCorpus(docs, col("doc_id"))))
+      // the cache is real parquet with a _SUCCESS marker, and a second
+      // call serves FROM it (tombstone the marker's mtime to prove no
+      // rewrite happens)
+      val marker = new java.io.File(
+        MediaFixtures.cachePath(dir, "bmp", 4), "_SUCCESS")
+      assert(marker.isFile)
+      val stamp = 1234567890000L
+      assert(marker.setLastModified(stamp))
+      MediaFixtures.bmpCorpus(spark, dir)
+      assert(marker.lastModified === stamp, "cache was rebuilt on a hit")
+    } finally {
+      sys.props.remove("spark.graft.mediaCache")
+    }
+  }
 }
