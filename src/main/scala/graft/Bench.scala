@@ -41,20 +41,70 @@ object Bench {
     """"trials":(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(1)
 
+  private[graft] def recordCalib(txt: String): Option[Double] =
+    """"calib":([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+
+  private[graft] def recordTotal(txt: String): Option[Double] =
+    """"value":([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+
+  /** Machine-load marker: one fixed single-threaded CPU loop (1M md5-based
+    * hash60s), timed. The workload is identical every run, so the ratio of
+    * two records' calib values is the machines' relative speed that day —
+    * the r11 lesson, where a loaded VM inflated every key of a same-code
+    * run by a uniform 1.29x and the committed record misread as a +15%
+    * regression. Stamped into every record as "calib". */
+  private[graft] def calibrate(): Double = {
+    def pass(n: Int): Long = {
+      var i = 0; var acc = 0L
+      while (i < n) {
+        acc ^= graft.functions.Hashing.hash60Scalar("calib:" + i); i += 1
+      }
+      acc
+    }
+    val warm = pass(100000) // JIT warm-up, untimed
+    val t0 = System.nanoTime()
+    val acc = pass(1000000)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    if ((warm ^ acc) == 42L) System.err.println("") // defeat DCE
+    elapsed
+  }
+
+  /** True when a candidate record's slowdown vs the existing same-sf
+    * record is explained by machine load: the calibration loop itself ran
+    * >= 20% slower AND the total got worse. Such a run must not clobber
+    * the quiet-machine comparison record (it lands in bench_single.json)
+    * — a slowdown on a machine whose calib is comparable IS a real
+    * regression and takes the record as usual. Records predating the
+    * calib field never demote (no basis for comparison). */
+  private[graft] def loadInflated(existing: String, total: Double,
+                                  calib: Double): Boolean =
+    (recordCalib(existing), recordTotal(existing)) match {
+      case (Some(c0), Some(t0)) => calib > 1.2 * c0 && total > t0
+      case _ => false
+    }
+
   /** Which file a full-registry run's record lands in, given the current
-    * content of bench_latest.json (None = absent). The three rules, in
-    * order (BenchRecordSpec pins them):
+    * content of bench_latest.json (None = absent). The rules, in order
+    * (BenchRecordSpec pins them):
     *  1. same-sf record: bench_latest.json iff this run has at least as
     *     many trials (the r9 overwrite hazard — a single-trial run must
-    *     not clobber a 3-trial record → bench_single.json);
+    *     not clobber a 3-trial record → bench_single.json) AND the run is
+    *     not load-inflated vs the existing record ([[loadInflated]] — the
+    *     r11 hazard, a slow-VM day overwriting a quiet-machine number);
     *  2. different-sf record, but THIS run is at the canonical default sf:
     *     reclaim bench_latest.json (a stale non-default record must not
     *     exile the canonical sf to a side file forever — the r11 ADVICE);
+    *     the caller preserves the displaced record in its per-sf side
+    *     file first;
     *  3. otherwise: the per-sf side file. */
   private[graft] def recordTarget(existing: Option[String], sfDir: String,
-                                  trials: Int): String =
+                                  trials: Int, total: Double = 0.0,
+                                  calib: Double = 0.0): String =
     if (existing.forall(recordSf(_).contains(sfDir))) {
-      if (existing.forall(recordTrials(_) <= trials)) "bench_latest.json"
+      if (existing.forall(t => recordTrials(t) <= trials &&
+          !loadInflated(t, total, calib))) "bench_latest.json"
       else "bench_single.json"
     } else if (sfDir == DefaultSfDir) "bench_latest.json"
     else sfRecordFile(sfDir)
@@ -137,6 +187,8 @@ object Bench {
       System.err.println(s"[bench] media fixture build failed: ${e.getMessage}")
     }
     spark.catalog.clearCache()
+    // load marker, AFTER warm-up (stable JIT) and before the timed trials
+    val calib = calibrate()
     def runOnce(): Seq[(String, Double, Boolean)] =
       headline.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -246,11 +298,14 @@ object Bench {
       """"d03_minhash_lsh":"eager persist materialization since r05 (lazy persist raced across sibling stages, computing the shared lineage 2-3x); a row-wise signature plan was A/B-profiled and rejected (slower than the aggregate, see SCALING)",""" +
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
-      """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size"}"""
+      """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size",""" +
+      """"m03_image_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)",""" +
+      """"m05_image_resize":"materialized-corpus input since r12 (r10-r11: inline fixture render inside the timed region)",""" +
+      """"m06_audio_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)"}"""
     val reprobedJson = reprobed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val excludedJson = excluded.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"reprobed":$reprobedJson,"excluded":$excludedJson,"plan_notes":$planNotes,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"calib":${num(calib)},"reprobed":$reprobedJson,"excluded":$excludedJson,"plan_notes":$planNotes,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the last 2000 chars of stdout, which truncates
     // the per-query map; persist the complete line so per-query numbers
@@ -265,7 +320,27 @@ object Bench {
     // already consults, so scale sweeps keep their reprobe protection.
     if (prefixes.isEmpty) {
       val existing = readRecord("bench_latest.json")
-      val target = recordTarget(existing, sfDir, trials)
+      var target = recordTarget(existing, sfDir, trials, total, calib)
+      if (target == "bench_latest.json")
+        // reclaim path (rule 2): a displaced different-sf record moves to
+        // its per-sf side file instead of being silently lost — it may be
+        // the only full-registry record and reprobe prior for that sf
+        existing.filterNot(recordSf(_).contains(sfDir)).foreach { old =>
+          recordSf(old).foreach { oldSf =>
+            try java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(sfRecordFile(oldSf)), old)
+            catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] displaced-record preserve failed: ${e.getMessage}")
+            }
+          }
+        }
+      else if (target == sfRecordFile(sfDir))
+        // per-sf side files get the same load guard as bench_latest: a
+        // slow-day sweep must not clobber a quiet-machine sweep record
+        readRecord(target).filter(t => recordSf(t).contains(sfDir) &&
+            loadInflated(t, total, calib))
+          .foreach { _ => target = "bench_single.json" }
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), json + "\n")
       catch { case e: Throwable =>

@@ -18,9 +18,15 @@ object Hashing {
   /** 60-bit positive hash: first 15 hex digits of md5 as a BIGINT.
     * DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT).
     * Runs through the native [[Hash60]] expression (registered by
-    * `GraftExtensions`): same digest, no hex-string round-trip —
-    * [[hash60Composed]] is the built-in-only twin it must bit-match. */
-  def hash60(c: Column): Column = call_function("graft_hash60", c)
+    * `GraftExtensions`) when the active session has it; on a vanilla
+    * session it falls back to [[hash60Composed]] at Column-construction
+    * time ([[Native.has]]), so every hash60 consumer — including the
+    * no-extensions fallbacks of the native scans, which were the r11
+    * gap — analyzes on any session. Same digest either way
+    * (Hash60Spec pins bit equality). */
+  def hash60(c: Column): Column =
+    if (Native.has("graft_hash60")) call_function("graft_hash60", c)
+    else hash60Composed(c)
 
   /** The built-in composed form of [[hash60]] — kept as the portable
     * semantic definition (Hash60Spec asserts bit equality). */

@@ -671,8 +671,9 @@ object DedupOps {
     * billion-item uniform corpora the 15-bit wall eventually bites and
     * the default flips back to multi-index; the flag is the caller's
     * statement about fingerprint distribution and corpus scale. */
-  private def chunkBuckets(fp: DataFrame, idName: String, hName: String,
-                           maxHamming: Int, multiIndex: Boolean): DataFrame = {
+  private[graft] def chunkBuckets(fp: DataFrame, idName: String,
+                                  hName: String, maxHamming: Int,
+                                  multiIndex: Boolean): DataFrame = {
     val (nChunks, width) = if (multiIndex) (6, 10) else (4, 15)
     val mask = (1L << width) - 1
     val c =

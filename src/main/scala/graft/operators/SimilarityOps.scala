@@ -23,8 +23,15 @@ import graft.functions.Hashing
 object SimilarityOps {
 
   /** dot(a, b) over float/double arrays, accumulated in double
-    * left-to-right — the native codegen'd path (see [[dotHof]]). */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+    * left-to-right — the native codegen'd path when the active session
+    * registers it, [[dotHof]] on a vanilla session (bit-identical,
+    * DotFoldSpec), chosen at Column-construction time ([[Native.has]]) so
+    * every dot consumer — including [[embeddingSimhashHof]], which was
+    * the r11 vanilla-session gap — analyzes on any session. */
+  def dot(a: Column, b: Column): Column =
+    if (graft.functions.Native.has("graft_dot"))
+      call_function("graft_dot", a, b)
+    else dotHof(a, b)
 
   /** The engine-portable HOF twin of [[dot]]: same element order, same
     * IEEE ops, bit-identical output (asserted in DotFoldSpec). Kept as the

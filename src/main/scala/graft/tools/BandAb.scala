@@ -36,17 +36,24 @@ object BandAb {
       .localCheckpoint(true)
     timed("render_decode_ahash") { fp.count() }
 
-    // stage 2: the band join alone, pre-distinct candidate volume
+    // stage 2: the band join alone — BOTH the pre-distinct candidate
+    // volume (what the n²·bands/2^bits analysis predicts: Σ over
+    // (chunk, ck) buckets of n·(n−1)/2, exactly the a<b rows the bucket
+    // self-join emits before distinct/hamming filtering) and the verified
+    // pair count. multiIndex=false throughout: that is the scheme the m03
+    // image miner actually runs (imageNearDupPairs passes false — uniform
+    // md5-derived fingerprints measured 2-4x slower under multi-index).
     var nCand = 0L
+    var nVerified = 0L
     timed("band_join_count") {
-      nCand = DedupOps.simhashPairs(fp, 3)
-        .queryExecution.analyzed match { case _ =>
-          // count the verified pair set the normal way; the pre-distinct
-          // volume is reported by the diagnostic below
-          DedupOps.simhashPairs(fp, 3).count()
-        }
+      nCand = DedupOps.chunkBuckets(fp, "doc_id", "h", 3,
+          multiIndex = false)
+        .groupBy(col("chunk"), col("ck")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+        .collect()(0).getLong(0)
+      nVerified = DedupOps.simhashPairs(fp, 3, multiIndex = false).count()
     }
-    println(s"""{"verified_pairs":$nCand}""")
+    println(s"""{"pre_distinct_candidates":$nCand,"verified_pairs":$nVerified}""")
 
     // stage 3: end-to-end pairs on the UNcheckpointed fingerprints —
     // exactly what m03 runs (both join sides recompute the lineage)

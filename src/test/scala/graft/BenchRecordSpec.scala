@@ -47,4 +47,41 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.recordTrials("""{"metric":"total","sf":"x"}""") === 1)
     assert(Bench.recordSf("""{"metric":"total"}""") === None)
   }
+
+  private def recCal(sf: String, trials: Int, total: Double,
+                     calib: Double): Some[String] =
+    Some(s"""{"metric":"total","value":$total,"trials":$trials,""" +
+      s""""calib":$calib,"sf":"$sf"}""")
+
+  test("r12 load guard: a load-inflated same-sf run diverts to " +
+      "bench_single instead of clobbering the quiet-machine record") {
+    val quiet = recCal(Default, 3, 150.0, 1.0)
+    // slow machine (calib 1.4x), slower total: demoted
+    assert(Bench.recordTarget(quiet, Default, 3, total = 190.0,
+      calib = 1.4) === "bench_single.json")
+    // comparable machine, slower total: REAL regression, takes the record
+    assert(Bench.recordTarget(quiet, Default, 3, total = 190.0,
+      calib = 1.05) === "bench_latest.json")
+    // slow machine but total IMPROVED anyway: takes the record
+    assert(Bench.recordTarget(quiet, Default, 3, total = 140.0,
+      calib = 1.4) === "bench_latest.json")
+    // records predating the calib field never demote
+    assert(Bench.recordTarget(rec(Default, 3), Default, 3, total = 190.0,
+      calib = 9.9) === "bench_latest.json")
+  }
+
+  test("calib/total parsing") {
+    val txt = recCal(Default, 3, 153.4, 1.23).get
+    assert(Bench.recordCalib(txt) === Some(1.23))
+    assert(Bench.recordTotal(txt) === Some(153.4))
+    assert(Bench.recordCalib(rec(Default, 3).get) === None)
+    assert(Bench.loadInflated(txt, total = 200.0, calib = 1.6))
+    assert(!Bench.loadInflated(txt, total = 200.0, calib = 1.3))
+    assert(!Bench.loadInflated(txt, total = 150.0, calib = 1.6))
+  }
+
+  test("calibrate returns a sane positive duration") {
+    val c = Bench.calibrate()
+    assert(c > 0.0 && c < 60.0, s"calibration out of range: $c")
+  }
 }
