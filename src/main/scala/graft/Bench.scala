@@ -299,6 +299,7 @@ object Bench {
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
       """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size",""" +
+      """"d17_containment":"density-adaptive shingle width (containmentPairsAuto) since r12 - the oracle key stays fixed k=3, which is quadratic on the saturated fixture and was excluded from scale sweeps r09-r11",""" +
       """"m03_image_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)",""" +
       """"m05_image_resize":"materialized-corpus input since r12 (r10-r11: inline fixture render inside the timed region)",""" +
       """"m06_audio_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)"}"""

@@ -1062,6 +1062,18 @@ object DQueries {
         .select(col("id").as("doc_id"), col("stratum").as("lang"),
           col("score").as("quality"))
     }),
+    "d17_containment" -> ((s, dir) => {
+      // The corpus-wide containment plan we'd ship at 100 TB: the
+      // density-adaptive width keeps the inverted-index enumeration
+      // (Σdf²/2) linear on vocabulary-saturated corpora — the fixed k=3
+      // of the oracle key is quadratic on this fixture's 31-word vocab
+      // (the standing SCALING analysis; the gate sf is small enough that
+      // the oracle key stays green at k=3). Same threshold and maxDf cap
+      // as the gate key.
+      DedupOps.containmentPairsAuto(documents(s, dir), col("doc_id"),
+          col("text"), thresholdPpm = 600000L, maxDf = 500L)
+        .orderBy("doc_a", "doc_b")
+    }),
     "d20_dedup_recall_eval" -> ((s, dir) => {
       // The audit budget is ABSOLUTE, not proportional: ground truth is
       // O(sample²) by design, so a fixed RATE grows the brute side

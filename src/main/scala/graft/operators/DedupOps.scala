@@ -1041,6 +1041,57 @@ object DedupOps {
                        maxDf: Long = Long.MaxValue): DataFrame =
     containmentFromKeys(docKeySet(df, idCol, textCol, k), thresholdPpm, maxDf)
 
+  /** Density-adaptive shingle width — production knob #1 of the
+    * containment-at-scale analysis (SCALING "d17 density"), as code
+    * instead of advice: the exact inverted-index enumeration is
+    * Σdf²/2-bound, and df is totalShingles/keySpace once the k-shingle
+    * space saturates, so the width must grow until the key space
+    * out-sizes the corpus. Picks the smallest k in [kMin, kMax] whose
+    * estimated key space Vᵏ holds the corpus's shingle stream at
+    * ≤ `targetMeanDf` occurrences per key:
+    * k = ceil(log(total/targetMeanDf) / log(V)).
+    *
+    * One linear probe pass: token count + HLL vocabulary estimate
+    * (approx_count_distinct merges by per-register max, so the estimate —
+    * and therefore the chosen k — is order- and partitioning-independent
+    * for the same corpus). On a fixed-vocab fixture this climbs (the
+    * 31-word corpus picks k=4 at sf0.1, k=5 at sf10); on a real Zipf
+    * corpus vocabulary grows with the data and k stays near kMin. The
+    * scalar probe action is bounded driver work (two longs), same
+    * discipline as coOccurrence's basket count. */
+  def autoShingleWidth(df: DataFrame, textCol: Column,
+                       targetMeanDf: Double = 4.0,
+                       kMin: Int = 3, kMax: Int = 8): Int = {
+    require(targetMeanDf > 0, s"targetMeanDf must be > 0: $targetMeanDf")
+    require(kMin >= 1 && kMax >= kMin, s"bad width range [$kMin, $kMax]")
+    val r = Par.ensure(df)
+      .select(explode(TextOps.tokens(textCol)).as("__t"))
+      .agg(count(lit(1)).as("__total"),
+        approx_count_distinct(col("__t")).as("__vocab"))
+      .head()
+    val total = r.getLong(0).toDouble
+    val vocab = r.getLong(1).toDouble
+    if (total <= 0.0 || vocab <= 1.0) kMin
+    else {
+      val k = math.ceil(math.log(math.max(total / targetMeanDf, 1.0))
+        / math.log(vocab)).toInt
+      math.min(kMax, math.max(kMin, k))
+    }
+  }
+
+  /** [[containmentPairs]] under the density-adaptive width — the form to
+    * run corpus-wide at scale (the d17 bench plan since r12): the probe
+    * sizes k to the corpus so the pair enumeration stays linear instead
+    * of quadratic on vocabulary-saturated data. The fixed-k form remains
+    * the primitive (and the oracle-gated key: a chosen-k result equals
+    * `containmentPairs(k)` verbatim, pinned in DedupSpec). */
+  def containmentPairsAuto(df: DataFrame, idCol: Column, textCol: Column,
+                           thresholdPpm: Long,
+                           maxDf: Long = Long.MaxValue,
+                           targetMeanDf: Double = 4.0): DataFrame =
+    containmentPairs(df, idCol, textCol,
+      autoShingleWidth(df, textCol, targetMeanDf), thresholdPpm, maxDf)
+
   /** Distinct (key, doc_id) partial of [[containmentPairs]] — the same
     * set-union streaming state as [[sourceKeySet]] (df-pruning is NOT
     * additive — a key's document frequency grows as the corpus does, so

@@ -12,14 +12,22 @@ import org.apache.spark.sql.functions._
   * not a plan defect. At k=5 the space is 31⁵ ≈ 28.6M, dfs stay low, and
   * the same plan should scale linearly. Also measures the maxDf knob.
   *
-  * Usage: runMain graft.tools.ContainmentAb <sfDir> <k> [maxDf] */
+  * Usage: runMain graft.tools.ContainmentAb <sfDir> <k|auto> [maxDf]
+  * (`auto` = the density-adaptive width containmentPairsAuto picks —
+  * prints the chosen k, then profiles at it). */
 object ContainmentAb {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val k = args(1).toInt
     val maxDf = if (args.length > 2) args(2).toLong else Long.MaxValue
     val spark = graft.GraftSession.build("graft-containment-ab")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val k =
+      if (args(1) == "auto") {
+        val auto = graft.operators.DedupOps.autoShingleWidth(docs,
+          col("text"))
+        println(s"""{"metric":"auto_shingle_width","sf":"$sfDir","k":$auto}""")
+        auto
+      } else args(1).toInt
     // df distribution diagnostic (one cheap agg)
     val keys = graft.operators.DedupOps.docKeySet(docs, col("doc_id"),
       col("text"), k)

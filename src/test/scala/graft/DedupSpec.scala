@@ -493,6 +493,50 @@ class DedupSpec extends SparkSpec {
     assert(pruned.isEmpty)
   }
 
+  test("autoShingleWidth: saturated vocab widens k, rich vocab stays at " +
+      "kMin, bounds clamp") {
+    // fixed 4-word vocab, 64 docs x 8 tokens = 512 tokens: the k that
+    // holds mean df <= 4 must satisfy 4^k >= 512/4 = 128 -> k = 4
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val dense = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(4))).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(DedupOps.autoShingleWidth(dense, col("text")) === 4)
+    // rich vocabulary (every token unique): key space out-sizes the
+    // corpus at the minimum width already
+    val rich = (0 until 64).map(i =>
+      (i.toLong, (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(DedupOps.autoShingleWidth(rich, col("text")) === 3)
+    // kMax clamps a degenerate 1-effective-vocab corpus... and a binary
+    // vocab needs log2(512/4) = 7 exactly
+    val binary = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(2))).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(DedupOps.autoShingleWidth(binary, col("text")) === 7)
+    assert(DedupOps.autoShingleWidth(binary, col("text"), kMax = 5) === 5)
+    // empty corpus: kMin, no crash
+    assert(DedupOps.autoShingleWidth(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), col("text")) === 3)
+  }
+
+  test("containmentPairsAuto equals containmentPairs at the chosen width") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(4))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val k = DedupOps.autoShingleWidth(corpus, col("text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(key(DedupOps.containmentPairsAuto(corpus, col("doc_id"),
+        col("text"), thresholdPpm = 500000L))
+      === key(DedupOps.containmentPairs(corpus, col("doc_id"), col("text"),
+        k, thresholdPpm = 500000L)))
+  }
+
   test("tokenFrequencySpectrum: hapax row, cumulative coverage reaches 1e6") {
     val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     // f(a)=3, f(b)=2, f(c)=1; total mass 6
