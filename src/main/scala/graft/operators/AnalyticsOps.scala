@@ -620,11 +620,22 @@ object AnalyticsOps {
     // partitioning) because four consumers read it: a lazy plan would
     // recompute the scan+dedupe per consumer (measured: 23 exchanges vs
     // 10, see OlapPlanSpec).
+    // SERIALIZED pin, not the deserialized default: this is the one
+    // checkpoint in the engine whose block is both huge (one row per
+    // (basket, item) — 60M at sf10) and co-resident with the job's
+    // biggest hash aggregate (the pair-count partials downstream). Row-
+    // object storage of that block starved the unified region at the
+    // default 8g driver and the partial agg died with
+    // AGGREGATE_OUT_OF_MEMORY; serialized blocks pack ~5x tighter, are
+    // evictable to disk, and put no object pressure on GC — measured at
+    // sf10: the 8g run completes (65 s) instead of OOMing, and the 48g
+    // time is unchanged. Partitioning is preserved like any checkpoint.
     val items = df.select(basketCol.as("basket"), itemCol.as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .repartition(col("basket"))
       .dropDuplicates("basket", "item")
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keptBaskets = items.groupBy(col("basket"))
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize)

@@ -602,6 +602,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === c && a.nonEmpty)
   }
 
+  test("coOccurrence pins its items checkpoint SERIALIZED (the b55 8g " +
+      "memory-envelope fix)") {
+    // the deserialized default starved the pair-count partial aggregate
+    // of execution memory at sf10 under the default 8g driver
+    // (AGGREGATE_OUT_OF_MEMORY); the serialized pin is load-bearing, so
+    // a storage-level regression must fail loudly, not resurface as an
+    // OOM two decades out
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val rows = (1L to 20L).flatMap(b => Seq((b, "x"), (b, s"i${b % 3}")))
+    AnalyticsOps.coOccurrence(rows.toDF("b", "i"), col("b"), col("i"))
+      .collect()
+    val fresh = sc.getPersistentRDDs.filterKeys(!before.contains(_)).values
+    assert(fresh.nonEmpty, "coOccurrence left no checkpoint block")
+    assert(fresh.forall { r =>
+      val lvl = r.getStorageLevel
+      lvl.useDisk && !lvl.deserialized
+    }, s"items checkpoint not MEMORY_AND_DISK_SER: " +
+      fresh.map(_.getStorageLevel).mkString(","))
+    fresh.foreach(_.unpersist(false))
+  }
+
   test("windowedTopK: per-window ranks, count ties break by key") {
     val rows = Seq(
       // window [0, 60): a x3, b x2, c x2, d x1 -> a, b, c (tie b<c)
