@@ -325,6 +325,26 @@ object DQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "s14_ivfpq_artifact" -> ((s, dir) => {
+      // The s13 search served FROM the persisted index artifact: build
+      // the (vec_id, sub, code, cell) table, WRITE it partitioned by
+      // cell plus both codebooks, READ it back, search the stored rows.
+      // Same oracle as s13 — the key gates that the artifact round-trip
+      // preserves the search bit-for-bit (and the cell layout means the
+      // probe scan prunes to probed partitions at rest).
+      val emb = embeddings(s, dir)
+      val ivfCb = SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      val path = sys.props("java.io.tmpdir") + "/graft_ivfpq_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      SimilarityOps.ivfPqIndexWrite(
+        SimilarityOps.ivfPqIndex(emb, ivfCb, pqCb), ivfCb, pqCb, path)
+      val (index, icb, pcb) = SimilarityOps.ivfPqIndexRead(s, path)
+      SimilarityOps.ivfPqTopKFromIndex(index,
+          emb.filter(col("vec_id") < 10), icb, pcb, topK = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     "s05_quantize" -> ((s, dir) => {
       // E32 through the gate: symmetric int8 quantization, exploded to
       // scalar rows. scale and q are single correctly-rounded IEEE ops on
@@ -1336,7 +1356,15 @@ object DQueries {
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** s14 serves the SAME search as s13 from the PERSISTED artifact
+    * (build → write partitioned-by-cell → read → search): input values
+    * are identical by the artifact's row-for-row union contract, so its
+    * oracle is s13's verbatim — what s14 gates is that the write/read/
+    * serve path preserves them bit-for-bit. */
+  lazy val oracle: Map[String, String] =
+    oracleBase + ("s14_ivfpq_artifact" -> oracleBase("s13_ivfpq_topk"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "s02_ann_lsh" -> lshOracle,
 
     // twin of kmeansFit(nCells=8, iters=2, init=ivfCodebook): two unrolled

@@ -918,7 +918,71 @@ object SimilarityOps {
     * (q_id, rank, nn_id, adc_nano). */
   def ivfPqTopK(encoded: DataFrame, assigned: DataFrame, queries: DataFrame,
                 ivfCb: DataFrame, pqCb: DataFrame, topK: Int, nProbe: Int,
-                m: Int = 8, dim: Int = 64): DataFrame = {
+                m: Int = 8, dim: Int = 64): DataFrame =
+    ivfPqTopKFromIndex(
+      assigned.select(col("vec_id"), col("cell")).join(encoded, "vec_id"),
+      queries, ivfCb, pqCb, topK, nProbe, m, dim)
+
+  /** The PERSISTED IVF-PQ index artifact — the d11/d19 artifact treatment
+    * for the production ANN index: ONE relational table
+    * (vec_id, sub, code, cell) holding every vector's cell assignment and
+    * its m 1-byte codes. Built once from the float corpus
+    * ([[ivfAssign]] + [[pqEncode]] under FIXED codebooks); the floats are
+    * never read again at search or at append time.
+    *
+    * Incrementality is structural, not approximate: assignment and
+    * encoding are PER-VECTOR functions of the (frozen) codebooks, so
+    * index(corpus ∪ shard) = index(corpus) ∪ index(shard) row-for-row —
+    * a daily embedding shard encodes ONLY ITSELF ([[ivfPqIndex]] over the
+    * shard) and appends; no rebuild, no re-read of the standing corpus
+    * (proven union-equal to a full rebuild, shard stream driven end to
+    * end, in StreamingSpec). Growing the codebooks, by contrast, IS a
+    * rebuild — the standard IVF contract.
+    *
+    * [[ivfPqIndexWrite]] lays the table out partitioned BY CELL: an
+    * nProbe search filters on the partition column, so at rest the scan
+    * touches only the probed cells' files (static/dynamic partition
+    * pruning does the inverted-list seek a native ANN engine hand-codes),
+    * and each file stores 1-byte codes — the 32× compression that makes
+    * a 100 TB float corpus searchable from a fraction of its bytes. */
+  def ivfPqIndex(corpus: DataFrame, ivfCb: DataFrame, pqCb: DataFrame,
+                 m: Int = 8, dim: Int = 64): DataFrame =
+    ivfAssign(corpus, ivfCb).select(col("vec_id"), col("cell"))
+      .join(pqEncode(corpus, pqCb, m, dim), "vec_id")
+      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+
+  /** Persist an [[ivfPqIndex]] (plus both codebooks — an index artifact
+    * that can't be searched without hunting down the codebooks that built
+    * it isn't an artifact) as first-class parquet tables under `path`.
+    * `append = true` is the shard path: new code rows land in their cell
+    * partitions, codebooks (frozen by contract) are written once. */
+  def ivfPqIndexWrite(index: DataFrame, ivfCb: DataFrame, pqCb: DataFrame,
+                      path: String, append: Boolean = false): Unit = {
+    index.write.mode(if (append) "append" else "overwrite")
+      .partitionBy("cell").parquet(s"$path/codes")
+    if (!append) {
+      ivfCb.write.mode("overwrite").parquet(s"$path/ivf_codebook")
+      pqCb.write.mode("overwrite").parquet(s"$path/pq_codebook")
+    }
+  }
+
+  /** Read back a persisted artifact: (codes, ivf codebook, pq codebook). */
+  def ivfPqIndexRead(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/ivf_codebook"),
+      spark.read.parquet(s"$path/pq_codebook"))
+
+  /** [[ivfPqTopK]] served FROM the stored index table — the scoring core
+    * both entry points share: probe cells against the IVF codebook,
+    * build the per-(sub, code) nano-grid ADC table, equi-join the probed
+    * cells' code rows, exact-long sum, rank. The cell equi-join is the
+    * index's partition column, so on a written artifact the scan reads
+    * only probed partitions. */
+  def ivfPqTopKFromIndex(index: DataFrame, queries: DataFrame,
+                         ivfCb: DataFrame, pqCb: DataFrame,
+                         topK: Int, nProbe: Int,
+                         m: Int = 8, dim: Int = 64): DataFrame = {
     val subDim = dim / m
     val qCells = queries.crossJoin(broadcast(ivfCb))
       .select(col("vec_id").as("q_id"), col("cell"),
@@ -936,11 +1000,10 @@ object SimilarityOps {
       .select(col("q_id"), col("sub"), col("code"),
         round(dot(col("__qv"), col("anchor")) * lit(1.0e9)).cast("long")
           .as("__qd"))
-    qCells
-      .join(assigned.select(col("vec_id"), col("cell")), "cell")
+    broadcast(qCells)
+      .join(index, "cell")
       .filter(col("q_id") =!= col("vec_id"))
-      .select("q_id", "vec_id")
-      .join(encoded, "vec_id")
+      .select("q_id", "vec_id", "sub", "code")
       .join(broadcast(qdots), Seq("q_id", "sub", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("__qd")).as("adc_nano"))

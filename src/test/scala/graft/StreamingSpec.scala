@@ -934,4 +934,66 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty && streamed === batchAll)
     } finally q.stop()
   }
+
+  test("IVF-PQ index artifact: shard-stream appends are union-equal to a " +
+      "full rebuild, and the served search matches") {
+    // the E134 drive: the artifact is built once from a base corpus and
+    // every arriving embedding shard encodes ONLY ITSELF (fixed codebooks)
+    // and appends its (vec_id, sub, code, cell) rows; after two streamed
+    // shards, the stored table must equal a from-scratch index of the
+    // full corpus row-for-row, and a search served FROM the artifact
+    // must equal the in-memory ivfPqTopK over everything.
+    import graft.operators.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val ivfCb = SimilarityOps.ivfCodebook(spark, nCells = 16, dim = 64)
+    val pqCb = SimilarityOps.pqCodebook(spark, m = 8, k = 16, dim = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq_artifact_spec").toString
+    // base corpus artifact: vec_id % 3 == 0
+    SimilarityOps.ivfPqIndexWrite(
+      SimilarityOps.ivfPqIndex(emb.filter($"vec_id" % 3 === 0), ivfCb, pqCb),
+      ivfCb, pqCb, path)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val shard = emb.join(batch, "vec_id")
+        SimilarityOps.ivfPqIndexWrite(
+          SimilarityOps.ivfPqIndex(shard, ivfCb, pqCb), ivfCb, pqCb,
+          path, append = true)
+      }.start()
+    try {
+      val ids = emb.select($"vec_id").as[Long].collect()
+      mem.addData(ids.filter(_ % 3 == 1).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(ids.filter(_ % 3 == 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (index, icb, pcb) = SimilarityOps.ivfPqIndexRead(spark, path)
+    // stored rows == full rebuild, row-for-row (the structural-union
+    // contract: per-vector encode under frozen codebooks)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "sub", "code", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+    val rebuilt = SimilarityOps.ivfPqIndex(emb, ivfCb, pqCb)
+    assert(rows(index) === rows(rebuilt))
+    // the at-rest layout is the inverted list: one partition dir per cell
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "codes table not partitioned by cell")
+    // served search == in-memory search over the full corpus
+    val queries = emb.filter($"vec_id" < 5)
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val served = SimilarityOps.ivfPqTopKFromIndex(index, queries, icb, pcb,
+      topK = 5, nProbe = 4)
+    val direct = SimilarityOps.ivfPqTopK(
+      SimilarityOps.pqEncode(emb, pqCb),
+      SimilarityOps.ivfAssign(emb, ivfCb).select("vec_id", "cell"),
+      queries, ivfCb, pqCb, topK = 5, nProbe = 4)
+    assert(topk(served) === topk(direct) && served.count() > 0)
+  }
 }
