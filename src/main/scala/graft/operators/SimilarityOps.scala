@@ -976,13 +976,23 @@ object SimilarityOps {
   /** [[ivfPqTopK]] served FROM the stored index table — the scoring core
     * both entry points share: probe cells against the IVF codebook,
     * build the per-(sub, code) nano-grid ADC table, equi-join the probed
-    * cells' code rows, exact-long sum, rank. The cell equi-join is the
-    * index's partition column, so on a written artifact the scan reads
-    * only probed partitions. */
+    * cells' code rows, exact-long sum, rank.
+    *
+    * With `pruneCells` (default on) the union of probed cells — a
+    * driver-side set bounded by nCells, i.e. codebook-sized, the
+    * coOccurrence-scalar discipline — is pushed as a STATIC `cell IN`
+    * filter on the index side. On a written artifact (partitioned by
+    * cell, [[ivfPqIndexWrite]]) that filter is a partition filter the
+    * parquet scan resolves at file-listing time, so the search reads
+    * ONLY the probed cells' files — the inverted-list seek, guaranteed
+    * in the plan rather than left to runtime DPP (SimilaritySpec asserts
+    * the partition count on an executed scan). Off switches to the pure
+    * join (streaming-friendly: no driver action at plan time). */
   def ivfPqTopKFromIndex(index: DataFrame, queries: DataFrame,
                          ivfCb: DataFrame, pqCb: DataFrame,
                          topK: Int, nProbe: Int,
-                         m: Int = 8, dim: Int = 64): DataFrame = {
+                         m: Int = 8, dim: Int = 64,
+                         pruneCells: Boolean = true): DataFrame = {
     val subDim = dim / m
     val qCells = queries.crossJoin(broadcast(ivfCb))
       .select(col("vec_id").as("q_id"), col("cell"),
@@ -991,6 +1001,12 @@ object SimilarityOps {
         Window.partitionBy("q_id").orderBy(col("acos").desc, col("cell").asc)))
       .filter(col("crank") <= nProbe)
       .select("q_id", "cell")
+    val prunedIndex =
+      if (pruneCells) {
+        val cells = qCells.select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted
+        index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      } else index
     val qdots = queries
       .select(col("vec_id").as("q_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
@@ -1001,7 +1017,7 @@ object SimilarityOps {
         round(dot(col("__qv"), col("anchor")) * lit(1.0e9)).cast("long")
           .as("__qd"))
     broadcast(qCells)
-      .join(index, "cell")
+      .join(prunedIndex, "cell")
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id", "sub", "code")
       .join(broadcast(qdots), Seq("q_id", "sub", "code"))

@@ -465,4 +465,32 @@ class SimilaritySpec extends SparkSpec {
     assert(row5.getAs[Long]("banded_pairs") >= banded)
     assert(row5.getAs[Long]("recall_ppm") >= row.getAs[Long]("recall_ppm"))
   }
+
+  test("artifact search prunes the scan to probed cell partitions " +
+      "(static partition filter, not runtime luck)") {
+    val ivfCb = SimilarityOps.ivfCodebook(spark, nCells = 16, dim = 64)
+    val pqCb = SimilarityOps.pqCodebook(spark, m = 8, k = 16, dim = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq_prune_spec").toString
+    SimilarityOps.ivfPqIndexWrite(
+      SimilarityOps.ivfPqIndex(emb, ivfCb, pqCb), ivfCb, pqCb, path)
+    val (index, icb, pcb) = SimilarityOps.ivfPqIndexRead(spark, path)
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    val served = SimilarityOps.ivfPqTopKFromIndex(index, oneQuery, icb, pcb,
+      topK = 5, nProbe = 2)
+    // the probed-cell set is pushed as a STATIC IN filter on the index's
+    // partition column: the codes scan must carry a PartitionFilters
+    // entry on cell — at rest that is file-listing-time pruning, the
+    // inverted-list seek
+    val planStr = served.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator
+      .filter(_.contains("PartitionFilters: [")).mkString("\n")
+    assert(scanLine.contains("cell"),
+      s"no cell partition filter on the codes scan:\n$planStr")
+    // and the pruned search returns the same rows as the unpruned join
+    val unpruned = SimilarityOps.ivfPqTopKFromIndex(index, oneQuery, icb,
+      pcb, topK = 5, nProbe = 2, pruneCells = false)
+    assert(served.collect().map(_.toString).toSeq ===
+      unpruned.collect().map(_.toString).toSeq)
+  }
 }
