@@ -325,6 +325,44 @@ object DQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "s16_ivfpq_rerank" -> ((s, dir) => {
+      // E136: the two-stage production search — ADC shortlist (top-20
+      // from stored codes, probed cells only) + exact cosine re-rank of
+      // just those rows. The float corpus is touched for 20 rows per
+      // query instead of scanned; the re-rank buys back the coarse
+      // quantizer's within-cell resolution limit (SimilaritySpec:
+      // 0.10 -> 0.775 recall on a planted clustered corpus). Both stages
+      // are engine-exact, so the composed search is oracle-hashed.
+      val emb = embeddings(s, dir)
+      val ivfCb = SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      SimilarityOps.ivfPqTopKReranked(
+          SimilarityOps.ivfPqIndex(emb, ivfCb, pqCb), emb,
+          emb.filter(col("vec_id") < 10), ivfCb, pqCb,
+          topK = 5, shortlistR = 20, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    "s15_ivfpq_eval" -> ((s, dir) => {
+      // E135: the s10 treatment for the PRODUCTION index — measured
+      // recall@5 / reciprocal rank of the served IVF-PQ search against
+      // brute exact-cosine truth. Both sides are engine-exact (nano-grid
+      // ADC, exact cosine ranking), so unlike most ANN evals the metric
+      // itself is oracle-hashed, not spec-asserted: a probe/encode/ADC
+      // regression moves a NUMBER the gate pins.
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val ivfCb = SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      SimilarityOps.annEvalMetrics(
+          SimilarityOps.ivfPqTopK(
+            SimilarityOps.pqEncode(emb, pqCb),
+            SimilarityOps.ivfAssign(emb, ivfCb).select("vec_id", "cell"),
+            q, ivfCb, pqCb, topK = 5, nProbe = 4),
+          SimilarityOps.bruteForceTopK(emb, q, k = 5))
+        .orderBy("q_id")
+    }),
+
     "s14_ivfpq_artifact" -> ((s, dir) => {
       // The s13 search served FROM the persisted index artifact: build
       // the (vec_id, sub, code, cell) table, WRITE it partitioned by
@@ -1364,6 +1402,66 @@ object DQueries {
   lazy val oracle: Map[String, String] =
     oracleBase + ("s14_ivfpq_artifact" -> oracleBase("s13_ivfpq_topk"))
 
+  /** The s13 IVF-PQ CTE block (codebooks, assignment, probe, encode,
+    * ADC table, scoring, ranking) shared by the s13 search twin and the
+    * s15 recall-eval twin. Composed into full statements by PLAIN
+    * concatenation (the stripMargin-nesting rule). */
+  private lazy val ivfPqCtes: String = {
+    val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    val pqBit = h60Sql(
+      "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    s"""icb AS (
+         |  SELECT cell, list_transform(range(0, 64), d ->
+         |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+         |  FROM range(0, 16) t1(cell)),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM embeddings e, icb c) WHERE r = 1),
+         |qcells AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT e.vec_id AS q_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS crank
+         |    FROM embeddings e, icb c WHERE e.vec_id < 10) WHERE crank <= 4),
+         |pcb AS (
+         |  SELECT s AS sub, c AS code, list_transform(range(0, 8), d ->
+         |    CASE WHEN (CASE WHEN d < 4 THEN (c >> d) & 1
+         |                    ELSE $pqBit & 1 END) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS anchor
+         |  FROM range(0, 8) t1(s), range(0, 16) t2(c)),
+         |sv AS (
+         |  SELECT vec_id, s AS sub,
+         |    list_slice(embedding, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS v
+         |  FROM embeddings, range(0, 8) t(s)),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT sv.vec_id, sv.sub, cb.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+         |        ORDER BY (8.0 - 2.0 * list_sum(list_transform(range(1, 9),
+         |          i -> CAST(sv.v[i] AS DOUBLE) * cb.anchor[i]))) ASC, cb.code ASC) AS rn
+         |    FROM sv JOIN pcb cb ON sv.sub = cb.sub) WHERE rn = 1),
+         |qdots AS (
+         |  SELECT q.vec_id AS q_id, cb.sub, cb.code,
+         |    CAST(round(list_sum(list_transform(range(1, 9),
+         |      i -> CAST(list_slice(q.embedding, CAST(cb.sub * 8 + 1 AS INT),
+         |                 CAST(cb.sub * 8 + 8 AS INT))[i] AS DOUBLE)
+         |           * cb.anchor[i])) * 1000000000) AS BIGINT) AS qd
+         |  FROM embeddings q, pcb cb WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT qc.q_id, a.vec_id AS nn_id,
+         |    CAST(SUM(qd.qd) AS BIGINT) AS adc_nano
+         |  FROM qcells qc
+         |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN qdots qd ON qd.q_id = qc.q_id AND qd.sub = e.sub AND qd.code = e.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, nn_id, adc_nano, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc_nano DESC, nn_id ASC) AS rank
+         |  FROM scored)""".stripMargin
+  }
+
   private lazy val oracleBase: Map[String, String] = Map(
     "s02_ann_lsh" -> lshOracle,
 
@@ -2029,63 +2127,63 @@ object DQueries {
     // s03 twin, PQ codes as in the s06 twin, and the ADC score as the
     // EXACT long sum of nano-grid table entries (round(dot*1e9) — the s12
     // grid convention), so ranking reproduces bit-identically
-    "s13_ivfpq_topk" -> {
-      val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
-      val pqBit = h60Sql(
-        "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
-      s"""WITH icb AS (
-         |  SELECT cell, list_transform(range(0, 64), d ->
-         |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
-         |  FROM range(0, 16) t1(cell)),
-         |assigned AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
-         |    FROM embeddings e, icb c) WHERE r = 1),
-         |qcells AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT e.vec_id AS q_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS crank
-         |    FROM embeddings e, icb c WHERE e.vec_id < 10) WHERE crank <= 4),
-         |pcb AS (
-         |  SELECT s AS sub, c AS code, list_transform(range(0, 8), d ->
-         |    CASE WHEN (CASE WHEN d < 4 THEN (c >> d) & 1
-         |                    ELSE $pqBit & 1 END) = 0
-         |         THEN 1.0 ELSE -1.0 END) AS anchor
-         |  FROM range(0, 8) t1(s), range(0, 16) t2(c)),
-         |sv AS (
-         |  SELECT vec_id, s AS sub,
-         |    list_slice(embedding, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS v
-         |  FROM embeddings, range(0, 8) t(s)),
-         |enc AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT sv.vec_id, sv.sub, cb.code,
-         |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-         |        ORDER BY (8.0 - 2.0 * list_sum(list_transform(range(1, 9),
-         |          i -> CAST(sv.v[i] AS DOUBLE) * cb.anchor[i]))) ASC, cb.code ASC) AS rn
-         |    FROM sv JOIN pcb cb ON sv.sub = cb.sub) WHERE rn = 1),
-         |qdots AS (
-         |  SELECT q.vec_id AS q_id, cb.sub, cb.code,
-         |    CAST(round(list_sum(list_transform(range(1, 9),
-         |      i -> CAST(list_slice(q.embedding, CAST(cb.sub * 8 + 1 AS INT),
-         |                 CAST(cb.sub * 8 + 8 AS INT))[i] AS DOUBLE)
-         |           * cb.anchor[i])) * 1000000000) AS BIGINT) AS qd
-         |  FROM embeddings q, pcb cb WHERE q.vec_id < 10),
-         |scored AS (
-         |  SELECT qc.q_id, a.vec_id AS nn_id,
-         |    CAST(SUM(qd.qd) AS BIGINT) AS adc_nano
-         |  FROM qcells qc
-         |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN qdots qd ON qd.q_id = qc.q_id AND qd.sub = e.sub AND qd.code = e.code
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT q_id, nn_id, adc_nano, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc_nano DESC, nn_id ASC) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, nn_id, adc_nano
-         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    },
+    // (the CTE block is shared with s15's recall-eval twin — composed by
+    // plain concatenation per the stripMargin-nesting rule)
+    "s13_ivfpq_topk" ->
+      ("WITH " + ivfPqCtes + "\n" +
+        "SELECT q_id, rank, nn_id, adc_nano\n" +
+        "FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    // E136: the two-stage search — s13's CTE block, shortlist at rank 20,
+    // exact-cosine re-rank of the shortlist rows only
+    "s16_ivfpq_rerank" ->
+      ("WITH " + ivfPqCtes + """,
+         |short AS (SELECT q_id, nn_id FROM ranked WHERE rank <= 20),
+         |rr0 AS (
+         |  SELECT s.q_id, s.nn_id, COS_PLACEHOLDER AS cos
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.q_id
+         |  JOIN embeddings n ON n.vec_id = s.nn_id),
+         |rr AS (
+         |  SELECT q_id, nn_id, cos, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, nn_id ASC) AS rank
+         |  FROM rr0)
+         |SELECT q_id, rank, nn_id, cos
+         |FROM rr WHERE rank <= 5 ORDER BY q_id, rank"""
+        .stripMargin
+        .replace("COS_PLACEHOLDER", cosSql("q.embedding", "n.embedding"))),
+
+    // E135: measured retrieval quality of the PRODUCTION index — the s10
+    // treatment for IVF-PQ: recall@5 / reciprocal rank of the served
+    // IVF-PQ top-k against brute exact-cosine truth, both sides fully
+    // oracle-replayed (s13's CTEs + s01's exact ranking), ppm grid
+    "s15_ivfpq_eval" ->
+      ("WITH " + ivfPqCtes + """,
+         |ipr AS (SELECT q_id, nn_id, rank FROM ranked WHERE rank <= 5),
+         |exq AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY COS_PLACEHOLDER DESC, n.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |truth AS (SELECT q_id, nn_id FROM exq WHERE rank <= 5),
+         |hits AS (
+         |  SELECT l.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    MIN(l.rank) AS first_hit_rank
+         |  FROM ipr l JOIN truth t ON t.q_id = l.q_id AND t.nn_id = l.nn_id
+         |  GROUP BY 1),
+         |relc AS (
+         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+         |  FROM truth GROUP BY 1)
+         |SELECT relc.q_id, relc.n_relevant,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) * 1000000 // relc.n_relevant AS recall_ppm,
+         |  h.first_hit_rank,
+         |  coalesce(1000000 // h.first_hit_rank, 0) AS rr_ppm
+         |FROM relc LEFT JOIN hits h USING (q_id) ORDER BY q_id"""
+        .stripMargin
+        .replace("COS_PLACEHOLDER", cosSql("q.embedding", "n.embedding"))),
+
 
     // twin of SimilarityOps.quantizeInt8: same scale division, same
     // round-half-away-from-zero (Spark HALF_UP == DuckDB round on doubles)

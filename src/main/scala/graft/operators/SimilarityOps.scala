@@ -1030,4 +1030,40 @@ object SimilarityOps {
       .select(col("q_id"), col("rank"), col("vec_id").as("nn_id"),
         col("adc_nano"))
   }
+
+  /** IVF-PQ shortlist + EXACT re-rank — the standard two-stage production
+    * search, and the answer to coarse-quantizer resolution: ADC can rank
+    * BETWEEN clusters but not finely WITHIN one (all same-cluster vectors
+    * share nearly the same codes, and no amount of codebook training
+    * fixes that — measured in SimilaritySpec: trained codebooks LOSE to
+    * hash codebooks on within-cluster ranking). So the index serves a
+    * cheap shortlist (top `shortlistR` by ADC, compressed codes only) and
+    * exact cosine re-ranks just those rows — the float corpus is touched
+    * for shortlistR rows per query instead of scanned: a selective join
+    * by vec_id (at rest: a point-lookup-friendly read), which is how a
+    * 100 TB float table participates in search without being read.
+    * Recall becomes the CELL-probe recall (the IVF side), with the ADC
+    * resolution limit bought back exactly. Output (q_id, rank, nn_id,
+    * cos). */
+  def ivfPqTopKReranked(index: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, ivfCb: DataFrame,
+                        pqCb: DataFrame, topK: Int, shortlistR: Int,
+                        nProbe: Int, m: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    require(shortlistR >= topK, s"shortlistR=$shortlistR must be >= topK=$topK")
+    val short = ivfPqTopKFromIndex(index, queries, ivfCb, pqCb,
+      topK = shortlistR, nProbe = nProbe, m = m, dim = dim)
+      .select(col("q_id"), col("nn_id"))
+    short
+      .join(corpus.select(col("vec_id").as("nn_id"),
+        col("embedding").as("__ce")), "nn_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("__qe"))), "q_id")
+      .select(col("q_id"), col("nn_id"),
+        cosine(col("__qe"), col("__ce")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nn_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("nn_id"), col("cos"))
+  }
 }
