@@ -9,6 +9,15 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Kafka end-to-end path (opt-in: sbt -Dgraft.kafka=1 ...). The connector is
+// NOT in /opt/spark/jars and this sandbox has no network, so resolution
+// fails here by construction (docs/KAFKA.md records the attempt log and the
+// pinned deploy recipe); on a networked machine the same flag pulls the
+// exact connector matching the bundled Spark and KafkaE2ESpec un-cancels.
+libraryDependencies ++= (if (sys.props.contains("graft.kafka")) Seq(
+  "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2",
+  "org.apache.kafka" % "kafka-clients" % "3.9.1" % Test,
+) else Seq())
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

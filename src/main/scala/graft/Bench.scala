@@ -306,7 +306,14 @@ object Bench {
     val reprobedJson = reprobed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val excludedJson = excluded.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"calib":${num(calib)},"reprobed":$reprobedJson,"excluded":$excludedJson,"plan_notes":$planNotes,"sf":"$sfDir"}"""
+    // subset marker: a prefix-filtered run is NOT a full-registry record
+    // and must say so in-band (the sf100 decade probes bench only the
+    // scale-shaped keys — a reader comparing totals across sf records
+    // needs to see the registry slice in the record itself)
+    val subsetJson = prefixes
+      .map(_.map("\"" + _ + "\"").mkString(""","subset":[""", ",", "]"))
+      .getOrElse("")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failures":$failures,"trials":$trials,"calib":${num(calib)},"reprobed":$reprobedJson,"excluded":$excludedJson$subsetJson,"plan_notes":$planNotes,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only the last 2000 chars of stdout, which truncates
     // the per-query map; persist the complete line so per-query numbers
@@ -319,6 +326,7 @@ object Bench {
     // lands in bench_single.json, and a different-sf run lands in its own
     // per-sf record (bench_<dirname>.json) — which the priors read above
     // already consults, so scale sweeps keep their reprobe protection.
+    var writtenRecord = "" // where this run's record actually landed
     if (prefixes.isEmpty) {
       val existing = readRecord("bench_latest.json")
       var target = recordTarget(existing, sfDir, trials, total, calib)
@@ -342,9 +350,11 @@ object Bench {
         readRecord(target).filter(t => recordSf(t).contains(sfDir) &&
             loadInflated(t, total, calib))
           .foreach { _ => target = "bench_single.json" }
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(target), json + "\n")
-      catch { case e: Throwable =>
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target), json + "\n")
+        writtenRecord = target
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $target write failed: ${e.getMessage}")
       }
       if (target != "bench_latest.json")
@@ -352,7 +362,43 @@ object Bench {
           "(bench_latest.json preserved: " +
           existing.map(t => s"sf=${recordSf(t).getOrElse("?")} " +
             s"trials=${recordTrials(t)}").getOrElse("absent") + ")")
+    } else {
+      // subset runs never touch the full-registry records; an explicit
+      // GRAFT_BENCH_SUBSET_RECORD=<file> opts in to persisting the probe
+      // (used for the sf100 decade probes, whose registry slice is the
+      // whole point). Guard: never clobber a full-registry record — a
+      // file without a "subset" field belongs to a full run.
+      sys.env.get("GRAFT_BENCH_SUBSET_RECORD").foreach { file =>
+        val existing = readRecord(file)
+        if (existing.exists(!_.contains("\"subset\":")))
+          System.err.println(s"[bench] $file holds a full-registry record; " +
+            "refusing to overwrite with a subset probe")
+        else
+          try {
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(file), json + "\n")
+            writtenRecord = file
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $file write failed: ${e.getMessage}")
+          }
+      }
     }
     spark.stop()
+    // driver-parseable summary, printed LAST: the driver keeps only the
+    // tail of stdout and parses the final JSON-looking line — the full
+    // record above overflows that window at 184 keys (r11/r12 both
+    // recorded "parsed": null), so emit a compact line whose per-query
+    // map holds the slowest keys up to a fixed char budget and says how
+    // many were elided (full map lives in the record file named here).
+    val slowest = results.collect { case (k, v, true) => (k, v) }
+      .sortBy(-_._2)
+    val budget = 1200
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val frag = "\"" + k + "\":" + num(v)
+      if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
+    }
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":${slowest.size - kept.size},"n_queries":${slowest.size},"failures":$failures,"trials":$trials,"calib":${num(calib)}$subsetJson,"record":"$writtenRecord","sf":"$sfDir"}""")
   }
 }

@@ -383,6 +383,45 @@ object DQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "s17_ivf_trained" -> ((s, dir) => {
+      // E133/E131 composed: s13's IVF-PQ search under a TRAINED coarse
+      // quantizer — two oracle-replayable Lloyd iterations (the s12
+      // nano-grid chain, hash-anchor seed) refine the 16 cells onto the
+      // data before the same stored-code ADC search runs. Probing
+      // data-aligned cells is the IVF side's recall knob (the residual
+      // the s16 re-rank can't buy back); pinning the trained search as
+      // its own key makes the trained-vs-untrained delta gate-visible
+      // next to s13, and s18 pins the recall numbers themselves.
+      val emb = embeddings(s, dir)
+      val (ivfCb, _) = SimilarityOps.kmeansFit(emb, nCells = 16, iters = 2,
+        init = Some(SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)))
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      SimilarityOps.ivfPqTopK(
+          SimilarityOps.pqEncode(emb, pqCb),
+          SimilarityOps.ivfAssign(emb, ivfCb).select("vec_id", "cell"),
+          emb.filter(col("vec_id") < 10), ivfCb, pqCb, topK = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    "s18_ivf_trained_eval" -> ((s, dir) => {
+      // E135 for the trained configuration: measured recall@5/MRR of the
+      // s17 search against brute exact-cosine truth, oracle-hashed like
+      // s15 — the s15/s18 pair pins the cell-training recall delta as
+      // two numbers the gate compares every round.
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val (ivfCb, _) = SimilarityOps.kmeansFit(emb, nCells = 16, iters = 2,
+        init = Some(SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)))
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      SimilarityOps.annEvalMetrics(
+          SimilarityOps.ivfPqTopK(
+            SimilarityOps.pqEncode(emb, pqCb),
+            SimilarityOps.ivfAssign(emb, ivfCb).select("vec_id", "cell"),
+            q, ivfCb, pqCb, topK = 5, nProbe = 4),
+          SimilarityOps.bruteForceTopK(emb, q, k = 5))
+        .orderBy("q_id")
+    }),
+
     "s05_quantize" -> ((s, dir) => {
       // E32 through the gate: symmetric int8 quantization, exploded to
       // scalar rows. scale and q are single correctly-rounded IEEE ops on
@@ -1406,14 +1445,93 @@ object DQueries {
     * ADC table, scoring, ranking) shared by the s13 search twin and the
     * s15 recall-eval twin. Composed into full statements by PLAIN
     * concatenation (the stripMargin-nesting rule). */
-  private lazy val ivfPqCtes: String = {
+  private lazy val ivfPqCtes: String = ivfPqCtesWith(trainedIvf = false)
+
+  /** The s15/s18 retrieval-quality twin: recall@5 / reciprocal rank of the
+    * `ranked` CTE (whichever coarse-quantizer chain produced it) against
+    * brute exact-cosine truth, ppm integer grid. */
+  private def ivfPqEvalSql(ctes: String): String =
+    ("WITH " + ctes + """,
+       |ipr AS (SELECT q_id, nn_id, rank FROM ranked WHERE rank <= 5),
+       |exq AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY COS_PLACEHOLDER DESC, n.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |truth AS (SELECT q_id, nn_id FROM exq WHERE rank <= 5),
+       |hits AS (
+       |  SELECT l.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |    MIN(l.rank) AS first_hit_rank
+       |  FROM ipr l JOIN truth t ON t.q_id = l.q_id AND t.nn_id = l.nn_id
+       |  GROUP BY 1),
+       |relc AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+       |  FROM truth GROUP BY 1)
+       |SELECT relc.q_id, relc.n_relevant,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  coalesce(h.n_hits, 0) * 1000000 // relc.n_relevant AS recall_ppm,
+       |  h.first_hit_rank,
+       |  coalesce(1000000 // h.first_hit_rank, 0) AS rr_ppm
+       |FROM relc LEFT JOIN hits h USING (q_id) ORDER BY q_id"""
+      .stripMargin
+      .replace("COS_PLACEHOLDER", cosSql("q.embedding", "n.embedding")))
+
+  /** The shared IVF-PQ oracle CTE chain, parameterized on the coarse
+    * quantizer: `trainedIvf = false` rebuilds the hash ±1 codebook
+    * (s13/s14/s15/s16); `true` prepends two unrolled nano-grid Lloyd
+    * iterations over it (the s12 chain at 16 cells) so the `icb` the
+    * search probes is the TRAINED codebook — everything downstream
+    * (assignment, probing, PQ encode, ADC table, ranking) is shared
+    * verbatim, which is the point: s13 vs s17 differ only in the coarse
+    * quantizer, so their recall gap (s15 vs s18) isolates what training
+    * the cells buys. */
+  private def ivfPqCtesWith(trainedIvf: Boolean): String = {
     val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
     val pqBit = h60Sql(
       "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
-    s"""icb AS (
-         |  SELECT cell, list_transform(range(0, 64), d ->
-         |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
-         |  FROM range(0, 16) t1(cell)),
+    val icbChain =
+      if (!trainedIvf)
+        s"""icb AS (
+           |  SELECT cell, list_transform(range(0, 64), d ->
+           |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+           |  FROM range(0, 16) t1(cell)),""".stripMargin
+      else
+        // twin of kmeansFit(nCells=16, iters=2, init=ivfCodebook): the
+        // s12 unrolled-Lloyd chain (hash seed → argmax-cosine assign →
+        // exact-long nano-grid means, twice); empty cells drop out via
+        // the GROUP BY, exactly as Lloyd's does
+        s"""icb0 AS (
+           |  SELECT cell, list_transform(range(0, 64), d ->
+           |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+           |  FROM range(0, 16) t1(cell)),
+           |ta1 AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+           |    FROM embeddings e, icb0 c) WHERE r = 1),
+           |tm1 AS (
+           |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+           |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+           |  FROM ta1, range(1, 65) t(i) GROUP BY 1, 2),
+           |icb1 AS (
+           |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
+           |  FROM tm1 GROUP BY cell),
+           |ta2 AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+           |    FROM embeddings e, icb1 c) WHERE r = 1),
+           |tm2 AS (
+           |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+           |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+           |  FROM ta2, range(1, 65) t(i) GROUP BY 1, 2),
+           |icb AS (
+           |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
+           |  FROM tm2 GROUP BY cell),""".stripMargin
+    icbChain + "\n" + s"""
          |assigned AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
@@ -2134,6 +2252,14 @@ object DQueries {
         "SELECT q_id, rank, nn_id, adc_nano\n" +
         "FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"),
 
+    // E133 under the TRAINED coarse quantizer: the same search CTEs with
+    // the two-iteration Lloyd chain prepended (ivfPqCtesWith) — only the
+    // icb the probe and assignment read differs from s13
+    "s17_ivf_trained" ->
+      ("WITH " + ivfPqCtesWith(trainedIvf = true) + "\n" +
+        "SELECT q_id, rank, nn_id, adc_nano\n" +
+        "FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"),
+
     // E136: the two-stage search — s13's CTE block, shortlist at rank 20,
     // exact-cosine re-rank of the shortlist rows only
     "s16_ivfpq_rerank" ->
@@ -2157,32 +2283,11 @@ object DQueries {
     // treatment for IVF-PQ: recall@5 / reciprocal rank of the served
     // IVF-PQ top-k against brute exact-cosine truth, both sides fully
     // oracle-replayed (s13's CTEs + s01's exact ranking), ppm grid
-    "s15_ivfpq_eval" ->
-      ("WITH " + ivfPqCtes + """,
-         |ipr AS (SELECT q_id, nn_id, rank FROM ranked WHERE rank <= 5),
-         |exq AS (
-         |  SELECT q.vec_id AS q_id, n.vec_id AS nn_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY COS_PLACEHOLDER DESC, n.vec_id) AS rank
-         |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         |truth AS (SELECT q_id, nn_id FROM exq WHERE rank <= 5),
-         |hits AS (
-         |  SELECT l.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         |    MIN(l.rank) AS first_hit_rank
-         |  FROM ipr l JOIN truth t ON t.q_id = l.q_id AND t.nn_id = l.nn_id
-         |  GROUP BY 1),
-         |relc AS (
-         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
-         |  FROM truth GROUP BY 1)
-         |SELECT relc.q_id, relc.n_relevant,
-         |  coalesce(h.n_hits, 0) AS n_hits,
-         |  coalesce(h.n_hits, 0) * 1000000 // relc.n_relevant AS recall_ppm,
-         |  h.first_hit_rank,
-         |  coalesce(1000000 // h.first_hit_rank, 0) AS rr_ppm
-         |FROM relc LEFT JOIN hits h USING (q_id) ORDER BY q_id"""
-        .stripMargin
-        .replace("COS_PLACEHOLDER", cosSql("q.embedding", "n.embedding"))),
+    "s15_ivfpq_eval" -> ivfPqEvalSql(ivfPqCtes),
+
+    // E135 for the trained configuration — the s15 metric replay over the
+    // s17 search (trained-icb CTE chain, same eval tail)
+    "s18_ivf_trained_eval" -> ivfPqEvalSql(ivfPqCtesWith(trainedIvf = true)),
 
 
     // twin of SimilarityOps.quantizeInt8: same scale division, same

@@ -29,8 +29,25 @@ import org.apache.spark.sql.functions._
   *    fixed dimensions and copy once.
   *
   * Usage: runMain graft.tools.ScaleData [inDir] [outDir] [factor]
-  * (defaults /root/testdata/sf0.1 → ./testdata_sf1 ×10). Output is
-  * written once and reused; it is NOT committed (gitignored).
+  * [tablesCsv] [strideMult] (defaults /root/testdata/sf0.1 →
+  * ./testdata_sf1 ×10, all tables, strideMult 1). Output is written once
+  * and reused; it is NOT committed (gitignored).
+  *
+  * COMPOSING SCALED DIRS (sf100 = sf10 × 10): pass strideMult = the
+  * factor already applied to the input (100 for sf10) so the new key
+  * offsets land past the input's existing offsets, and pass tablesCsv to
+  * skip tables the probe doesn't read. With strideMult > 1 the documents
+  * transform switches from the affine vocab permutation to a per-copy
+  * WORD-TAG bijection (word → word + "xK"): composing two affine layers
+  * would pigeonhole > |units|·(v−1) ≈ 900 total substitutions into the
+  * same map for some copy pairs (factor 1000 needs 1000 distinct ones)
+  * and plant wholesale cross-copy exact-dup cliques. The tag map is a
+  * vocabulary bijection like the affine map — within-copy shingle
+  * Jaccard is preserved exactly, cross-copy shingle overlap is zero —
+  * and is injective against ANY prior substitution because the base
+  * vocab carries no digit suffixes. embeddings/events, if requested with
+  * strideMult > 1, keep offset-only semantics (the rotation trick does
+  * NOT compose injectively — scale those from the base sf0.1 instead).
   */
 object ScaleData {
 
@@ -47,6 +64,11 @@ object ScaleData {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "testdata_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables: Set[String] =
+      if (args.length > 3 && args(3).nonEmpty) args(3).split(",").toSet
+      else Set("documents", "embeddings", "events", "lineitem", "orders",
+        "customer", "part", "supplier", "nation", "region")
+    val strideMult = if (args.length > 4) args(4).toLong else 1L
     val spark = graft.GraftSession.build("graft-scaledata")
 
     def copies(df: DataFrame)(xform: (DataFrame, Int) => DataFrame): DataFrame =
@@ -58,88 +80,119 @@ object ScaleData {
       println(s"[scaledata] $name done")
     }
 
+    def scale(name: String)(body: => Unit): Unit =
+      if (tables(name)) body else println(s"[scaledata] $name skipped")
+
     // documents: bijective per-copy vocab substitution. An AFFINE map
     // i -> (a·i + b) mod V (gcd(a, V) = 1) stays a bijection for any copy
     // count — plain rotations repeat after V copies, which would plant
     // wholesale exact duplicates across distant copies at factor > V.
-    val docs = spark.read.parquet(s"$inDir/documents.parquet")
-    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
-      .collect().map(_.getString(0)).sorted // deterministic order
-    val v = vocab.length
-    // (a, b) must be INJECTIVE in the copy index below |units(v)|·v copies —
-    // a collision would plant wholesale exact duplicates across distant
-    // copies (the first cut wrapped a through 31→30 slots and pigeonholed
-    // 3 copy pairs into identical substitutions at factor 100 — caught by
-    // the distinct-text count: 484,224 ≠ 100 × 4,992). Enumerate the
-    // multiplicative units of v ONCE and index them cyclically: injective
-    // for ANY v, prime or composite (a scan-forward-to-coprime would remap
-    // two residues to the same unit when v is composite).
-    val units = (1 until v).filter(a => BigInt(a).gcd(BigInt(v)) == 1).toArray
-    write(copies(docs) { (df, k) =>
-      if (k == 0) df
-      else {
-        val a = units(k % units.length)
-        val b = 1 + (k / units.length) % (v - 1)
-        val mapping = vocab.indices.map(i => vocab(i) -> vocab((a * i + b) % v))
-        val mapCol = map(mapping.flatMap { case (x, y) => Seq(lit(x), lit(y)) }: _*)
-        df.withColumn("text",
-            concat_ws(" ", transform(split(col("text"), " "),
-              w => coalesce(element_at(mapCol, w), w))))
-          .withColumn("doc_id", col("doc_id") + lit(k * DocStride))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      }
-    }, "documents")
+    // With strideMult > 1 (composing an already-substituted dir) the
+    // per-copy bijection is the word-tag map instead — see the scaladoc.
+    scale("documents") {
+      val docs = spark.read.parquet(s"$inDir/documents.parquet")
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .collect().map(_.getString(0)).sorted // deterministic order
+      val v = vocab.length
+      // (a, b) must be INJECTIVE in the copy index below |units(v)|·v copies —
+      // a collision would plant wholesale exact duplicates across distant
+      // copies (the first cut wrapped a through 31→30 slots and pigeonholed
+      // 3 copy pairs into identical substitutions at factor 100 — caught by
+      // the distinct-text count: 484,224 ≠ 100 × 4,992). Enumerate the
+      // multiplicative units of v ONCE and index them cyclically: injective
+      // for ANY v, prime or composite (a scan-forward-to-coprime would remap
+      // two residues to the same unit when v is composite).
+      val units = (1 until v).filter(a => BigInt(a).gcd(BigInt(v)) == 1).toArray
+      write(copies(docs) { (df, k) =>
+        if (k == 0) df
+        else if (strideMult > 1L) {
+          // word-tag bijection: every word of copy k gets suffix "xK".
+          // Tagged words never collide with the base vocab (no digits
+          // there) nor across copies, so the 10 outer maps are distinct
+          // from each other AND from every inner affine map of the input.
+          df.withColumn("text",
+              concat_ws(" ", transform(split(col("text"), " "),
+                w => when(w === "", w).otherwise(concat(w, lit("x" + k))))))
+            .withColumn("doc_id", col("doc_id") + lit(k * strideMult * DocStride))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        } else {
+          val a = units(k % units.length)
+          val b = 1 + (k / units.length) % (v - 1)
+          val mapping = vocab.indices.map(i => vocab(i) -> vocab((a * i + b) % v))
+          val mapCol = map(mapping.flatMap { case (x, y) => Seq(lit(x), lit(y)) }: _*)
+          df.withColumn("text",
+              concat_ws(" ", transform(split(col("text"), " "),
+                w => coalesce(element_at(mapCol, w), w))))
+            .withColumn("doc_id", col("doc_id") + lit(k * DocStride))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        }
+      }, "documents")
+    }
 
     // embeddings: rotate dims by 13k (+ a global sign flip past one full
     // rotation cycle — cosines are invariant, cross-copy dots decorrelate),
     // offset vec_id
-    val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
-    write(copies(emb) { (df, k) =>
-      if (k == 0) df
-      else {
-        val rot = (13 * k) % 64
-        val sign = if ((k / 64) % 2 == 1) -1.0 else 1.0
-        df.withColumn("vec_id", col("vec_id") + lit(k * VecStride))
-          .withColumn("embedding",
-            expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64] * $sign)"))
-      }
-    }, "embeddings")
+    scale("embeddings") {
+      val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
+      write(copies(emb) { (df, k) =>
+        if (k == 0) df
+        else {
+          val rot = (13 * k) % 64
+          val sign = if ((k / 64) % 2 == 1) -1.0 else 1.0
+          df.withColumn("vec_id", col("vec_id") + lit(k * strideMult * VecStride))
+            .withColumn("embedding",
+              expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64] * $sign)"))
+        }
+      }, "embeddings")
+    }
 
     // events: id/user offsets
-    val events = spark.read.parquet(s"$inDir/events.parquet")
-    write(copies(events) { (df, k) =>
-      df.withColumn("event_id", col("event_id") + lit(k * EventStride))
-        .withColumn("user_id", col("user_id") + lit(k * UserStride))
-    }, "events")
+    scale("events") {
+      val events = spark.read.parquet(s"$inDir/events.parquet")
+      write(copies(events) { (df, k) =>
+        df.withColumn("event_id", col("event_id") + lit(k * strideMult * EventStride))
+          .withColumn("user_id", col("user_id") + lit(k * strideMult * UserStride))
+      }, "events")
+    }
 
     // TPC-H fact/dim tables with consistent FK offsets
-    val lineitem = spark.read.parquet(s"$inDir/lineitem.parquet")
-    write(copies(lineitem) { (df, k) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * OrderStride))
-        .withColumn("l_partkey", col("l_partkey") + lit(k * PartStride))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(k * SuppStride))
-    }, "lineitem")
-    val orders = spark.read.parquet(s"$inDir/orders.parquet")
-    write(copies(orders) { (df, k) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * OrderStride))
-        .withColumn("o_custkey", col("o_custkey") + lit(k * CustStride))
-    }, "orders")
-    val customer = spark.read.parquet(s"$inDir/customer.parquet")
-    write(copies(customer) { (df, k) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(k * CustStride))
-    }, "customer")
-    val part = spark.read.parquet(s"$inDir/part.parquet")
-    write(copies(part) { (df, k) =>
-      df.withColumn("p_partkey", col("p_partkey") + lit(k * PartStride))
-    }, "part")
-    val supplier = spark.read.parquet(s"$inDir/supplier.parquet")
-    write(copies(supplier) { (df, k) =>
-      df.withColumn("s_suppkey", col("s_suppkey") + lit(k * SuppStride))
-    }, "supplier")
+    scale("lineitem") {
+      val lineitem = spark.read.parquet(s"$inDir/lineitem.parquet")
+      write(copies(lineitem) { (df, k) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * strideMult * OrderStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * strideMult * PartStride))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * strideMult * SuppStride))
+      }, "lineitem")
+    }
+    scale("orders") {
+      val orders = spark.read.parquet(s"$inDir/orders.parquet")
+      write(copies(orders) { (df, k) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * strideMult * OrderStride))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * strideMult * CustStride))
+      }, "orders")
+    }
+    scale("customer") {
+      val customer = spark.read.parquet(s"$inDir/customer.parquet")
+      write(copies(customer) { (df, k) =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(k * strideMult * CustStride))
+      }, "customer")
+    }
+    scale("part") {
+      val part = spark.read.parquet(s"$inDir/part.parquet")
+      write(copies(part) { (df, k) =>
+        df.withColumn("p_partkey", col("p_partkey") + lit(k * strideMult * PartStride))
+      }, "part")
+    }
+    scale("supplier") {
+      val supplier = spark.read.parquet(s"$inDir/supplier.parquet")
+      write(copies(supplier) { (df, k) =>
+        df.withColumn("s_suppkey", col("s_suppkey") + lit(k * strideMult * SuppStride))
+      }, "supplier")
+    }
     // fixed dimensions
-    write(spark.read.parquet(s"$inDir/nation.parquet"), "nation")
-    write(spark.read.parquet(s"$inDir/region.parquet"), "region")
+    scale("nation") { write(spark.read.parquet(s"$inDir/nation.parquet"), "nation") }
+    scale("region") { write(spark.read.parquet(s"$inDir/region.parquet"), "region") }
 
     spark.stop()
   }

@@ -137,6 +137,21 @@ class SimilaritySpec extends SparkSpec {
       s"re-rank did not improve on ADC-only: $rrTrained/$rrHash vs $adcR")
     assert(math.max(rrHash, rrTrained) >= 0.6,
       s"two-stage recall@5 below the clustered floor: $rrHash/$rrTrained")
+    // ...and that residual IS the coarse quantizer's to close: under the
+    // SAME (hash) PQ codes, training only the cells (the s17 config —
+    // two nano-grid Lloyd iterations) must not lose to the hash cells on
+    // the two-stage search (measured here: 0.775 -> 0.775, a tie — this
+    // fixture's clusters are spread enough that nProbe=2 hash probing
+    // already finds the right cells; the oracle-pinned s15/s18 pair
+    // measures the regime where training DOES move it, 0.06 -> 0.12
+    // recall / 0.07 -> 0.14 MRR on the sf0.01 embeddings, and
+    // IvfRecallSweep records the sf0.1/sf1 decades).
+    val (trainedIvf2, _) = SimilarityOps.kmeansFit(corpus, nCells = 8,
+      iters = 2, init = Some(hashIvf))
+    val rrTrainedCells = rerankedRecallOf(trainedIvf2, hashPq)
+    info(s"clustered reranked recall@5, trained cells + hash codes: $rrTrainedCells")
+    assert(rrTrainedCells >= rrHash,
+      s"trained coarse quantizer lost to hash cells: $rrTrainedCells < $rrHash")
   }
 
   /** Vectors built by concatenating codebook anchors for known codes: the
