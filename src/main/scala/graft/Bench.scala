@@ -181,11 +181,15 @@ object Bench {
     // the media corpora the m03/m05/m06 overrides read materialize once
     // per testdata dir — build them here so a cold cache is paid OUTSIDE
     // the timed region (guarded: a failed build leaves those three keys
-    // to fail individually, not the run)
-    try graft.sources.MediaFixtures.ensureAll(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] media fixture build failed: ${e.getMessage}")
-    }
+    // to fail individually, not the run). Skipped when no m-key is in
+    // the headline set: a prefix-subset probe of non-media keys (the
+    // sf100 decade probes) must not pay a corpus-sized render it never
+    // reads.
+    if (headline.keys.exists(_.startsWith("m")))
+      try graft.sources.MediaFixtures.ensureAll(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] media fixture build failed: ${e.getMessage}")
+      }
     spark.catalog.clearCache()
     // load marker, AFTER warm-up (stable JIT) and before the timed trials
     val calib = calibrate()
@@ -210,6 +214,14 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
+        // after a heavy key, give the async ContextCleaner a moment to
+        // actually DELETE the key's shuffle files (System.gc() only queues
+        // them): at sf100 seven >60 s keys' leftover spills accumulated
+        // past this sandbox's free disk and killed the 8th with "No space
+        // left on device" — each key fit alone. Untimed, and the
+        // threshold keeps full sf0.1 registry runs (most keys < 3 s)
+        // overhead-free.
+        if (elapsed > 30.0) Thread.sleep(3000)
         (name, elapsed, ok)
       }
     val runs = (1 to trials).map(_ => runOnce())
@@ -299,7 +311,8 @@ object Bench {
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
       """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size",""" +
-      """"d17_containment":"density-adaptive shingle width (containmentPairsAuto) since r12 - the oracle key stays fixed k=3, which is quadratic on the saturated fixture and was excluded from scale sweeps r09-r11",""" +
+      """"d17_containment":"density-adaptive shingle width (containmentPairsAuto) since r12; since r13 the width is chosen by REALIZED-df probing (one scan per candidate k) instead of the vocab^k estimate, which undersized k on sharded vocabularies - r12-vs-r13 deltas on this key measure the prober swap. The oracle key stays fixed k=3 (quadratic on the saturated fixture, excluded from scale sweeps r09-r11)",""" +
+      """"b40_fuzzy_match":"since r13 the scaled decades tag supplier names per copy - the untagged sf1/sf10 fixtures planted same-name cliques that made blocking candidates quadratic in copies, so pre-r13 b40 decade numbers measured that artifact (SCALING r13)",""" +
       """"m03_image_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)",""" +
       """"m05_image_resize":"materialized-corpus input since r12 (r10-r11: inline fixture render inside the timed region)",""" +
       """"m06_audio_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)"}"""

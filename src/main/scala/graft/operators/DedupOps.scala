@@ -1044,39 +1044,47 @@ object DedupOps {
   /** Density-adaptive shingle width — production knob #1 of the
     * containment-at-scale analysis (SCALING "d17 density"), as code
     * instead of advice: the exact inverted-index enumeration is
-    * Σdf²/2-bound, and df is totalShingles/keySpace once the k-shingle
-    * space saturates, so the width must grow until the key space
-    * out-sizes the corpus. Picks the smallest k in [kMin, kMax] whose
-    * estimated key space Vᵏ holds the corpus's shingle stream at
-    * ≤ `targetMeanDf` occurrences per key:
-    * k = ceil(log(total/targetMeanDf) / log(V)).
+    * Σdf²/2-bound, so the width must grow until the REALIZED key space
+    * out-sizes the corpus. Probes widths upward from kMin and picks the
+    * first whose measured mean document frequency —
+    * totalShingles(k) / approxDistinctShingles(k) — is ≤ `targetMeanDf`.
     *
-    * One linear probe pass: token count + HLL vocabulary estimate
-    * (approx_count_distinct merges by per-register max, so the estimate —
-    * and therefore the chosen k — is order- and partitioning-independent
-    * for the same corpus). On a fixed-vocab fixture this climbs (the
-    * 31-word corpus picks k=4 at sf0.1, k=5 at sf10); on a real Zipf
-    * corpus vocabulary grows with the data and k stays near kMin. The
-    * scalar probe action is bounded driver work (two longs), same
-    * discipline as coOccurrence's basket count. */
+    * The r12 formulation ESTIMATED the key space as vocabᵏ from one
+    * vocabulary probe. That estimator assumes tokens mix freely, and a
+    * sharded corpus breaks it catastrophically: when the corpus is N
+    * sub-corpora with disjoint vocabularies (ScaleData's tagged copies —
+    * but equally real multi-language or multi-tenant corpora), shingles
+    * never cross shards, the effective key space is N·(V/N)ᵏ ≪ Vᵏ, and
+    * the estimator's k left realized df ≈ 50 at sf100 — Σdf² ≈ 23 B
+    * enumerated pairs, "No space left on device" (r13, measured).
+    * Measuring realized df costs one linear scan per probed width
+    * (early-exit: rich-vocabulary corpora stop at kMin — the common
+    * production case) and is immune to ANY vocabulary structure; it also
+    * accounts for the window count shrinking as k grows, which the
+    * formula ignored. HLL distinct merges by per-register max, so each
+    * probe — and the chosen k — is order- and partitioning-independent
+    * for the same corpus. The per-probe driver action is two longs, the
+    * coOccurrence-scalar discipline. */
   def autoShingleWidth(df: DataFrame, textCol: Column,
                        targetMeanDf: Double = 4.0,
                        kMin: Int = 3, kMax: Int = 8): Int = {
     require(targetMeanDf > 0, s"targetMeanDf must be > 0: $targetMeanDf")
     require(kMin >= 1 && kMax >= kMin, s"bad width range [$kMin, $kMax]")
-    val r = Par.ensure(df)
-      .select(explode(TextOps.tokens(textCol)).as("__t"))
-      .agg(count(lit(1)).as("__total"),
-        approx_count_distinct(col("__t")).as("__vocab"))
-      .head()
-    val total = r.getLong(0).toDouble
-    val vocab = r.getLong(1).toDouble
-    if (total <= 0.0 || vocab <= 1.0) kMin
-    else {
-      val k = math.ceil(math.log(math.max(total / targetMeanDf, 1.0))
-        / math.log(vocab)).toInt
-      math.min(kMax, math.max(kMin, k))
+    val toks = Par.ensure(df).select(TextOps.tokens(textCol).as("__w"))
+    var k = kMin
+    while (k <= kMax) {
+      val r = toks
+        .select(explode(TextOps.allShinglesOfTokens(col("__w"), k)).as("__s"))
+        .agg(count(lit(1)).as("__total"),
+          approx_count_distinct(Hashing.hash60(col("__s"))).as("__keys"))
+        .head()
+      val total = r.getLong(0).toDouble
+      val keys = r.getLong(1).toDouble
+      if (total <= 0.0) return kMin // degenerate/empty corpus
+      if (total / math.max(keys, 1.0) <= targetMeanDf || k == kMax) return k
+      k += 1
     }
+    kMax
   }
 
   /** [[containmentPairs]] under the density-adaptive width — the form to
@@ -1134,9 +1142,17 @@ object DedupOps {
       s"thresholdPpm must be in [0, 1e6]: $thresholdPpm")
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val dfk = keys.groupBy(col("key")).agg(count(lit(1)).as("__df"))
+    // SERIALIZED checkpoint storage (the b55/r12 lesson): `kept` is
+    // corpus-sized (one row per distinct (key, doc)), and deserialized
+    // UnsafeRow blocks pin ~3× the serialized bytes — at sf100 that
+    // difference (~15 GB) plus the pair-aggregation shuffle overran the
+    // sandbox disk ("No space left on device", r13). Ser blocks cost one
+    // deserialization per downstream read; three reads share the one
+    // materialization either way.
     val kept = keys.join(dfk, Seq("key")).filter(col("__df") <= maxDf)
       .select(col("key"), col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
     val inter = kept.select(col("key"), col("doc_id").as("doc_a"))
       .join(kept.select(col("key"), col("doc_id").as("doc_b")), "key")

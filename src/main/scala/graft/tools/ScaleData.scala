@@ -185,9 +185,22 @@ object ScaleData {
       }, "part")
     }
     scale("supplier") {
+      // s_name gets a per-copy tag alongside the key offset: leaving 10-
+      // 1000 byte-identical copies of every name plants cross-copy
+      // same-name cliques that blow the b40 deletion-neighborhood join
+      // up QUADRATICALLY in the copy count (measured r13: the untagged
+      // sf100 supplier spilled >45 GB and filled the disk — a fixture
+      // artifact, not an operator cost; names are unique in real data).
+      // The tag preserves within-copy distance-1 structure exactly (both
+      // the corrupted and original side carry it) and keeps cross-copy
+      // names at distance ≥ 2 (tag substitution + the corruption's
+      // deletion), so candidates scale linearly in copies.
       val supplier = spark.read.parquet(s"$inDir/supplier.parquet")
       write(copies(supplier) { (df, k) =>
-        df.withColumn("s_suppkey", col("s_suppkey") + lit(k * strideMult * SuppStride))
+        if (k == 0) df
+        else df
+          .withColumn("s_suppkey", col("s_suppkey") + lit(k * strideMult * SuppStride))
+          .withColumn("s_name", concat(col("s_name"), lit("#c" + k)))
       }, "supplier")
     }
     // fixed dimensions

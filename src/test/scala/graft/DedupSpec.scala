@@ -494,31 +494,44 @@ class DedupSpec extends SparkSpec {
   }
 
   test("autoShingleWidth: saturated vocab widens k, rich vocab stays at " +
-      "kMin, bounds clamp") {
-    // fixed 4-word vocab, 64 docs x 8 tokens = 512 tokens: the k that
-    // holds mean df <= 4 must satisfy 4^k >= 512/4 = 128 -> k = 4
+      "kMin, bounds clamp, sharded vocab measured not estimated") {
+    // fixed 4-word vocab, 64 docs x 8 tokens: realized df at k=3 is
+    // 64·6 / 4³ = 6 > 4, at k=4 it's 64·5 / ~realized(256) ≈ 1.6 -> k = 4
     val rnd = new scala.util.Random(7)
     val vocab = Array("aa", "bb", "cc", "dd")
     val dense = (0 until 64).map(i =>
       (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(4))).mkString(" ")))
       .toDF("doc_id", "text")
     assert(DedupOps.autoShingleWidth(dense, col("text")) === 4)
-    // rich vocabulary (every token unique): key space out-sizes the
-    // corpus at the minimum width already
+    // rich vocabulary (every token unique): every shingle is unique at
+    // the minimum width already — one probe, early exit
     val rich = (0 until 64).map(i =>
       (i.toLong, (0 until 8).map(j => s"w${i}_$j").mkString(" ")))
       .toDF("doc_id", "text")
     assert(DedupOps.autoShingleWidth(rich, col("text")) === 3)
-    // kMax clamps a degenerate 1-effective-vocab corpus... and a binary
-    // vocab needs log2(512/4) = 7 exactly
+    // binary vocab: realized df = 64·(9-k)/2^k first dips <= 4 at k = 6
+    // (192/64 = 3) — the r12 vocab^k formula said 7 because it ignored
+    // the window count shrinking with k; measuring df gets it right
     val binary = (0 until 64).map(i =>
       (i.toLong, Seq.fill(8)(vocab(rnd.nextInt(2))).mkString(" ")))
       .toDF("doc_id", "text")
-    assert(DedupOps.autoShingleWidth(binary, col("text")) === 7)
+    assert(DedupOps.autoShingleWidth(binary, col("text")) === 6)
     assert(DedupOps.autoShingleWidth(binary, col("text"), kMax = 5) === 5)
     // empty corpus: kMin, no crash
     assert(DedupOps.autoShingleWidth(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), col("text")) === 3)
+    // SHARDED vocabulary — the case that kills a vocab^k estimator: two
+    // sub-corpora with disjoint 4-word vocabularies. Union vocab is 8,
+    // so the formula would credit 8^k keys; shingles never cross shards,
+    // the real space is 2·4^k, and realized-df probing must therefore
+    // choose the SAME width it chose for one shard at half the volume
+    // (here both pick k = 4; a 64-doc single-shard corpus of this size
+    // picked 4 above).
+    val sharded = (0 until 128).map { i =>
+      val v = if (i < 64) vocab else Array("ee", "ff", "gg", "hh")
+      (i.toLong, Seq.fill(8)(v(rnd.nextInt(4))).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(DedupOps.autoShingleWidth(sharded, col("text")) === 4)
   }
 
   test("containmentPairsAuto equals containmentPairs at the chosen width") {
