@@ -20,6 +20,12 @@ libraryDependencies ++= (if (sys.props.contains("graft.kafka")) Seq(
 ) else Seq())
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, UNPREFIXED: sbt's default
+// LoggedOutput wraps every forked line as "[info] ...", which defeats any
+// caller that parses the process's final JSON line (Bench's record summary
+// arrived as "[info] {...}" for three rounds running). StdoutOutput passes
+// the child's stdout through verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -422,6 +422,42 @@ object DQueries {
         .orderBy("q_id")
     }),
 
+    "s19_ivfpq_residual" -> ((s, dir) => {
+      // E139: FAISS-style residual encoding under the trained coarse
+      // quantizer — the codes quantize x − μ_cell (within-cell scatter)
+      // instead of x, with a per-subspace least-squares decode scale α
+      // standing in for the residual codebook training the oracle can't
+      // replay. Differs from s17 ONLY in what the codes encode, so the
+      // s18-vs-s20 recall delta isolates what residual encoding buys;
+      // every term rides the nano grid, fully oracle-hashed.
+      val emb = embeddings(s, dir)
+      val (ivfCb, _) = SimilarityOps.kmeansFit(emb, nCells = 16, iters = 2,
+        init = Some(SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)))
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      val (index, scales) = SimilarityOps.ivfPqResidualIndex(emb, ivfCb, pqCb)
+      SimilarityOps.ivfPqResidualTopK(index, scales,
+          emb.filter(col("vec_id") < 10), ivfCb, pqCb, topK = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    "s20_ivfpq_residual_eval" -> ((s, dir) => {
+      // E140: measured recall@5/MRR of the s19 residual search against
+      // brute exact-cosine truth — completes the ADC quality grid
+      // (s15 untrained / s18 trained / s20 trained+residual), all three
+      // oracle-hashed numbers the gate compares every round.
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val (ivfCb, _) = SimilarityOps.kmeansFit(emb, nCells = 16, iters = 2,
+        init = Some(SimilarityOps.ivfCodebook(s, nCells = 16, dim = 64)))
+      val pqCb = SimilarityOps.pqCodebook(s, m = 8, k = 16, dim = 64)
+      val (index, scales) = SimilarityOps.ivfPqResidualIndex(emb, ivfCb, pqCb)
+      SimilarityOps.annEvalMetrics(
+          SimilarityOps.ivfPqResidualTopK(index, scales, q, ivfCb, pqCb,
+            topK = 5, nProbe = 4),
+          SimilarityOps.bruteForceTopK(emb, q, k = 5))
+        .orderBy("q_id")
+    }),
+
     "s05_quantize" -> ((s, dir) => {
       // E32 through the gate: symmetric int8 quantization, exploded to
       // scalar rows. scale and q are single correctly-rounded IEEE ops on
@@ -1485,8 +1521,16 @@ object DQueries {
     * (assignment, probing, PQ encode, ADC table, ranking) is shared
     * verbatim, which is the point: s13 vs s17 differ only in the coarse
     * quantizer, so their recall gap (s15 vs s18) isolates what training
-    * the cells buys. */
-  private def ivfPqCtesWith(trainedIvf: Boolean): String = {
+    * the cells buys.
+    *
+    * `residual = true` (s19/s20) additionally switches WHAT the codes
+    * encode: the per-vector residual x − μ_cell instead of x (the twin of
+    * [[graft.operators.SimilarityOps.ivfPqResidualIndex]]), with the
+    * per-subspace least-squares decode scale α and the reconstruction
+    * score dot(q, μ) + Σ α·dot(q_sub, anchor) — every term on the nano
+    * grid, exactly as the Spark plan computes it. */
+  private def ivfPqCtesWith(trainedIvf: Boolean,
+                            residual: Boolean = false): String = {
     val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
     val pqBit = h60Sql(
       "'pq_' || CAST(s AS VARCHAR) || '_' || CAST(c AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
@@ -1531,12 +1575,32 @@ object DQueries {
            |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
            |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
            |  FROM tm2 GROUP BY cell),""".stripMargin
-    icbChain + "\n" + s"""
-         |assigned AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
-         |    FROM embeddings e, icb c) WHERE r = 1),
+    // assignment: the non-residual chain needs only (vec_id, cell); the
+    // residual chain keeps the embedding alongside (rass) and derives the
+    // residual frame — CAST(emb[i] AS DOUBLE) − anchor[i] is the exact
+    // IEEE twin of the Spark zip_with subtraction
+    val assignChain =
+      if (!residual)
+        s"""assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+           |    FROM embeddings e, icb c) WHERE r = 1),""".stripMargin
+      else
+        s"""rass AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+           |    FROM embeddings e, icb c) WHERE r = 1),
+           |assigned AS (SELECT vec_id, cell FROM rass),
+           |resid AS (
+           |  SELECT r.vec_id, list_transform(range(1, 65),
+           |    i -> CAST(r.embedding[i] AS DOUBLE) - c.anchor[i]) AS remb
+           |  FROM rass r JOIN icb c USING (cell)),""".stripMargin
+    // what the PQ codes quantize: the raw embedding, or the residual
+    val (svFrom, svCol) =
+      if (residual) ("resid", "remb") else ("embeddings", "embedding")
+    val sharedMid = s"""
          |qcells AS (
          |  SELECT q_id, cell FROM (
          |    SELECT e.vec_id AS q_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
@@ -1550,34 +1614,84 @@ object DQueries {
          |  FROM range(0, 8) t1(s), range(0, 16) t2(c)),
          |sv AS (
          |  SELECT vec_id, s AS sub,
-         |    list_slice(embedding, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS v
-         |  FROM embeddings, range(0, 8) t(s)),
+         |    list_slice($svCol, CAST(s * 8 + 1 AS INT), CAST(s * 8 + 8 AS INT)) AS v
+         |  FROM $svFrom, range(0, 8) t(s)),
          |enc AS (
          |  SELECT vec_id, sub, code FROM (
          |    SELECT sv.vec_id, sv.sub, cb.code,
          |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
          |        ORDER BY (8.0 - 2.0 * list_sum(list_transform(range(1, 9),
          |          i -> CAST(sv.v[i] AS DOUBLE) * cb.anchor[i]))) ASC, cb.code ASC) AS rn
-         |    FROM sv JOIN pcb cb ON sv.sub = cb.sub) WHERE rn = 1),
-         |qdots AS (
-         |  SELECT q.vec_id AS q_id, cb.sub, cb.code,
-         |    CAST(round(list_sum(list_transform(range(1, 9),
-         |      i -> CAST(list_slice(q.embedding, CAST(cb.sub * 8 + 1 AS INT),
-         |                 CAST(cb.sub * 8 + 8 AS INT))[i] AS DOUBLE)
-         |           * cb.anchor[i])) * 1000000000) AS BIGINT) AS qd
-         |  FROM embeddings q, pcb cb WHERE q.vec_id < 10),
-         |scored AS (
-         |  SELECT qc.q_id, a.vec_id AS nn_id,
-         |    CAST(SUM(qd.qd) AS BIGINT) AS adc_nano
-         |  FROM qcells qc
-         |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN qdots qd ON qd.q_id = qc.q_id AND qd.sub = e.sub AND qd.code = e.code
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT q_id, nn_id, adc_nano, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc_nano DESC, nn_id ASC) AS rank
-         |  FROM scored)""".stripMargin
+         |    FROM sv JOIN pcb cb ON sv.sub = cb.sub) WHERE rn = 1),""".stripMargin
+    val scoreChain =
+      if (!residual)
+        """qdots AS (
+          |  SELECT q.vec_id AS q_id, cb.sub, cb.code,
+          |    CAST(round(list_sum(list_transform(range(1, 9),
+          |      i -> CAST(list_slice(q.embedding, CAST(cb.sub * 8 + 1 AS INT),
+          |                 CAST(cb.sub * 8 + 8 AS INT))[i] AS DOUBLE)
+          |           * cb.anchor[i])) * 1000000000) AS BIGINT) AS qd
+          |  FROM embeddings q, pcb cb WHERE q.vec_id < 10),
+          |scored AS (
+          |  SELECT qc.q_id, a.vec_id AS nn_id,
+          |    CAST(SUM(qd.qd) AS BIGINT) AS adc_nano
+          |  FROM qcells qc
+          |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+          |  JOIN enc e ON e.vec_id = a.vec_id
+          |  JOIN qdots qd ON qd.q_id = qc.q_id AND qd.sub = e.sub AND qd.code = e.code
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT q_id, nn_id, adc_nano, row_number() OVER (PARTITION BY q_id
+          |    ORDER BY adc_nano DESC, nn_id ASC) AS rank
+          |  FROM scored)""".stripMargin
+      else
+        // residual ADC: per-subspace least-squares decode scale α from the
+        // encoded corpus (exact-long nano sums, one final division), the
+        // per-(q, probed-cell) base term round(dot(q, μ)·1e9), and the
+        // CELL-INDEPENDENT per-(q, sub, code) table round(α·dot·1e9); the
+        // final score is the exact long sum qmu + Σ qd — the twin of
+        // SimilarityOps.ivfPqResidualTopK
+        """rd AS (
+          |  SELECT sv.sub, CAST(round(list_sum(list_transform(range(1, 9),
+          |    i -> CAST(sv.v[i] AS DOUBLE) * cb.anchor[i])) * 1000000000) AS BIGINT) AS rd
+          |  FROM sv JOIN enc e ON e.vec_id = sv.vec_id AND e.sub = sv.sub
+          |  JOIN pcb cb ON cb.sub = e.sub AND cb.code = e.code),
+          |alphas AS (
+          |  SELECT sub, CAST(CAST(SUM(rd) AS BIGINT) AS DOUBLE)
+          |    / (CAST(COUNT(*) AS DOUBLE) * 8000000000.0) AS alpha
+          |  FROM rd GROUP BY 1),
+          |qmu AS (
+          |  SELECT qc.q_id, qc.cell,
+          |    CAST(round(list_sum(list_transform(range(1, 65),
+          |      i -> CAST(q.embedding[i] AS DOUBLE) * c.anchor[i]))
+          |      * 1000000000) AS BIGINT) AS qmu
+          |  FROM qcells qc
+          |  JOIN embeddings q ON q.vec_id = qc.q_id
+          |  JOIN icb c ON c.cell = qc.cell),
+          |qdots AS (
+          |  SELECT q.vec_id AS q_id, cb.sub, cb.code,
+          |    CAST(round(al.alpha * list_sum(list_transform(range(1, 9),
+          |      i -> CAST(list_slice(q.embedding, CAST(cb.sub * 8 + 1 AS INT),
+          |                 CAST(cb.sub * 8 + 8 AS INT))[i] AS DOUBLE)
+          |           * cb.anchor[i])) * 1000000000) AS BIGINT) AS qd
+          |  FROM embeddings q, pcb cb
+          |  JOIN alphas al ON al.sub = cb.sub
+          |  WHERE q.vec_id < 10),
+          |scored AS (
+          |  SELECT qc.q_id, a.vec_id AS nn_id, qc.cell,
+          |    CAST(SUM(qd.qd) AS BIGINT) AS rsum
+          |  FROM qcells qc
+          |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.q_id
+          |  JOIN enc e ON e.vec_id = a.vec_id
+          |  JOIN qdots qd ON qd.q_id = qc.q_id AND qd.sub = e.sub AND qd.code = e.code
+          |  GROUP BY 1, 2, 3),
+          |ranked AS (
+          |  SELECT s.q_id, s.nn_id, s.rsum + m.qmu AS adc_nano,
+          |    row_number() OVER (PARTITION BY s.q_id
+          |      ORDER BY (s.rsum + m.qmu) DESC, s.nn_id ASC) AS rank
+          |  FROM scored s
+          |  JOIN qmu m ON m.q_id = s.q_id AND m.cell = s.cell)""".stripMargin
+    icbChain + "\n" + assignChain + sharedMid + "\n" + scoreChain
   }
 
   private lazy val oracleBase: Map[String, String] = Map(
@@ -2288,6 +2402,18 @@ object DQueries {
     // E135 for the trained configuration — the s15 metric replay over the
     // s17 search (trained-icb CTE chain, same eval tail)
     "s18_ivf_trained_eval" -> ivfPqEvalSql(ivfPqCtesWith(trainedIvf = true)),
+
+    // E139: the trained-icb chain with RESIDUAL encoding — codes quantize
+    // x − μ_cell, score reconstructs dot(q, μ + α·anchor); differs from
+    // s17 only in the residual switch, so s18-vs-s20 isolates it
+    "s19_ivfpq_residual" ->
+      ("WITH " + ivfPqCtesWith(trainedIvf = true, residual = true) + "\n" +
+        "SELECT q_id, rank, nn_id, adc_nano\n" +
+        "FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    // E140: the s15/s18 metric replay over the s19 residual search
+    "s20_ivfpq_residual_eval" ->
+      ivfPqEvalSql(ivfPqCtesWith(trainedIvf = true, residual = true)),
 
 
     // twin of SimilarityOps.quantizeInt8: same scale division, same

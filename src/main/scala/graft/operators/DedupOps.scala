@@ -1081,6 +1081,12 @@ object DedupOps {
       val total = r.getLong(0).toDouble
       val keys = r.getLong(1).toDouble
       if (total <= 0.0) return kMin // degenerate/empty corpus
+      // saturated-vocabulary short-circuit: ~1 distinct shingle at this
+      // width means the corpus is one effective word — every wider window
+      // is the same repeated token, so widening cannot grow the key space
+      // and the remaining kMax−k probes (each a full tokenize+explode+HLL
+      // scan) would buy nothing. Return kMin as the r12 formulation did.
+      if (keys <= 2.0) return kMin
       if (total / math.max(keys, 1.0) <= targetMeanDf || k == kMax) return k
       k += 1
     }

@@ -1045,6 +1045,139 @@ object SimilarityOps {
     * Recall becomes the CELL-probe recall (the IVF side), with the ADC
     * resolution limit bought back exactly. Output (q_id, rank, nn_id,
     * cos). */
+  /** Residual vectors vs the coarse quantizer: x − μ_cell per vector,
+    * doubles. The FAISS IVF-PQ move (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", §IV): PQ-encoding the RESIDUAL instead
+    * of the raw vector quantizes a distribution whose spread is the
+    * within-cell scatter rather than the corpus spread, so the same code
+    * budget buys finer resolution. Exactness: float→double widening is
+    * exact and the subtraction is one IEEE op on engine-portable inputs
+    * (±1 hash anchors, or kmeansFit's nano-grid means), so the residual
+    * frame — and everything encoded from it — replays bit-identically in
+    * the DuckDB twin. Output (vec_id, cell, embedding = residual). */
+  private[graft] def ivfResiduals(corpus: DataFrame,
+                                  ivfCb: DataFrame): DataFrame =
+    ivfAssign(corpus, ivfCb)
+      .join(broadcast(ivfCb), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("anchor"),
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+
+  /** Residual-encoded IVF-PQ index build — [[ivfPqIndex]] with the codes
+    * quantizing x − μ_cell instead of x. Returns (index, scales):
+    *
+    *  - index (vec_id, sub, code, cell) — same stored shape as
+    *    [[ivfPqIndex]] (1-byte codes, cell-partitionable, shard-appendable:
+    *    assignment and residual encode are per-vector functions of the
+    *    frozen codebooks, so the incrementality contract is unchanged);
+    *  - scales (sub, alpha) — the per-subspace least-squares DECODE scale
+    *    for the ±1 hash codebook: residual components are within-cell
+    *    scatter (‖r‖ ≪ ‖anchor‖ = √subDim), so the decoded residual is
+    *    α·anchor with α* = Σ r·c / Σ ‖c‖² fitted over the corpus (one
+    *    aggregate over the encoded rows — the scalar the fixed codebook
+    *    can't carry; a TRAINED residual codebook would absorb it, but its
+    *    float-sum means aren't oracle-replayable, the pqTrain trade-off).
+    *    α rides the exact nano grid (round(dot·10⁹) long sums, one final
+    *    division), so it is order-independent and engine-portable.
+    *
+    * The shared encoded frame is eagerly checkpointed serialized (the
+    * b55/d17 storage lesson) — index and scales both read it, and at
+    * corpus scale recomputing the assign+encode lineage twice is the
+    * only alternative. */
+  def ivfPqResidualIndex(corpus: DataFrame, ivfCb: DataFrame,
+                         pqCb: DataFrame, m: Int = 8,
+                         dim: Int = 64): (DataFrame, DataFrame) = {
+    val subDim = dim / m
+    val res = ivfResiduals(corpus, ivfCb)
+    val enc = pqAssign(
+        pqSubvectors(res.select(col("vec_id"), col("embedding")), m, dim),
+        pqCb)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val index = enc.select(col("vec_id"), col("sub"), col("code"), col("cell"))
+    val scales = enc.join(broadcast(pqCb), Seq("sub", "code"))
+      .select(col("sub"),
+        round(dot(col("__sv"), col("anchor")) * lit(1.0e9)).cast("long")
+          .as("__rd"))
+      .groupBy("sub")
+      .agg(sum(col("__rd")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("sub"), (col("__s").cast("double") /
+        (col("__n").cast("double") * lit(subDim * 1.0e9))).as("alpha"))
+    (index, scales)
+  }
+
+  /** Search over a RESIDUAL-encoded index ([[ivfPqResidualIndex]]): the
+    * ADC score approximates dot(q, x) through the reconstruction
+    * x̂ = μ_cell + α_sub·anchor_code, i.e.
+    *
+    *   adc = dot(q, μ_cell) + Σ_sub α_sub · dot(q_sub, anchor_code)
+    *
+    * — one per-(query, probed-cell) base term (nProbe rows/query) plus
+    * the usual per-(query, sub, code) table (m·k rows/query, and unlike
+    * a textbook residual ADC it stays CELL-INDEPENDENT: the cell enters
+    * only through the additive μ term, because the decode is linear —
+    * so the broadcast table does not grow nProbe-fold). Every term rides
+    * the nano grid (round(·10⁹) longs, exact integer sums), so ranking
+    * reproduces bit-identically in the DuckDB twin, same as [[ivfPqTopK]].
+    * Touched bytes per query are unchanged from the non-residual search:
+    * probed cells' 1-byte codes only, partition-pruned at rest. */
+  def ivfPqResidualTopK(index: DataFrame, scales: DataFrame,
+                        queries: DataFrame, ivfCb: DataFrame,
+                        pqCb: DataFrame, topK: Int, nProbe: Int,
+                        m: Int = 8, dim: Int = 64,
+                        pruneCells: Boolean = true): DataFrame = {
+    val subDim = dim / m
+    val qCells = queries.crossJoin(broadcast(ivfCb))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        cosine(col("embedding"), col("anchor")).as("acos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("acos").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select("q_id", "cell")
+    val prunedIndex =
+      if (pruneCells) {
+        val cells = qCells.select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted
+        index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      } else index
+    // per-(query, probed cell) reconstruction base: round(dot(q, μ)·10⁹)
+    val qmu = qCells
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding"))), "q_id")
+      .join(broadcast(ivfCb), "cell")
+      .select(col("q_id"), col("cell"),
+        round(dot(col("embedding"), col("anchor")) * lit(1.0e9)).cast("long")
+          .as("__qmu"))
+    // per-(query, sub, code) decoded-residual term: round(α·dot(q_sub, c)·10⁹)
+    val qdots = queries
+      .select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("q_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("__qv"))
+      .join(broadcast(pqCb), "sub")
+      .join(broadcast(scales), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        round(col("alpha") * dot(col("__qv"), col("anchor")) * lit(1.0e9))
+          .cast("long").as("__qd"))
+    broadcast(qCells)
+      .join(prunedIndex, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "cell", "vec_id", "sub", "code")
+      .join(broadcast(qdots), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "cell", "vec_id")
+      .agg(sum(col("__qd")).as("__rsum"))
+      .join(broadcast(qmu), Seq("q_id", "cell"))
+      .select(col("q_id"), col("vec_id"),
+        (col("__qmu") + col("__rsum")).as("adc_nano"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc_nano").desc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("nn_id"),
+        col("adc_nano"))
+  }
+
   def ivfPqTopKReranked(index: DataFrame, corpus: DataFrame,
                         queries: DataFrame, ivfCb: DataFrame,
                         pqCb: DataFrame, topK: Int, shortlistR: Int,

@@ -61,7 +61,14 @@ object IvfRecallSweep {
         index, emb, q, ivfCb, pqCb, topK = 5, shortlistR = 20,
         nProbe = nProbe))
       val t2 = System.nanoTime()
-      println(f"""[ivfsweep] {"ivf":"$tag","adc_recall5":$adcRecall%.4f,"adc_mrr":$adcMrr%.4f,"rerank_recall5":$rrRecall%.4f,"rerank_mrr":$rrMrr%.4f,"adc_sec":${(t1 - t0) / 1e9}%.2f,"rerank_sec":${(t2 - t1) / 1e9}%.2f}""")
+      // residual encoding (the s19 config): codes quantize x − μ_cell,
+      // one-stage ADC over the reconstruction dot(q, μ + α·anchor)
+      val (resIndex, resScales) =
+        SimilarityOps.ivfPqResidualIndex(emb, ivfCb, pqCb)
+      val (resRecall, resMrr) = metrics(SimilarityOps.ivfPqResidualTopK(
+        resIndex, resScales, q, ivfCb, pqCb, topK = 5, nProbe = nProbe))
+      val t3 = System.nanoTime()
+      println(f"""[ivfsweep] {"ivf":"$tag","adc_recall5":$adcRecall%.4f,"adc_mrr":$adcMrr%.4f,"rerank_recall5":$rrRecall%.4f,"rerank_mrr":$rrMrr%.4f,"residual_recall5":$resRecall%.4f,"residual_mrr":$resMrr%.4f,"adc_sec":${(t1 - t0) / 1e9}%.2f,"rerank_sec":${(t2 - t1) / 1e9}%.2f,"residual_sec":${(t3 - t2) / 1e9}%.2f}""")
     }
 
     report("hash", hashIvf)

@@ -132,8 +132,19 @@ object ScaleData {
 
     // embeddings: rotate dims by 13k (+ a global sign flip past one full
     // rotation cycle — cosines are invariant, cross-copy dots decorrelate),
-    // offset vec_id
+    // offset vec_id. COMPOSITION GUARD: rotations do not compose
+    // injectively — an outer 13k rotation over an already-rotated dir
+    // gives identical transforms for copy pairs with equal j+k mod 64 and
+    // matching sign parity, planting exact cross-copy duplicate vectors
+    // under distinct vec_ids (and offset-only composition would plant
+    // byte-identical vectors outright). Fail fast with the scaladoc's
+    // guidance instead of silently corrupting similarity/dedup fixtures.
     scale("embeddings") {
+      require(strideMult == 1L,
+        "embeddings cannot be composed from an already-scaled dir " +
+          "(dim rotations do not compose injectively): scale embeddings " +
+          "from the base sf0.1 dir with the full factor instead, e.g. " +
+          "tablesCsv=embeddings strideMult=1 factor=<total>")
       val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
       write(copies(emb) { (df, k) =>
         if (k == 0) df

@@ -152,6 +152,31 @@ class SimilaritySpec extends SparkSpec {
     info(s"clustered reranked recall@5, trained cells + hash codes: $rrTrainedCells")
     assert(rrTrainedCells >= rrHash,
       s"trained coarse quantizer lost to hash cells: $rrTrainedCells < $rrHash")
+    // RESIDUAL encoding (the s19 config) attacks the same within-cell
+    // resolution limit from the ENCODE side: codes quantize x − μ_cell,
+    // so same-cell vectors — which share nearly identical raw codes on
+    // this fixture (cluster radius 1 around centers of norm ~10·8) — get
+    // DISTINCT residual codes. One-stage residual ADC must therefore
+    // improve on one-stage raw ADC under the same cells and codes
+    // (measured here: 0.20 → 0.25; the ±1 hash codebook's 16-of-256 sign
+    // patterns per subspace cap how much of the residual it can express —
+    // the scalar α fixes the SCALE mismatch, not the direction coverage —
+    // and on the sf0.01 corpus the same switch moves recall@5 0.12 → 0.14
+    // and MRR 0.14 → 0.26, the oracle-pinned s18-vs-s20 delta).
+    def residualRecallOf(ivfCb: org.apache.spark.sql.DataFrame,
+                         pqCb: org.apache.spark.sql.DataFrame): Double = {
+      val (idx, scales) = SimilarityOps.ivfPqResidualIndex(corpus, ivfCb, pqCb)
+      val appr = pairs(SimilarityOps.ivfPqResidualTopK(idx, scales, cq,
+        ivfCb, pqCb, topK = 5, nProbe = 2))
+      (exact & appr).size.toDouble / exact.size
+    }
+    val adcRawSame = recallOf(trainedIvf2, hashPq)
+    val adcResidual = residualRecallOf(trainedIvf2, hashPq)
+    info(s"clustered one-stage recall@5, trained cells + hash codes: " +
+      s"raw=$adcRawSame residual=$adcResidual")
+    assert(adcResidual > adcRawSame,
+      s"residual encoding did not improve one-stage ADC: " +
+        s"$adcResidual <= $adcRawSame")
   }
 
   /** Vectors built by concatenating codebook anchors for known codes: the
