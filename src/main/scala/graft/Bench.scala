@@ -315,7 +315,7 @@ object Bench {
       """"d03_minhash_lsh":"eager persist materialization since r05 (lazy persist raced across sibling stages, computing the shared lineage 2-3x); a row-wise signature plan was A/B-profiled and rejected (slower than the aggregate, see SCALING)",""" +
       """"t06_quality_topq":"percentile_approx threshold plan (oracle: exact per-stratum rank); benched since r03",""" +
       """"a40_winsorize":"percentile_approx threshold plan (oracle: exact rank-defined quantiles); benched since r05",""" +
-      """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches) - cost is fixed prep+codegen overhead, not graph size",""" +
+      """"b46_pagerank":"4 distributed rounds; since r07 checkpointInterval=1 (per-round materialization; an interleaved A/B showed round-fusing lengthens the checkpoint job's codegen+AQE chain by more than the saved job launches - re-confirmed at sf10 in r14) - cost is fixed prep+codegen overhead, not graph size. Since r14 all persisted state (edge/node caches + rank checkpoints) is SERIALIZED storage: interleaved A/B measured ser <= deser at every decade (sf100: 233/242 -> 219/222 s)",""" +
       """"d17_containment":"density-adaptive shingle width (containmentPairsAuto) since r12; since r13 the width is chosen by REALIZED-df probing (one scan per candidate k) instead of the vocab^k estimate, which undersized k on sharded vocabularies - r12-vs-r13 deltas on this key measure the prober swap. The oracle key stays fixed k=3 (quadratic on the saturated fixture, excluded from scale sweeps r09-r11)",""" +
       """"b40_fuzzy_match":"since r13 the scaled decades tag supplier names per copy - the untagged sf1/sf10 fixtures planted same-name cliques that made blocking candidates quadratic in copies, so pre-r13 b40 decade numbers measured that artifact (SCALING r13)",""" +
       """"m03_image_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)",""" +

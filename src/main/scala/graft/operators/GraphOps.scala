@@ -74,12 +74,28 @@ object GraphOps {
     * Returns (node, rank_pico BIGINT, rank DOUBLE = rank_pico / 10^12).
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
-               iterations: Int = 8, checkpointInterval: Int = 1): DataFrame = {
+               iterations: Int = 8, checkpointInterval: Int = 1,
+               serializedState: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1: $checkpointInterval")
     val UnitPico: Long = 1000000000000L
-    val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // `serializedState` switches every persisted frame (edge/node caches
+    // AND the per-round rank checkpoints) to *_SER storage — the b55/d17
+    // storage lever (deserialized UnsafeRow pins ~80 B/row; serialized
+    // blocks trade CPU decode for heap room). A storage level is a
+    // materialization knob, never a semantics knob: PageRankAb asserts
+    // the pico-rank checksum is identical across settings. Default TRUE
+    // since r14 — the interleaved A/B (graft.tools.PageRankAb) measured
+    // serialized ≤ deserialized at every decade, decisively where the
+    // edge cache pressures the heap: sf0.1 3.53 vs 3.79 s, sf10 25.3 vs
+    // 26.0 s, sf100 219/222 vs 233/242 s (every ser trial beat every
+    // deser trial at 64 g; the decode tax never shows because the
+    // per-round join reads the cache once per pass — see SCALING r14).
+    val MemDisk =
+      if (serializedState)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // a half-null edge is no edge: it would register a null node that
     // every join silently drops, leaking rank mass nondeterministically.
     // ONE edge-sized exchange for all of prep: repartition on src, then
@@ -149,7 +165,7 @@ object GraphOps {
           (lit(base) + expr("(85 * __inb) div 100")).as("rank"))
       i += 1
       if (i % checkpointInterval == 0 || i == iterations) {
-        next = next.localCheckpoint(true)
+        next = next.localCheckpoint(true, MemDisk)
         val stale = lastCkpt
         lastCkpt = backingRdd(next)
         stale.foreach(_.unpersist(false))

@@ -152,6 +152,126 @@ class SoakSpec extends SparkSpec {
     } finally queries.foreach(_._2.stop())
   }
 
+  /** The 100 TB streaming-state story's OTHER half (VERDICT r13 task 5):
+    * the first soak proves the fixed-city key space plateaus on the
+    * default HDFS-backed (heap) store; this one exercises the two
+    * documented escape hatches for key spaces that DON'T stay fixed —
+    * the RocksDB state-store backend (GraftSession's `stateStore` knob,
+    * state off-heap on local disk) and the A12 TTL hatch
+    * ([[graft.operators.StreamOps.runningTotalsTtl]]). The generator
+    * emits a GROWING key space (fresh user ids every simulated day, plus
+    * a handful of stable keys), and two running-totals queries consume
+    * the same stream concurrently on RocksDB:
+    *
+    *  - WITH the TTL hatch (48 h event-time TTL at 1 sim day/s): state
+    *    must PLATEAU — eviction keeps only the keys active within the
+    *    TTL horizon, so boundedness comes from the TTL, not key-space
+    *    luck (the inverse of the first soak's premise);
+    *  - WITHOUT it (the reference's keep-everything semantics): state
+    *    must GROW monotonically with the day count — asserting the
+    *    growth proves the fixture actually generates an unbounded key
+    *    space (a plateau here would mean the TTL assertion is vacuous).
+    *
+    * Both queries must run on the RocksDB provider for real (asserted on
+    * the progress customMetrics, not the conf). Opt-in like the main
+    * soak: GRAFT_SOAK_ROCKSDB_SECONDS=240 sbt "testOnly graft.SoakSpec". */
+  test("RocksDB soak: TTL bounds an unbounded key space; no-TTL control grows") {
+    assume(sys.env.contains("GRAFT_SOAK_ROCKSDB_SECONDS"),
+      "opt-in: GRAFT_SOAK_ROCKSDB_SECONDS=240 sbt 'testOnly graft.SoakSpec'")
+    val soakSec = sys.env("GRAFT_SOAK_ROCKSDB_SECONDS").toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak_rdb").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, GraftSession.RocksDbProvider)
+    val clock = new EventGen.RealtimeClock("2024-01-01", timewarp = 86400.0)
+    val newKeysPerDay = 120
+
+    def emitDay(d: java.time.LocalDate): Unit = {
+      import spark.implicits._
+      val day = d.toString
+      val fresh = (0 until newKeysPerDay).map(i => (s"u_${day}_$i", 10.0,
+        java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+      val stable = (0 until 5).map(i => (s"stable_$i", 1.0,
+        java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+      (fresh ++ stable).toDF("user_id", "spend", "ts").coalesce(1)
+        .write.mode("append").json(s"$dir/events")
+    }
+    emitDay(clock.poll(0.0).get)
+
+    val schema = "user_id STRING, spend DOUBLE, ts TIMESTAMP"
+    def src() = spark.readStream.schema(schema).json(s"$dir/events")
+    import graft.operators.StreamOps
+    val ttlQ = StreamOps.runningTotalsTtl(
+        src().withWatermark("ts", "45 seconds"),
+        "user_id", "spend", "ts", ttl = "48 hours")
+      .writeStream.queryName("rdb_ttl_totals").format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/chk_ttl").start()
+    val rawQ = StreamOps.runningTotals(src(),
+        Seq(col("user_id")), col("spend"))
+      .writeStream.queryName("rdb_raw_totals").format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/chk_raw").start()
+    val queries = Seq("ttl" -> ttlQ, "raw" -> rawQ)
+
+    val samples = mutable.Buffer[(String, Long)]() // (name, stateRows)
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    try {
+      var lastSample = 0.0
+      var sawRocksDb = false
+      while (elapsed < soakSec) {
+        clock.poll(elapsed).foreach(emitDay)
+        if (elapsed - lastSample >= 5.0) {
+          lastSample = elapsed
+          queries.foreach { case (name, q) =>
+            val p = q.lastProgress
+            if (p != null && p.stateOperators.nonEmpty) {
+              samples += ((name, p.stateOperators.map(_.numRowsTotal).sum))
+              if (p.stateOperators.exists(_.customMetrics.keySet.toArray
+                  .exists(_.toString.toLowerCase.contains("rocksdb"))))
+                sawRocksDb = true
+            }
+          }
+        }
+        Thread.sleep(250)
+      }
+      queries.foreach { case (name, q) =>
+        assert(q.exception.isEmpty, s"$name died: ${q.exception}")
+        assert(q.isActive, s"$name stopped early")
+      }
+      assert(sawRocksDb,
+        "no rocksdb* custom metric ever appeared — queries did not run on " +
+          "the RocksDB state store")
+      val byName = samples.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ttlRows = byName.getOrElse("ttl", mutable.Buffer.empty)
+      val rawRows = byName.getOrElse("raw", mutable.Buffer.empty)
+      assert(ttlRows.size >= 8 && rawRows.size >= 8,
+        s"too few samples: ttl=${ttlRows.size} raw=${rawRows.size}")
+      info(s"ttl state curve: ${ttlRows.mkString(",")}")
+      info(s"raw state curve: ${rawRows.mkString(",")}")
+      // TTL: plateau (same rule as the main soak)
+      val n = ttlRows.size
+      val mid = ttlRows.slice(n / 4, 3 * n / 4).max
+      val last = ttlRows.drop(3 * n / 4).max
+      assert(last <= 1.3 * mid + 64,
+        s"TTL state grew past the plateau: mid-half max $mid, " +
+          s"last-quarter max $last over ${soakSec}s")
+      // control: the key space really is unbounded — state must grow
+      val firstQ = rawRows.take(math.max(rawRows.size / 4, 1)).max
+      val lastQ = rawRows.drop(3 * rawRows.size / 4).max
+      assert(lastQ >= 2 * firstQ,
+        s"no-TTL control failed to grow ($firstQ -> $lastQ): the " +
+          "unbounded-key fixture is broken, the TTL plateau proves nothing")
+    } finally {
+      queries.foreach(_._2.stop())
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   private def median(xs: collection.Seq[Long]): Long = {
     val s = xs.sorted
     if (s.isEmpty) 0L else s(s.size / 2)
