@@ -458,6 +458,41 @@ object DQueries {
         .orderBy("q_id")
     }),
 
+    "s21_semdedup" -> ((s, dir) => {
+      // E141: SemDeDup (arXiv:2303.09540) — kmeans-cluster-bounded
+      // embedding dedup. Corpus augmented with the d18 planted twins
+      // (vec_id + 1e6, first dim ×1.5 — pure double arithmetic both
+      // engines replay) so the tight cos ≥ 0.95 regime has real prey;
+      // nCells derives from corpus size (n/512, floor 16 — at gate sf
+      // the floor holds, matching the 16-cell oracle Lloyd chain).
+      val base = embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embeddings(s, dir).filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") * lit(1.5))
+              .otherwise(x.cast("double"))).as("embedding"))
+      val aug = base.unionByName(twins)
+      val nCells = math.max(16, math.ceil(aug.count() / 512.0).toInt)
+      SimilarityOps.semDedup(aug, nCells = nCells, iters = 2,
+          threshold = 0.95)
+        .select(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
+          rnd(col("cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
+
+    "t44_dsir_select" -> ((s, dir) => {
+      // E142: DSIR importance selection — target = the src0/src1/src2
+      // slice, pool = everything else, top-100 pool docs by hashed-
+      // unigram importance (deterministic, noise-free — see the op's
+      // scaladoc for the two documented deviations from the paper).
+      CurationOps.dsirSelect(documents(s, dir), col("doc_id"), col("text"),
+          col("source").isin("src0", "src1", "src2"), topN = 100)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("w_micro"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
     "s05_quantize" -> ((s, dir) => {
       // E32 through the gate: symmetric int8 quantization, exploded to
       // scalar rows. scale and q are single correctly-rounded IEEE ops on
@@ -1529,6 +1564,47 @@ object DQueries {
     * per-subspace least-squares decode scale α and the reconstruction
     * score dot(q, μ) + Σ α·dot(q_sub, anchor) — every term on the nano
     * grid, exactly as the Spark plan computes it. */
+  /** Twin of kmeansFit(nCells=16, iters=2, init=ivfCodebook) over the
+    * named corpus CTE/table: the s12 unrolled-Lloyd chain (hash seed →
+    * argmax-cosine assign → exact-long nano-grid means, twice); empty
+    * cells drop out via the GROUP BY, exactly as Lloyd's does. Emits
+    * CTEs icb0..icb (trailing comma included); downstream chains read
+    * `icb`. Shared by the s17/s18/s19/s20 IVF-PQ chain (corpus =
+    * `embeddings`) and the s21 SemDeDup twin (corpus = `aug`). */
+  private def trainedIcbChain(corpus: String): String = {
+    val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    s"""icb0 AS (
+       |  SELECT cell, list_transform(range(0, 64), d ->
+       |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+       |  FROM range(0, 16) t1(cell)),
+       |ta1 AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+       |    FROM $corpus e, icb0 c) WHERE r = 1),
+       |tm1 AS (
+       |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+       |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+       |  FROM ta1, range(1, 65) t(i) GROUP BY 1, 2),
+       |icb1 AS (
+       |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
+       |  FROM tm1 GROUP BY cell),
+       |ta2 AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+       |    FROM $corpus e, icb1 c) WHERE r = 1),
+       |tm2 AS (
+       |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+       |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+       |  FROM ta2, range(1, 65) t(i) GROUP BY 1, 2),
+       |icb AS (
+       |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
+       |  FROM tm2 GROUP BY cell),""".stripMargin
+  }
+
   private def ivfPqCtesWith(trainedIvf: Boolean,
                             residual: Boolean = false): String = {
     val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
@@ -1540,41 +1616,7 @@ object DQueries {
            |  SELECT cell, list_transform(range(0, 64), d ->
            |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
            |  FROM range(0, 16) t1(cell)),""".stripMargin
-      else
-        // twin of kmeansFit(nCells=16, iters=2, init=ivfCodebook): the
-        // s12 unrolled-Lloyd chain (hash seed → argmax-cosine assign →
-        // exact-long nano-grid means, twice); empty cells drop out via
-        // the GROUP BY, exactly as Lloyd's does
-        s"""icb0 AS (
-           |  SELECT cell, list_transform(range(0, 64), d ->
-           |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
-           |  FROM range(0, 16) t1(cell)),
-           |ta1 AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
-           |    FROM embeddings e, icb0 c) WHERE r = 1),
-           |tm1 AS (
-           |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
-           |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
-           |  FROM ta1, range(1, 65) t(i) GROUP BY 1, 2),
-           |icb1 AS (
-           |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
-           |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
-           |  FROM tm1 GROUP BY cell),
-           |ta2 AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
-           |    FROM embeddings e, icb1 c) WHERE r = 1),
-           |tm2 AS (
-           |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
-           |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
-           |  FROM ta2, range(1, 65) t(i) GROUP BY 1, 2),
-           |icb AS (
-           |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
-           |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
-           |  FROM tm2 GROUP BY cell),""".stripMargin
+      else trainedIcbChain("embeddings")
     // assignment: the non-residual chain needs only (vec_id, cell); the
     // residual chain keeps the embedding alongside (rass) and derives the
     // residual frame — CAST(emb[i] AS DOUBLE) − anchor[i] is the exact
@@ -2414,6 +2456,72 @@ object DQueries {
     // E140: the s15/s18 metric replay over the s19 residual search
     "s20_ivfpq_residual_eval" ->
       ivfPqEvalSql(ivfPqCtesWith(trainedIvf = true, residual = true)),
+
+    // E141: twin of SimilarityOps.semDedup over the d18 augmented corpus
+    // — the 16-cell trained Lloyd chain (corpus = aug), within-cell
+    // pairwise cosine, drop rule "∃ lower-id in-cell partner ≥ τ",
+    // dup_of = the smallest such partner
+    "s21_semdedup" ->
+      (s"""WITH aug AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(1, 65),
+         |    i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.5
+         |              ELSE CAST(embedding[i] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id < 50),
+         |""".stripMargin +
+        trainedIcbChain("aug") +
+        s"""
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM aug e, icb c) WHERE r = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95),
+         |drp AS (
+         |  SELECT vec_b AS vec_id, vec_a AS dup_of, cos FROM (
+         |    SELECT vec_b, vec_a, cos, row_number() OVER (PARTITION BY vec_b
+         |      ORDER BY vec_a ASC) AS rn FROM pr) WHERE rn = 1)
+         |SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+         |  d.dup_of IS NULL AS kept, d.dup_of, ${rndSql("d.cos")} AS cos
+         |FROM assigned s LEFT JOIN drp d USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin),
+
+    // E142: twin of CurationOps.dsirSelect — same hashed buckets, same
+    // add-1-smoothed double ratio structure, per-bucket ln quantized to
+    // micro BEFORE the exact per-doc sum (the t37 convention), top-100
+    // by (w_micro DESC, doc_id)
+    "t44_dsir_select" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS tgt,
+         |    ${h60Sql("'dsir_' || term")} % 4096 AS f
+         |  FROM (SELECT doc_id, source, unnest($toksSql) AS term FROM documents)),
+         |tc AS (SELECT f, COUNT(*) AS ct FROM tk WHERE tgt GROUP BY f),
+         |pk AS (SELECT doc_id, f FROM tk WHERE NOT tgt),
+         |rc AS (SELECT f, COUNT(*) AS cr FROM pk GROUP BY f),
+         |nt AS (SELECT coalesce(SUM(ct), 0) AS nt FROM tc),
+         |nr AS (SELECT coalesce(SUM(cr), 0) AS nr FROM rc),
+         |lr AS (
+         |  SELECT rc.f, CAST(round(ln(
+         |      (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(nt.nt + 4096 AS DOUBLE))
+         |    / (CAST(rc.cr + 1 AS DOUBLE) / CAST(nr.nr + 4096 AS DOUBLE))) * 1000000)
+         |    AS BIGINT) AS lr
+         |  FROM rc LEFT JOIN tc USING (f), nt, nr),
+         |sc AS (
+         |  SELECT p.doc_id, COUNT(*) AS n_tokens, CAST(SUM(l.lr) AS BIGINT) AS w_micro
+         |  FROM pk p JOIN lr l USING (f) GROUP BY 1),
+         |rk AS (
+         |  SELECT doc_id, n_tokens, w_micro,
+         |    row_number() OVER (ORDER BY w_micro DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, w_micro, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
 
     // twin of SimilarityOps.quantizeInt8: same scale division, same

@@ -709,4 +709,64 @@ object CurationOps {
       .select(col("anchor"), col("j"), col("cand_id").as("neg_id"))
     ok.unionByName(collided)
   }
+
+  /** E142: DSIR-style importance selection (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169) —
+    * pick the pool documents whose hashed-unigram distribution looks most
+    * like a small TARGET corpus. Features are hashed token buckets
+    * (`hash60("dsir_"||term) mod nBuckets`, the portable-hash
+    * convention); each bucket gets an add-1-smoothed log importance
+    * ratio ln(p_target(f)/q_pool(f)); a document's score is the exact
+    * sum of its tokens' ratios. Deviations from the paper, both for
+    * reproducibility: selection is deterministic top-N by score (the
+    * paper perturbs with Gumbel noise to resample — noise-free selection
+    * is the [[stratifiedHashSample]] stance: a re-run on 100 TB must
+    * pick the same rows), and per-bucket ratios quantize to micro units
+    * (long) BEFORE the per-doc sum so the score is order-independent
+    * (the t37 bigram-LM convention; a double sum over a shuffled join is
+    * not associative-stable).
+    *
+    * Scale shape: one token explode (linear scan), two map-side-partial
+    * aggregates onto `nBuckets` keys, the ratio table stays nBuckets
+    * rows and BROADCASTS into the scoring join (no shuffle of the token
+    * frame beyond the per-doc regroup), and the final top-N is
+    * `orderBy.limit` → TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Returns the selected rows:
+    * (id, n_tokens, w_micro, rank), rank 1-based by (score desc, id). */
+  def dsirSelect(df: DataFrame, idCol: Column, textCol: Column,
+                 isTarget: Column, topN: Int,
+                 nBuckets: Int = 4096): DataFrame = {
+    require(topN > 0, s"dsirSelect: topN must be positive: $topN")
+    require(nBuckets > 0, s"dsirSelect: nBuckets must be positive: $nBuckets")
+    val toks = df.select(idCol.as("id"), isTarget.as("__tgt"),
+        explode(TextOps.tokens(textCol)).as("__term"))
+      .select(col("id"), col("__tgt"),
+        pmod(Hashing.hash60(concat(lit("dsir_"), col("__term"))),
+          lit(nBuckets.toLong)).as("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgtCnt = toks.filter(col("__tgt"))
+      .groupBy("__f").agg(count(lit(1)).as("__ct"))
+    val poolToks = toks.filter(!col("__tgt"))
+    val rawCnt = poolToks.groupBy("__f").agg(count(lit(1)).as("__cr"))
+    val nt = tgtCnt.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
+    val nr = rawCnt.agg(coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
+    val b = lit(nBuckets.toLong)
+    val ratios = rawCnt.join(tgtCnt, Seq("__f"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("__f"),
+        round(log(
+          ((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("__nt") + b).cast("double")) /
+          ((col("__cr") + lit(1L)).cast("double") /
+            (col("__nr") + b).cast("double"))) * lit(1.0e6))
+          .cast("long").as("__lr"))
+    val scored = poolToks.join(broadcast(ratios), "__f")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("w_micro"))
+    scored.orderBy(col("w_micro").desc, col("id").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w_micro").desc, col("id").asc)))
+      .select(col("id"), col("n_tokens"), col("w_micro"), col("rank"))
+  }
 }

@@ -1178,6 +1178,60 @@ object SimilarityOps {
         col("adc_nano"))
   }
 
+  /** E141: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — cluster-bounded embedding near-dup removal, the
+    * standard curation step between exact/fuzzy text dedup and training.
+    * The corpus is k-means-clustered ([[kmeansFit]], the oracle-replayable
+    * nano-grid Lloyd chain), then pairwise cosine runs ONLY within each
+    * cluster; a vector is dropped when some lower-id vector in its cluster
+    * sits above the similarity threshold. Returns one verdict row per
+    * vector: (vec_id, cell, kept, dup_of, cos) where dup_of is the
+    * smallest qualifying lower-id partner (null when kept) and cos its
+    * similarity.
+    *
+    * Determinism notes: the drop rule is "∃ lower-id in-cell partner with
+    * cos ≥ τ" — anchor-independent and order-independent, unlike the
+    * paper's keep-one-random-per-group rule, so the verdict set is a pure
+    * function of (corpus, cells, τ) and DuckDB replays it row-for-row
+    * (the paper's rule needs RNG state; ours needs none and removes the
+    * same groups, keeping each group's min-id member).
+    *
+    * Scale shape (the 100 TB question): the within-cell self-join
+    * shuffles once on `cell` and is quadratic ONLY in cell size — the
+    * SemDeDup trade. `nCells` must scale with the corpus so cells stay
+    * O(hundreds): callers use n/targetCellSize (the s21 key derives it
+    * from the corpus row count; at the gate/bench decades the max(16,·)
+    * floor keeps it at the oracle CTE's 16). The kmeans assign term is
+    * n·k broadcast-codebook cosines, map-side only; cluster skew lands in
+    * the AQE skew-join path. Pairs never materialize beyond the
+    * threshold filter. */
+  def semDedup(corpus: DataFrame, nCells: Int, iters: Int,
+               threshold: Double, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val (_, assigned0) = kmeansFit(corpus, nCells, iters, dim = dim,
+      init = Some(ivfCodebook(spark, nCells, dim)))
+    val assigned = assigned0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("__ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("__eb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b").as("vec_id"), col("vec_a"),
+        cosine(col("__ea"), col("__eb")).as("__cos"))
+      .filter(col("__cos") >= lit(threshold))
+      .groupBy("vec_id")
+      .agg(min(struct(col("vec_a").as("dup_of"), col("__cos").as("cos")))
+        .as("__m"))
+      .select(col("vec_id"), col("__m.dup_of").as("dup_of"),
+        col("__m.cos").as("cos"))
+    assigned.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("cos"))
+  }
+
   def ivfPqTopKReranked(index: DataFrame, corpus: DataFrame,
                         queries: DataFrame, ivfCb: DataFrame,
                         pqCb: DataFrame, topK: Int, shortlistR: Int,

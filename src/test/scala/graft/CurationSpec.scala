@@ -666,4 +666,32 @@ class CurationSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a === b && a.size === 500)
   }
+
+  test("dsirSelect: target-like pool docs outrank target-unlike ones; " +
+      "ranks contiguous, scores monotone, selection deterministic") {
+    // target speaks "alpha beta gamma"; half the pool mimics it, half
+    // speaks "zulu yankee xray" — DSIR must rank every mimic above every
+    // non-mimic (their tokens' importance ratios are symmetric-opposite)
+    val rows =
+      (0L until 20L).map(i => (i, true, "alpha beta gamma alpha beta")) ++
+      (100L until 110L).map(i => (i, false, "alpha beta gamma beta alpha")) ++
+      (200L until 210L).map(i => (i, false, "zulu yankee xray zulu yankee"))
+    val df = rows.toDF("doc_id", "tgt", "text")
+    val out = CurationOps.dsirSelect(df, col("doc_id"), col("text"),
+      col("tgt"), topN = 15).orderBy("rank").collect()
+    assert(out.length === 15, "topN rows selected from the 20-doc pool")
+    assert(out.map(_.getInt(3)).toSeq === (1 to 15), "ranks contiguous")
+    val ws = out.map(_.getLong(2))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+      "w_micro non-increasing in rank")
+    // the 10 mimics fill ranks 1-10; non-mimics only pad the tail
+    val top10 = out.take(10).map(_.getLong(0)).toSet
+    assert(top10 === (100L until 110L).toSet,
+      s"target-like docs must outrank target-unlike ones: $top10")
+    assert(out.forall(r => r.getLong(0) >= 100L), "no target doc selected")
+    // deterministic: identical selection on a re-run
+    val again = CurationOps.dsirSelect(df, col("doc_id"), col("text"),
+      col("tgt"), topN = 15).orderBy("rank").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -565,6 +565,52 @@ class SimilaritySpec extends SparkSpec {
     assert(row5.getAs[Long]("recall_ppm") >= row.getAs[Long]("recall_ppm"))
   }
 
+  test("semDedup: verdict per vector, twins dropped onto their base, " +
+      "drop rule is cell-local and deterministic") {
+    // the s21 augmentation: near-identical twins (first dim x1.5) planted
+    // above 1e6 — cos(base, twin) = (1+0.5r)/sqrt(1+1.25r) >= 0.9806 for
+    // any first-dim energy share r, always above the 0.95 threshold
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") * lit(1.5))
+            .otherwise(x.cast("double"))).as("embedding"))
+    val aug = base.unionByName(twins)
+    val n = aug.count()
+    val out = SimilarityOps.semDedup(aug, nCells = 16, iters = 2,
+      threshold = 0.95).collect()
+    assert(out.length === n, "one verdict row per vector")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val twinIds = byId.keys.filter(_ >= 1000000L).toSeq
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { t =>
+      val (tCell, tKept, tDup) = byId(t)
+      val (bCell, _, _) = byId(t - 1000000L)
+      if (tCell == bCell) {
+        assert(!tKept, s"twin $t shares cell $tCell with base but was kept")
+        assert(tDup.exists(_ < t), s"twin $t: dup_of must be a lower id")
+      }
+    }
+    // the overwhelming majority of twins land in their base's cell and drop
+    val sameCell = twinIds.count(t => byId(t)._1 == byId(t - 1000000L)._1)
+    assert(sameCell >= twinIds.size * 9 / 10,
+      s"only $sameCell/${twinIds.size} twins share their base's cell")
+    // every dropped vector names a lower-id partner; kept rows carry nulls
+    out.foreach { r =>
+      if (r.getBoolean(2)) assert(r.isNullAt(3) && r.isNullAt(4))
+      else assert(r.getLong(3) < r.getLong(0) && !r.isNullAt(4))
+    }
+    // deterministic: a re-run yields the identical verdict set
+    val again = SimilarityOps.semDedup(aug, nCells = 16, iters = 2,
+      threshold = 0.95).collect()
+    assert(out.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("artifact search prunes the scan to probed cell partitions " +
       "(static partition filter, not runtime luck)") {
     val ivfCb = SimilarityOps.ivfCodebook(spark, nCells = 16, dim = 64)
