@@ -441,14 +441,35 @@ object DedupOps {
     def repSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    // Since r14 the round loop CONTRACTS the edge set through the fresh
+    // labels after every propagation round (distinct cross-label
+    // (min, max) rep pairs), with two effects:
+    //  - the per-round join cost SHRINKS geometrically instead of re-
+    //    scanning the full edge set every round (at sf100 d12's 66.8 M
+    //    verified pairs = 133 M edge rows × 15 rounds before this);
+    //  - as soon as the contracted label graph + the still-compressing
+    //    label pointer chains fit LocalPairThreshold, the driver
+    //    union-find FINISHES the job exactly (one broadcast compose),
+    //    replacing the long tail of near-converged distributed rounds —
+    //    the r05 small-input escape, now reachable mid-run. The pointer
+    //    pairs (label x → rep(x) ≠ x) MUST ride along: edge merging can
+    //    complete while doc labels still point at stale intermediate
+    //    labels, and a UF over cross-label edges alone would map those
+    //    stale labels to themselves (caught by DedupSpec's chain
+    //    fixtures).
+    // Convergence stays "the label sum stopped moving" — the monotone
+    // fixpoint test that is immune to the merging-done/compression-
+    // pending gap above.
     var prevSum = repSum(labels)
     var converged = false
     var i = 0
+    var edgeCache = edges // persisted backing of the current edge set
+    var edgesCur = edges  // symmetric view over it
     while (!converged && i < maxIter) {
       // pointer edges regenerate each round from the checkpointed labels;
       // reps are themselves doc_ids, so every src resolves in the join below
       val ptr = labels.filter(col("doc_id") =!= col("rep"))
-      val aug = edges
+      val aug = edgesCur
         .union(labels.select(col("doc_id").as("src"), col("doc_id").as("dst")))
         .union(ptr.select(col("doc_id").as("src"), col("rep").as("dst")))
         .union(ptr.select(col("rep").as("src"), col("doc_id").as("dst")))
@@ -462,7 +483,59 @@ object DedupOps {
       labels = next
       stale.foreach(_.unpersist(false))
       i += 1
+      if (!converged) {
+        val contracted = edgesCur
+          .join(labels.select(col("doc_id").as("src"), col("rep").as("__ra")),
+            Seq("src"))
+          .join(labels.select(col("doc_id").as("dst"), col("rep").as("__rb")),
+            Seq("dst"))
+          .filter(col("__ra") =!= col("__rb"))
+          .select(least(col("__ra"), col("__rb")).as("src"),
+            greatest(col("__ra"), col("__rb")).as("dst"))
+          .distinct()
+          .persist(MemDisk)
+        val ne = contracted.count()
+        if (edgeCache ne edges) edgeCache.unpersist(false)
+        val finished = ne <= localPairThreshold && {
+          // stale-pointer pairs: labels that are themselves re-labeled.
+          // Bounded by the label count; only materialized once the edge
+          // graph is already small enough to attempt the escape.
+          val labelSet = labels.select(col("rep").as("doc_id")).distinct()
+          val ptrPairs = labels.join(labelSet, Seq("doc_id"))
+            .filter(col("doc_id") =!= col("rep"))
+            .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+            .persist(MemDisk)
+          val nPtr = ptrPairs.count()
+          val ok = (ne + nPtr) <= localPairThreshold &&
+            localUnionFind(labelSet,
+              contracted.select(col("src").as("doc_a"),
+                col("dst").as("doc_b")).unionByName(ptrPairs))
+              .exists { lmap =>
+                // every doc's label re-routes to its label's exact
+                // component min; the collected mapping severs any
+                // dependency on the contracted/pointer frames
+                labels = labels.select(col("doc_id"), col("rep").as("__l"))
+                  .join(lmap.select(col("doc_id").as("__l"),
+                    col("rep").as("__fr")), Seq("__l"))
+                  .select(col("doc_id"), col("__fr").as("rep"))
+                true
+              }
+          ptrPairs.unpersist(false)
+          ok
+        }
+        if (finished) {
+          contracted.unpersist(false)
+          converged = true
+        } else {
+          // keep iterating on the contracted label graph (symmetric view);
+          // pointer edges above re-route every doc to its label's fate
+          edgeCache = contracted
+          edgesCur = contracted.unionByName(
+            contracted.select(col("dst").as("src"), col("src").as("dst")))
+        }
+      }
     }
+    if (edgeCache ne edges) edgeCache.unpersist(false)
     if (!converged) {
       val msg = s"[dedupClusters] not converged after $maxIter rounds " +
         "(a duplicate chain deeper than maxIter exists); clusters may be split. " +
@@ -611,12 +684,18 @@ object DedupOps {
                    multiIndex: Boolean = true): DataFrame = {
     val l = chunkBuckets(simhashed, "doc_a", "ha", maxHamming, multiIndex)
     val r = chunkBuckets(simhashed, "doc_b", "hb", maxHamming, multiIndex)
+    // hamming filter BEFORE the dedup: the verify is a per-row codegen'd
+    // expression while distinct() is a shuffle — filtering first shrinks
+    // the exchange from the full chunk-collision candidate mass (the
+    // n²/2¹⁵ birthday term: ~10⁸ rows at 5M uniform fingerprints) to the
+    // true near-dup pairs. Identical results: hamming is a pure function
+    // of the pair, so filter and distinct commute.
     l.join(r, Seq("chunk", "ck"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Cross-table form of [[simhashPairs]] — the incremental-ingestion
@@ -633,8 +712,8 @@ object DedupOps {
         Seq("chunk", "ck"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // before the dedup shuffle —
+      .distinct()                           // same commute as simhashPairs
 
   /** The multi-index pigeonhole banding of a (doc_id, simhash) frame —
     * the ONE place the band scheme is written: both the self-join and the
