@@ -1226,10 +1226,18 @@ object SimilarityOps {
         .as("__m"))
       .select(col("vec_id"), col("__m.dup_of").as("dup_of"),
         col("__m.cos").as("cos"))
-    assigned.select("vec_id", "cell")
+    // eager: materialize the (n-row, narrow) verdict frame and release the
+    // full-embedding assignment cache before returning — without this the
+    // persisted assignment (embedding column included) pins executor
+    // storage for the session lifetime (the DedupOps.materializeReleasing
+    // contract; at scale the checkpoint is the stage output table)
+    val out = assigned.select("vec_id", "cell")
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
         col("dup_of"), col("cos"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    out
   }
 
   def ivfPqTopKReranked(index: DataFrame, corpus: DataFrame,

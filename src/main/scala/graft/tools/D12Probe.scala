@@ -27,9 +27,18 @@ object D12Probe {
     val fp = DedupOps.simhash60(docs, col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("simhash60")(println(s"[d12probe]   fingerprints = ${fp.count()}"))
-    // candidate mass BEFORE the hamming verify (the chunk-collision term)
-    val l = fp.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val r = fp.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    // candidate mass BEFORE the hamming verify (the n²/2¹⁵ chunk-collision
+    // birthday term): sum of C(c,2) over the (chunk, ck) bucket sizes —
+    // counts every candidate the bucket join would emit (incl. multi-chunk
+    // re-collisions, exactly what the join pays) without running the join.
+    t("candidate mass (pre-verify)") {
+      val mass = DedupOps.chunkBuckets(fp, "doc_id", "h", maxHamming = 3,
+          multiIndex = true)
+        .groupBy("chunk", "ck").agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("mass"))
+        .head().getLong(0)
+      println(s"[d12probe]   candidate pairs (with multi-chunk dups) = $mass")
+    }
     val pairs = DedupOps.simhashPairs(fp, maxHamming = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("simhashPairs (verified)")(

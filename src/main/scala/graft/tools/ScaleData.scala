@@ -70,6 +70,15 @@ object ScaleData {
         "customer", "part", "supplier", "nation", "region")
     val strideMult = if (args.length > 4) args(4).toLong else 1L
     val spark = graft.GraftSession.build("graft-scaledata")
+    run(spark, inDir, outDir, factor, tables, strideMult)
+    spark.stop()
+  }
+
+  /** The whole scaling pass, callable without a fresh session — main is a
+    * thin arg-parsing wrapper and ScaleDataSpec drives this directly on
+    * miniature dirs (the composition-injectivity regression lives there). */
+  def run(spark: SparkSession, inDir: String, outDir: String, factor: Int,
+          tables: Set[String], strideMult: Long): Unit = {
 
     def copies(df: DataFrame)(xform: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => xform(df, k)).reduce(_ unionByName _)
@@ -217,7 +226,5 @@ object ScaleData {
     // fixed dimensions
     scale("nation") { write(spark.read.parquet(s"$inDir/nation.parquet"), "nation") }
     scale("region") { write(spark.read.parquet(s"$inDir/region.parquet"), "region") }
-
-    spark.stop()
   }
 }
