@@ -154,15 +154,40 @@ object ScaleData {
           "(dim rotations do not compose injectively): scale embeddings " +
           "from the base sf0.1 dir with the full factor instead, e.g. " +
           "tablesCsv=embeddings strideMult=1 factor=<total>")
+      require(factor < (1 << 20),
+        s"embeddings factor $factor exceeds the sign-pattern injectivity " +
+          "ceiling (2^20 copies)")
       val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
       write(copies(emb) { (df, k) =>
         if (k == 0) df
         else {
           val rot = (13 * k) % 64
-          val sign = if ((k / 64) % 2 == 1) -1.0 else 1.0
+          // Copies 1..127 keep the original rotation + global-sign scheme
+          // byte-for-byte (existing sf1/sf10 fixtures and their decade
+          // records stay comparable). Past 128 copies that scheme repeats
+          // (64 rotations × 2 signs), so copies k >= 128 compose the
+          // rotation with a per-copy Rademacher DIAGONAL whose signs are
+          // the low-20 bits of k (cycled across the 64 dims): any
+          // per-position sign vector preserves every norm and within-copy
+          // dot EXACTLY (sum s_i² x_i y_i = sum x_i y_i), and distinct
+          // k < 2^20 give distinct sign patterns — no two copies of the
+          // factor-1000 sf100 table share a transform. All-equal patterns
+          // (the legacy global signs) need bits 0..19 of k all equal,
+          // impossible for 128 <= k < 2^20, so the two families never
+          // collide either.
+          val signs = (0 until 64).map { i =>
+            if (k >= 128 && ((k >> (i % 20)) & 1) == 1) -1.0
+            else if (k < 128 && (k / 64) % 2 == 1) -1.0
+            else 1.0
+          }
+          // double literals (1.0D): float × double promotes to double,
+          // exactly like the legacy `* 1.0` — copies < 128 stay
+          // byte-identical to every fixture built before this extension
+          val sArr = signs.map(s => s"${s}D").mkString("array(", ", ", ")")
           df.withColumn("vec_id", col("vec_id") + lit(k * strideMult * VecStride))
             .withColumn("embedding",
-              expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64] * $sign)"))
+              expr(s"transform(sequence(0, 63), i -> embedding[(i + $rot) % 64]" +
+                s" * element_at($sArr, i + 1))"))
         }
       }, "embeddings")
     }

@@ -67,6 +67,32 @@ class ScaleDataSpec extends SparkSpec {
     assert(norms === 8, "rotation must preserve each base vector's norm")
   }
 
+  test("embedding scaling stays injective past the 128-copy legacy ceiling") {
+    // 64 rotations × 2 global signs exhaust at 128 copies; the Rademacher
+    // sign-diagonal extension (k >= 128) must keep every copy's transform
+    // distinct while preserving norms exactly — this is the property the
+    // factor-1000 sf100 embeddings table rides on
+    val in = tmp(); val out = tmp()
+    miniEmbeddings().write.mode("overwrite").parquet(s"$in/embeddings.parquet")
+    ScaleData.run(spark, in, out, factor = 200, tables = Set("embeddings"),
+      strideMult = 1L)
+    val scaled = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(scaled.count() === 200 * 8)
+    assert(scaled.select("embedding").distinct().count() === 200 * 8)
+    val norms = scaled
+      .select(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"))
+      .distinct().count()
+    assert(norms === 8, "sign diagonal must preserve each base vector's norm")
+    // legacy region byte-stability: copy 1 of base vec 0 is exactly the
+    // rotation-by-13 of the base values (the pre-extension transform) —
+    // fixtures built before the extension reproduce bit-for-bit
+    val base = (0 until 64).map(j => j.toFloat)
+    val copy1 = scaled.filter(col("vec_id") === ScaleData.VecStride)
+      .select("embedding").head().getSeq[Double](0)
+    assert(copy1 === (0 until 64).map(i => base((i + 13) % 64) * 1.0d))
+  }
+
   test("composing embeddings from an already-scaled dir fails fast") {
     val in = tmp(); val mid = tmp(); val out = tmp()
     miniEmbeddings().write.mode("overwrite").parquet(s"$in/embeddings.parquet")
