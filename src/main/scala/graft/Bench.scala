@@ -185,9 +185,17 @@ object Bench {
     // the headline set: a prefix-subset probe of non-media keys (the
     // sf100 decade probes) must not pay a corpus-sized render it never
     // reads.
-    if (headline.keys.exists(_.startsWith("m")))
-      try graft.sources.MediaFixtures.ensureAll(spark, sfDir)
-      catch { case e: Throwable =>
+    // selective: only the corpora the headline set actually reads
+    // (m03/m05 → BMP, m06 → WAV). A subset run without m06 must not pay —
+    // or re-occupy the disk of — the ~GB-scale WAV render (at sf100 the
+    // WAV corpus is 19 GB, the same order as b55's shuffle-spill headroom).
+    val needsBmp = Seq("m03", "m05").exists(p => headline.keys.exists(_.startsWith(p)))
+    val needsWav = headline.keys.exists(_.startsWith("m06"))
+    if (needsBmp || needsWav)
+      try {
+        if (needsBmp) graft.sources.MediaFixtures.bmpCorpus(spark, sfDir)
+        if (needsWav) graft.sources.MediaFixtures.wavCorpus(spark, sfDir)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] media fixture build failed: ${e.getMessage}")
       }
     spark.catalog.clearCache()

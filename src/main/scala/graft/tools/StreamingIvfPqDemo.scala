@@ -52,7 +52,11 @@ object StreamingIvfPqDemo {
     val ids = emb.select(min("vec_id"), max("vec_id")).head()
     val (loId, hiId) = (ids.getLong(0), ids.getLong(1))
     val span = hiId - loId + 1
-    def shardOf = (col("vec_id") - loId) * nShards / span // 0..nShards-1
+    // integer DIV, not `/` (Spark's / is fractional division — an === on
+    // it matches only the exact-0 row, which is how the first cut of this
+    // demo shipped an 8-row index and the equivalence check caught it)
+    def shardOf = expr(
+      s"CAST(((vec_id - ${loId}L) * $nShards) DIV ${span}L AS INT)")
     println(s"[ivfpq-stream] dir=$dir n=$n shards=$nShards -> $path")
 
     // frozen codebooks, trained on shard 0 (the day-0 corpus)
@@ -63,10 +67,15 @@ object StreamingIvfPqDemo {
     val pqCb = SimilarityOps.pqCodebook(spark, m = 8, k = 16, dim = 64)
       .localCheckpoint(true)
 
-    // fixed query panel: spread across the id range so later triggers'
-    // neighborhoods are represented too
-    val queries = emb.filter(col("vec_id") % lit(span / nQueries) === 0)
-      .limit(nQueries).localCheckpoint(true)
+    // fixed query panel: every (n/nQueries)-th EXISTING row in vec_id
+    // order — spread across the id range so later triggers' neighborhoods
+    // are represented too (the single-partition window is demo-sized)
+    val stride = math.max(1L, n / nQueries)
+    val queries = emb
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+      .filter(col("__rn") % stride === 1).limit(nQueries)
+      .drop("__rn").localCheckpoint(true)
 
     def recallProbe(upToShard: Int): (Double, Double, Double) = {
       val (codes, icb, pcb) = SimilarityOps.ivfPqIndexRead(spark, path)
