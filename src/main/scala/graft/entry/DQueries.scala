@@ -479,7 +479,9 @@ object DQueries {
       // day the GATE fixture outgrows 8192 rows instead of surfacing as an
       // opaque hash mismatch (regenerate the CTE alongside raising this).
       // Bench decades legitimately derive 40/391/… cells — no oracle there.
-      if (dir.contains("sf0.01"))
+      // isGateDir = exact leaf-name match against the GateDirName constant
+      // (not a substring sniff — see QueryHelpers).
+      if (isGateDir(dir))
         require(nCells == 16, s"s21 oracle twin encodes 16 cells but the " +
           s"gate corpus now derives nCells=$nCells — regenerate the CTE")
       SimilarityOps.semDedup(aug, nCells = nCells, iters = 2,
@@ -487,6 +489,49 @@ object DQueries {
         .select(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
           rnd(col("cos")).as("cos"))
         .orderBy("vec_id")
+    }),
+
+    "s22_semdedup_sampled" -> ((s, dir) => {
+      // E143: the SemDeDup PRODUCTION configuration as a runnable, gated
+      // path — sample-fitted Lloyd cells, coarse-group-pruned assignment,
+      // capped nCells (SimilarityOps.semDedupSampled; the measured linear
+      // sibling to s21's quadratic-by-formula configuration, as d09 is to
+      // d14). Same d18-twin-augmented corpus as s21 so the two keys'
+      // verdicts are directly comparable.
+      val base = embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = embeddings(s, dir).filter(col("vec_id") < 50)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") * lit(1.5))
+              .otherwise(x.cast("double"))).as("embedding"))
+      val aug = base.unionByName(twins)
+      if (isGateDir(dir))
+        // gate constants — chosen so EVERY production lever BINDS on the
+        // 550-row fixture and the oracle CTE replays it end-to-end: the
+        // cap binds (ceil(550/64) = 9 → capped to 8 cells), the fit
+        // sample binds (256 < 550 rows), and the 4-group prune is a real
+        // prune (2 cells per group expected). The CTE hard-codes
+        // (8 cells, 256 sample, 4 groups); the require in
+        // semDedupSampled's nCells derivation plus the hash-mismatch
+        // this produces if the fixture grows keeps drift loud.
+        SimilarityOps.semDedupSampled(aug, targetCellSize = 64,
+            maxCells = 8, iters = 2, threshold = 0.95, fitSampleN = 256,
+            coarseGroups = Some(4))
+          .select(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
+            rnd(col("cos")).as("cos"))
+          .orderBy("vec_id")
+      else
+        // bench decades: the production formula — 512-target cells
+        // (pair term n·256, exactly linear), ⌈√k⌉ coarse groups (assign
+        // n·2√k), 65536-row fit budget (fit iters·sampleN·k, linear in k
+        // once the budget caps), 2¹⁶ cell cap (broadcast-codebook
+        // backstop, never binding below ~34M vectors)
+        SimilarityOps.semDedupSampled(aug, targetCellSize = 512,
+            maxCells = 65536, iters = 2, threshold = 0.95)
+          .select(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
+            rnd(col("cos")).as("cos"))
+          .orderBy("vec_id")
     }),
 
     "t44_dsir_select" -> ((s, dir) => {
@@ -1579,12 +1624,19 @@ object DQueries {
     * CTEs icb0..icb (trailing comma included); downstream chains read
     * `icb`. Shared by the s17/s18/s19/s20 IVF-PQ chain (corpus =
     * `embeddings`) and the s21 SemDeDup twin (corpus = `aug`). */
-  private def trainedIcbChain(corpus: String): String = {
+  private def trainedIcbChain(corpus: String): String =
+    trainedIcbChainN(corpus, 16)
+
+  /** [[trainedIcbChain]] parameterized by cell count: twin of
+    * kmeansFit(nCells, iters = 2, init = ivfCodebook(nCells)) over the
+    * named corpus CTE. The 16-cell s12/s17/s21 chains and the s22
+    * sample-fitted 8-cell chain share this body. */
+  private def trainedIcbChainN(corpus: String, nCells: Int): String = {
     val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
     s"""icb0 AS (
        |  SELECT cell, list_transform(range(0, 64), d ->
        |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
-       |  FROM range(0, 16) t1(cell)),
+       |  FROM range(0, $nCells) t1(cell)),
        |ta1 AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
@@ -2486,6 +2538,67 @@ object DQueries {
          |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
          |    FROM aug e, icb c) WHERE r = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95),
+         |drp AS (
+         |  SELECT vec_b AS vec_id, vec_a AS dup_of, cos FROM (
+         |    SELECT vec_b, vec_a, cos, row_number() OVER (PARTITION BY vec_b
+         |      ORDER BY vec_a ASC) AS rn FROM pr) WHERE rn = 1)
+         |SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+         |  d.dup_of IS NULL AS kept, d.dup_of, ${rndSql("d.cos")} AS cos
+         |FROM assigned s LEFT JOIN drp d USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin),
+
+    // E143: twin of SimilarityOps.semDedupSampled at the gate constants
+    // (8 capped cells, 256-row hash-ordered fit sample, 4 coarse groups) —
+    // the full production chain replayed: sample → 2 unrolled Lloyd rounds
+    // over the SAMPLE → fixed 'sdg_' group planes → centroid→group rank →
+    // point→live-group rank → within-group centroid rank → the s21
+    // pair/verdict tail. Every rank tie-breaks (cos DESC, id ASC), exactly
+    // the Spark min(struct(-cos, id)) argmax.
+    "s22_semdedup_sampled" ->
+      (s"""WITH aug AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE)) AS embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(1, 65),
+         |    i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.5
+         |              ELSE CAST(embedding[i] AS DOUBLE) END)
+         |  FROM embeddings WHERE vec_id < 50),
+         |fit AS (
+         |  SELECT vec_id, embedding FROM aug
+         |  ORDER BY ${h60Sql("'sdfit_' || CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 256),
+         |""".stripMargin +
+        trainedIcbChainN("fit", 8) +
+        s"""
+         |gcb AS (
+         |  SELECT grp, list_transform(range(0, 64), d ->
+         |    CASE WHEN (${h60Sql("'sdg_' || CAST(grp AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1) = 0
+         |         THEN 1.0 ELSE -1.0 END) AS ganchor
+         |  FROM range(0, 4) t2(grp)),
+         |cg AS (
+         |  SELECT cell, anchor, grp FROM (
+         |    SELECT c.cell, c.anchor, g.grp, row_number() OVER (PARTITION BY c.cell
+         |      ORDER BY ${cosSql("c.anchor", "g.ganchor")} DESC, g.grp) AS r
+         |    FROM icb c, gcb g) WHERE r = 1),
+         |lgc AS (
+         |  SELECT g.grp, g.ganchor FROM gcb g
+         |  JOIN (SELECT DISTINCT grp FROM cg) l USING (grp)),
+         |pg AS (
+         |  SELECT vec_id, embedding, grp FROM (
+         |    SELECT e.vec_id, e.embedding, g.grp, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "g.ganchor")} DESC, g.grp) AS r
+         |    FROM aug e, lgc g) WHERE r = 1),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT p.vec_id, p.embedding, c.cell, row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${cosSql("p.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM pg p JOIN cg c USING (grp)) WHERE r = 1),
          |pr AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${cosSql("a.embedding", "b.embedding")} AS cos

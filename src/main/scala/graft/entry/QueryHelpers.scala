@@ -40,6 +40,19 @@ object QueryHelpers {
   def rnd3(c: Column): Column = round(c * lit(1000.0)) / lit(1000.0)
   def rnd6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
 
+  /** The oracle gate fixture's directory LEAF name (the driver contract
+    * runs Verify + the DuckDB compare on `/root/testdata/sf0.01`). Guards
+    * that pin oracle-CTE constants (s21/s22's fixed Lloyd-chain sizes)
+    * key on this via [[isGateDir]] — an exact leaf-name match, not a
+    * substring sniff of the whole path, so an unrelated dir that happens
+    * to CONTAIN "sf0.01" doesn't get gate requirements imposed on it. */
+  val GateDirName: String = "sf0.01"
+
+  /** True iff `dir` is the oracle gate fixture (leaf name == sf0.01,
+    * trailing separators ignored). */
+  def isGateDir(dir: String): Boolean =
+    new java.io.File(dir).getName == GateDirName
+
   // ---- DuckDB SQL fragments ------------------------------------------------
 
   /** DuckDB twin of [[graft.functions.Hashing.hash60]]. */

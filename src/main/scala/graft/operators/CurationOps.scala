@@ -764,16 +764,16 @@ object CurationOps {
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("w_micro"))
     // eager: the selection is ≤ topN rows — materialize it and release the
-    // token cache before returning (the DedupOps.materializeReleasing
-    // contract; without this the exploded token frame pins storage for the
-    // session lifetime across a multi-key sweep)
-    val out = scored.orderBy(col("w_micro").desc, col("id").asc).limit(topN)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("w_micro").desc, col("id").asc)))
-      .select(col("id"), col("n_tokens"), col("w_micro"), col("rank"))
-      .localCheckpoint(true)
-    toks.unpersist(false)
-    out
+    // token cache before returning (DedupOps.materializeReleasing; its
+    // finally releases the exploded token frame even when the checkpoint
+    // action fails, so the cache never pins storage for the session across
+    // a multi-key sweep)
+    DedupOps.materializeReleasing(
+      scored.orderBy(col("w_micro").desc, col("id").asc).limit(topN)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("w_micro").desc, col("id").asc)))
+        .select(col("id"), col("n_tokens"), col("w_micro"), col("rank")),
+      toks)
   }
 }

@@ -213,12 +213,20 @@ object DedupOps {
     * clustering, as in d06) holds the full hashed-shingle cache across its
     * whole downstream stage — the r6 full-bench d06 ran 2.4× its isolated
     * time from exactly that pressure. Callers that want the lazy plan
-    * (plan-shape tests, external cache management) pass release = false. */
-  private def materializeReleasing(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    caches.foreach(_.unpersist(false))
-    out
-  }
+    * (plan-shape tests, external cache management) pass release = false.
+    *
+    * The unpersist runs in `finally`: if the eager checkpoint ACTION dies
+    * (executor loss, spill-disk full), the wide operator-scoped cache must
+    * not stay pinned for the session — that is the exact leak this helper
+    * exists to prevent, and the failure path is where session-lifetime
+    * pressure hurts most (the caller's retry re-persists from scratch).
+    * Shared (`private[operators]`) since r16: semDedup/semDedupSampled and
+    * dsirSelect route their eager-release tails through here instead of
+    * hand-rolling the same two lines without the finally. */
+  private[operators] def materializeReleasing(result: DataFrame,
+                                              caches: DataFrame*): DataFrame =
+    try result.localCheckpoint(true)
+    finally caches.foreach(_.unpersist(false))
 
   /** (doc_id, band, bsig) LSH bucket table from a sig_0..sig_{h-1} signature
     * frame: each doc lands in `bands` buckets keyed by the concatenation of

@@ -1208,8 +1208,20 @@ object SimilarityOps {
   def semDedup(corpus: DataFrame, nCells: Int, iters: Int,
                threshold: Double, dim: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
-    val (_, assigned0) = kmeansFit(corpus, nCells, iters, dim = dim,
+    val (_, assigned) = kmeansFit(corpus, nCells, iters, dim = dim,
       init = Some(ivfCodebook(spark, nCells, dim)))
+    semVerdicts(assigned, threshold)
+  }
+
+  /** The SemDeDup pair/verdict tail shared by [[semDedup]] and
+    * [[semDedupSampled]]: within-cell lower-id-partner drop rule over an
+    * (vec_id, embedding, cell) assignment. One shuffle on `cell`; the pair
+    * join streams through the threshold filter, so the n·cellSize/2 pair
+    * rows never materialize. The verdict frame is checkpointed eagerly and
+    * the wide embedding cache released in the same call
+    * (DedupOps.materializeReleasing — release runs even if the checkpoint
+    * action fails). */
+  private def semVerdicts(assigned0: DataFrame, threshold: Double): DataFrame = {
     val assigned = assigned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
@@ -1226,18 +1238,120 @@ object SimilarityOps {
         .as("__m"))
       .select(col("vec_id"), col("__m.dup_of").as("dup_of"),
         col("__m.cos").as("cos"))
-    // eager: materialize the (n-row, narrow) verdict frame and release the
-    // full-embedding assignment cache before returning — without this the
-    // persisted assignment (embedding column included) pins executor
-    // storage for the session lifetime (the DedupOps.materializeReleasing
-    // contract; at scale the checkpoint is the stage output table)
-    val out = assigned.select("vec_id", "cell")
-      .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
-        col("dup_of"), col("cos"))
+    DedupOps.materializeReleasing(
+      assigned.select("vec_id", "cell")
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("kept"),
+          col("dup_of"), col("cos")),
+      assigned)
+  }
+
+  /** E141 production path: SemDeDup with SAMPLE-FITTED cells and PRUNED
+    * assignment — the configuration [[semDedup]]'s scaladoc promises at
+    * 100 TB, as a runnable operator (reference scope: the curation step of
+    * arXiv:2303.09540 §3 at their 11k-cluster / 440M-point regime).
+    *
+    * Three scale levers, each replacing a term of [[semDedup]] that grows
+    * super-linearly when nCells tracks the corpus (k = n/targetCellSize):
+    *
+    * 1. SAMPLE FIT. Lloyd iterations run on a deterministic hash-ordered
+    *    sample of `fitSampleN` rows (hash60("sdfit_"+vec_id) order — the
+    *    farthestInit sampling move), not the corpus: fit cost is
+    *    iters·fitSampleN·k regardless of n. The ABSOLUTE cap matters for
+    *    the formula: with sampleN itself scaled to k the fit term would be
+    *    ∝ k², so fitSampleN is a fixed budget and once k > fitSampleN/16
+    *    the sample is simply the best k·16-point budget available
+    *    (centroid quality degrades gracefully; verdict semantics never
+    *    depend on cell QUALITY, only on the deterministic cell function).
+    * 2. PRUNED ASSIGNMENT. Full-corpus assignment is the quadratic term of
+    *    the s21 formula (n·k = n²/targetCellSize cosines). Here centroids
+    *    are first bucketed to `coarseGroups` (default ⌈√k⌉) fixed
+    *    hash-plane group anchors ("sdg_" seeds, the [[ivfCodebook]]
+    *    construction); each point ranks the NON-EMPTY groups (k·g +
+    *    n·g cosines), then ranks only its group's centroids (n·k/g
+    *    expected). Total assign ≈ n·2√k — sub-quadratic (n^1.5/√cellSize
+    *    with tiny constant) instead of n². Restricting the point's group
+    *    rank to non-empty groups guarantees every point still gets a cell.
+    * 3. CAPPED nCells. k = min(maxCells, max(8, ⌈n/targetCellSize⌉)).
+    *    The cap bounds the broadcast codebook (k·dim floats must ship to
+    *    every executor) and the fit budget; past it, cells grow beyond
+    *    targetCellSize and the pair term n²/2k takes over — the SemDeDup
+    *    paper's own GPU-brute regime (their k=11k over 440M points = 40k
+    *    per cell). Set maxCells to the codebook-broadcast budget, not
+    *    below ⌈n/targetCellSize⌉, unless you accept that trade.
+    *
+    * With the cap not binding, cost = n·targetCellSize/2 pairs (exactly
+    * linear) + n·2√k assign + iters·fitSampleN·k fit (both linear per
+    * decade once fitSampleN caps) — the measured linear sibling to s21's
+    * quadratic-by-formula gate configuration, as d09 is to d14.
+    *
+    * Determinism: sample membership (hash order, vec_id tie-break), group
+    * and cell ranks (cos desc, id asc — [[ivfAssign]]'s tie-break), and
+    * the verdict rule are all pure functions of the corpus; the s22 oracle
+    * replays the whole chain (sample → 2 Lloyd rounds → group prune →
+    * assign → pairs → verdicts) in SQL. */
+  def semDedupSampled(corpus: DataFrame, targetCellSize: Int, maxCells: Int,
+                      iters: Int, threshold: Double,
+                      fitSampleN: Int = 65536,
+                      coarseGroups: Option[Int] = None,
+                      dim: Int = 64): DataFrame = {
+    require(targetCellSize >= 2, s"targetCellSize must be >= 2: $targetCellSize")
+    require(maxCells >= 8, s"maxCells must be >= 8: $maxCells")
+    require(fitSampleN >= 16, s"fitSampleN must be >= 16: $fitSampleN")
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val nCells = math.min(maxCells.toLong,
+      math.max(8L, math.ceil(n.toDouble / targetCellSize).toLong)).toInt
+    val g = coarseGroups.getOrElse(
+      math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt))
+    val fit = corpus
+      .select(col("vec_id"), col("embedding"),
+        Hashing.hash60(concat(lit("sdfit_"), col("vec_id").cast("string")))
+          .as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(fitSampleN)
+      .select("vec_id", "embedding")
+    val (icb, _) = kmeansFit(fit, nCells, iters, dim = dim,
+      init = Some(ivfCodebook(spark, nCells, dim)))
+    // group anchors: fixed ±1 hash planes, own seed family so they are
+    // independent of the "ivf_" Lloyd init planes
+    import spark.implicits._
+    val gcb = (0 until g).map { grp =>
+      val anchor = Array.tabulate(dim) { d =>
+        if ((graft.functions.Hashing.hash60Scalar(s"sdg_${grp}_$d") & 1L) == 0L)
+          1.0f else -1.0f
+      }
+      (grp, anchor)
+    }.toDF("grp", "ganchor")
+    // centroid → group (k·g cosines, broadcast both ways — k rows total)
+    val centGrp = icb.crossJoin(broadcast(gcb))
+      .select(col("cell"), col("anchor"), col("grp"),
+        cosine(col("anchor"), col("ganchor")).as("__gc"))
+      .groupBy("cell")
+      .agg(min(struct((-col("__gc")).as("neg"), col("grp").as("grp"))).as("m"),
+        first(col("anchor")).as("anchor"))
+      .select(col("cell"), col("anchor"), col("m.grp").as("grp"))
       .localCheckpoint(true)
-    assigned.unpersist(false)
-    out
+    // point → best NON-EMPTY group (n·g map-side cosines): ranking only
+    // groups that hold ≥1 centroid guarantees the pruned candidate set is
+    // never empty, so no point drops out of the assignment
+    val liveGcb = gcb.join(centGrp.select("grp").distinct(), "grp")
+    val ptGrp = corpus.crossJoin(broadcast(liveGcb))
+      .select(col("vec_id"), col("embedding"), col("grp"),
+        cosine(col("embedding"), col("ganchor")).as("__gc"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("__gc")).as("neg"), col("grp").as("grp"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.grp").as("grp"))
+    // point → nearest centroid WITHIN its group (n·k/g expected cosines;
+    // broadcast hash join on grp keeps it map-side, ivfAssign tie-break)
+    val assigned = ptGrp.join(broadcast(centGrp), "grp")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("anchor")).as("__ac"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("__ac")).as("neg"), col("cell").as("cell"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
+    semVerdicts(assigned, threshold)
   }
 
   def ivfPqTopKReranked(index: DataFrame, corpus: DataFrame,

@@ -171,10 +171,15 @@ object ScaleData {
           // per-position sign vector preserves every norm and within-copy
           // dot EXACTLY (sum s_i² x_i y_i = sum x_i y_i), and distinct
           // k < 2^20 give distinct sign patterns — no two copies of the
-          // factor-1000 sf100 table share a transform. All-equal patterns
-          // (the legacy global signs) need bits 0..19 of k all equal,
-          // impossible for 128 <= k < 2^20, so the two families never
-          // collide either.
+          // factor-1000 sf100 table share a transform. Cross-family
+          // collisions (a k >= 128 diagonal equal to a legacy global sign
+          // vector) need bits 0..19 of k all equal: all-zero is impossible
+          // for k >= 128, but ALL-ONE happens at exactly k = 2^20 - 1
+          // (all-negative diagonal == legacy copy 127's global -1, and
+          // 13·(2^20-1) ≡ 13·127 ≡ 51 mod 64 matches its rotation too).
+          // The STRICT `<` in the factor require above is what excludes
+          // that k (copies run 0..factor-1 ≤ 2^20-2) — relaxing it to <=
+          // would silently plant duplicate vectors. Load-bearing.
           val signs = (0 until 64).map { i =>
             if (k >= 128 && ((k >> (i % 20)) & 1) == 1) -1.0
             else if (k < 128 && (k / 64) % 2 == 1) -1.0

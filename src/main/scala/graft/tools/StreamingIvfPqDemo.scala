@@ -71,10 +71,14 @@ object StreamingIvfPqDemo {
     // order — spread across the id range so later triggers' neighborhoods
     // are represented too (the single-partition window is demo-sized)
     val stride = math.max(1L, n / nQueries)
+    // (rn - 1) % stride == 0, NOT rn % stride == 1: identical picks for
+    // stride > 1 (rn = 1, stride+1, ...), but at stride = 1 — a corpus
+    // smaller than 2×nQueries — rn % 1 is always 0 and the old predicate
+    // selected NOTHING, so recallProbe averaged over zero rows and NPE'd
     val queries = emb
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
-      .filter(col("__rn") % stride === 1).limit(nQueries)
+      .filter((col("__rn") - 1) % stride === 0).limit(nQueries)
       .drop("__rn").localCheckpoint(true)
 
     def recallProbe(upToShard: Int): (Double, Double, Double) = {

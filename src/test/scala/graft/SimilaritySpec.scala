@@ -611,6 +611,59 @@ class SimilaritySpec extends SparkSpec {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("semDedupSampled: every production lever binds (cap, sample, prune), " +
+      "no point drops out of assignment, twin recall matches semDedup") {
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") * lit(1.5))
+            .otherwise(x.cast("double"))).as("embedding"))
+    val aug = base.unionByName(twins)
+    val n = aug.count()
+    // the s22 gate constants: cap 8 binds (ceil(n/64) > 8 on this fixture),
+    // the 256-row fit sample binds (256 < n), 4 coarse groups prune
+    assert(math.ceil(n / 64.0) > 8, "fixture too small - cap would not bind")
+    assert(n > 256, "fixture too small - fit sample would not bind")
+    val out = SimilarityOps.semDedupSampled(aug, targetCellSize = 64,
+      maxCells = 8, iters = 2, threshold = 0.95, fitSampleN = 256,
+      coarseGroups = Some(4)).collect()
+    // PRUNED assignment must still assign EVERY vector (the non-empty-group
+    // restriction is what guarantees this): one verdict row per vector
+    assert(out.length === n, "pruned assignment lost vectors")
+    // the cap is real: at most maxCells distinct cells in the verdicts
+    val cells = out.map(_.getInt(1)).distinct
+    assert(cells.length <= 8, s"cap violated: ${cells.length} cells")
+    assert(cells.length >= 2, "degenerate single-cell clustering")
+    // verdict-shape invariants shared with semDedup
+    out.foreach { r =>
+      if (r.getBoolean(2)) assert(r.isNullAt(3) && r.isNullAt(4))
+      else assert(r.getLong(3) < r.getLong(0) && !r.isNullAt(4))
+    }
+    // twin recall: cos(base, twin) >= 0.9806 always, so a twin sharing its
+    // base's cell MUST drop; with 8 sampled cells the overwhelming majority
+    // land together — the sampled/pruned path keeps semDedup's recall
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getBoolean(2))).toMap
+    val twinIds = byId.keys.filter(_ >= 1000000L).toSeq
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { t =>
+      if (byId(t)._1 == byId(t - 1000000L)._1)
+        assert(!byId(t)._2, s"twin $t shares its base's cell but was kept")
+    }
+    val dropped = twinIds.count(t => !byId(t)._2)
+    assert(dropped >= twinIds.size * 9 / 10,
+      s"only $dropped/${twinIds.size} twins dropped on the sampled path")
+    // deterministic end-to-end (sample membership, group/cell ranks,
+    // verdicts are all pure functions of the corpus)
+    val again = SimilarityOps.semDedupSampled(aug, targetCellSize = 64,
+      maxCells = 8, iters = 2, threshold = 0.95, fitSampleN = 256,
+      coarseGroups = Some(4)).collect()
+    assert(out.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("artifact search prunes the scan to probed cell partitions " +
       "(static partition filter, not runtime luck)") {
     val ivfCb = SimilarityOps.ivfCodebook(spark, nCells = 16, dim = 64)
