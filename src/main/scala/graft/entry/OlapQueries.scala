@@ -123,6 +123,54 @@ object OlapQueries {
         .orderBy("user_id", "grid_ts")
     }),
 
+    "a36_resample_sink" -> ((s, dir) => {
+      // E55 at scale, the a36 fourth-decade answer: the stream-shaped LOCF
+      // grid (TemporalOps.resampleLocfStream — only the EVENTS shuffle and
+      // sort; the dense grid is generated map-side after the window and
+      // never crosses an exchange) written straight to a day-partitioned
+      // parquet sink, then a per-day audit summary read back from the
+      // files. The full grid is this key's real product (at 100 TB the
+      // sink IS the output table, day-partitioned for downstream pruning);
+      // the returned frame is the bounded audit a production writer
+      // reports: per day, row count / user count / null (pre-first-obs)
+      // count / exact micro-quantized value sum (the t37 long-sum
+      // convention, order-independent where a double sum is not). The
+      // oracle replays the day rollup over the same ASOF grid.
+      val grid = graft.operators.TemporalOps.resampleLocfStream(
+        events(s, dir), key = Seq("user_id"), tsCol = "ts",
+        valueCol = "value", stepSec = 3600L, tieBreak = col("event_id"))
+      val outDir = java.nio.file.Files.createTempDirectory("a36_sink")
+      try {
+        grid
+          .withColumn("grid_day",
+            (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")),
+              lit(86400L))))
+          .write.partitionBy("grid_day").mode("overwrite")
+          .parquet(outDir.toString)
+        val back = s.read.parquet(outDir.toString)
+        // eager: the summary is days-sized — materialize it before the
+        // temp sink is deleted (finally below)
+        back.groupBy(col("grid_day").cast("long").as("day_ts"))
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(when(col("asof_value").isNull, 1L).otherwise(0L))
+              .as("n_null"),
+            coalesce(sum(round(col("asof_value") * lit(10000.0))
+              .cast("long")), lit(0L)).as("v_sum_q"))
+          .orderBy("day_ts")
+          .localCheckpoint(true)
+      } finally {
+        // the grid parquet is scratch — a real deployment keeps it as the
+        // stage output table; the bench/verify contract only needs the
+        // audit frame
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rm)
+          p.delete(): Unit
+        }
+        rm(outDir.toFile)
+      }
+    }),
+
     "a37_ohlc" -> ((s, dir) => {
       // E58: hourly OHLC bars per event type — one partial+final hash agg,
       // outputs are input VALUES (hash-comparable unrounded).
@@ -591,6 +639,31 @@ object OlapQueries {
          |  ${rndSql("vd.value")} AS value
          |FROM g ASOF LEFT JOIN vd ON g.user_id = vd.user_id AND g.gts >= vd.ts
          |ORDER BY g.user_id, grid_ts""".stripMargin,
+
+    // day rollup of the a36 ASOF grid: same b/g/vd chain, aggregated per
+    // day — n_rows/n_users/n_null plus the exact micro-quantized value sum
+    // (CAST(round(v*1e4) AS BIGINT) summed as integers, the t37
+    // convention; Spark HALF_UP == DuckDB round on doubles)
+    "a36_resample_sink" ->
+      s"""WITH b AS (
+         |  SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+         |  FROM events GROUP BY 1),
+         |g AS (
+         |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+         |  FROM b),
+         |vd AS (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1),
+         |j AS (
+         |  SELECT g.user_id, g.gts, vd.value
+         |  FROM g ASOF LEFT JOIN vd ON g.user_id = vd.user_id AND g.gts >= vd.ts)
+         |SELECT CAST(floor(epoch(date_trunc('day', gts))) AS BIGINT) AS day_ts,
+         |  COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COALESCE(SUM(CAST(round(value * 10000) AS BIGINT)), 0) AS BIGINT) AS v_sum_q
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // open/close via row_number (min_by/max_by on the (ts, event_id)
     // struct == first/last in that total order)

@@ -620,22 +620,32 @@ object AnalyticsOps {
     // partitioning) because four consumers read it: a lazy plan would
     // recompute the scan+dedupe per consumer (measured: 23 exchanges vs
     // 10, see OlapPlanSpec).
-    // SERIALIZED pin, not the deserialized default: this is the one
-    // checkpoint in the engine whose block is both huge (one row per
-    // (basket, item) — 60M at sf10) and co-resident with the job's
-    // biggest hash aggregate (the pair-count partials downstream). Row-
-    // object storage of that block starved the unified region at the
-    // default 8g driver and the partial agg died with
-    // AGGREGATE_OUT_OF_MEMORY; serialized blocks pack ~5x tighter, are
-    // evictable to disk, and put no object pressure on GC — measured at
-    // sf10: the 8g run completes (65 s) instead of OOMing, and the 48g
-    // time is unchanged. Partitioning is preserved like any checkpoint.
+    // DISK_ONLY pin, not an in-memory level: this is the one checkpoint
+    // in the engine whose block is both huge (one row per (basket, item)
+    // — 60M at sf10) and co-resident with the job's hungriest execution
+    // stage (the SMJ self-join + pair-count partials downstream).
+    // History of this line: the r12 deserialized default starved the
+    // unified region at 8g (AGGREGATE_OUT_OF_MEMORY); the r12-r15
+    // MEMORY_AND_DISK_SER fix packed ~5x tighter and held 8g for three
+    // rounds — but locally-checkpointed blocks cannot be recomputed, so
+    // under day-state pressure the pinned storage still squeezed the SMJ
+    // pipeline and 8g regressed to day-fragile (r15 record OOM; r16
+    // reproduced it isolated: Java heap space inside
+    // smj_findNextJoinRows). DISK_ONLY removes the storage-region
+    // co-residency ENTIRELY — the checkpoint lives on local disk like the
+    // stage table a real 100 TB run would write (the scaladoc's "at scale
+    // the checkpoint is the stage output table", literally), and the four
+    // consumers stream it back. Measured r16, isolated 3-trial,
+    // same-session A/B at sf10: ser-8g OOM (reproduced), DISK_ONLY-8g
+    // 42.8 s, ser-16g 39.0 s vs DISK_ONLY-16g 39.5 s (≈1%, noise) — the
+    // 8g envelope is deterministic again at zero 16g cost.
+    // Partitioning is preserved like any checkpoint.
     val items = df.select(basketCol.as("basket"), itemCol.as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .repartition(col("basket"))
       .dropDuplicates("basket", "item")
       .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val keptBaskets = items.groupBy(col("basket"))
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize)

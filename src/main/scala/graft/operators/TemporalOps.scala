@@ -137,6 +137,94 @@ object TemporalOps {
     asofJoin(grid, df, key, tsCol, payload, tieBreak)
   }
 
+  /** E55 at scale: [[resampleLocf]] with the GRID GENERATED AFTER THE SORT
+    * — identical output (TemporalSpec asserts row-for-row equality), a
+    * fundamentally different cost shape. resampleLocf unions the dense
+    * grid with the observations and pushes the UNION through the as-of
+    * window (shuffle + sort of grid+events: at sf100 the 1.08 B-row grid
+    * is ~2 orders of magnitude bigger than the events that define it, and
+    * that sort's spill is exactly why a36 was excluded from the sf100
+    * record in r14/r15). Here only the OBSERVATIONS shuffle and sort: per
+    * key in ts order, each observation claims the half-open interval
+    * [its ts, next ts) via `lead`, and the grid points inside each
+    * interval are emitted by a map-side `sequence` explode AFTER the
+    * window — the dense grid exists only as generated output streaming
+    * into the consumer (at scale, a partitioned sink), never crossing an
+    * exchange and never sorting. Cost: one shuffle+sort of n_events plus
+    * O(grid) generation; resampleLocf pays shuffle+sort of
+    * n_events + grid.
+    *
+    * Semantics replicated exactly from the resampleLocf/ASOF convention:
+    * same-ts observations dedup to max `tieBreak` first; the grid runs
+    * from trunc(min ts) to max ts per key at `stepSec` spacing; a grid
+    * point matches the greatest observation ts ≤ it (inclusive); the one
+    * possible sub-step head point before the first observation carries a
+    * null. Grid instants are step-aligned integer seconds; observation
+    * timestamps keep micro precision through the interval arithmetic
+    * (`unix_micros`), so an observation exactly ON a grid instant claims
+    * it and one a microsecond later does not. */
+  def resampleLocfStream(df: DataFrame, key: Seq[String], tsCol: String,
+                         valueCol: String, stepSec: Long,
+                         tieBreak: Column): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val keyCols = key.map(col)
+    val stepUs = stepSec * 1000000L
+    // same-ts dedup to max tieBreak (the a28 ASOF convention)
+    val dw = Window.partitionBy(keyCols :+ col(tsCol): _*).orderBy(tieBreak.desc)
+    val vd = df.withColumn("__rn", row_number().over(dw))
+      .filter(col("__rn") === 1)
+      .select(keyCols ++ Seq(col(tsCol), col(valueCol).as("__v")): _*)
+    val ow = Window.partitionBy(keyCols: _*).orderBy(col(tsCol))
+    val aw = Window.partitionBy(keyCols: _*)
+    val us = unix_micros(col(tsCol))
+    val onGrid = pmod(us, lit(stepUs)) === 0
+    // step-floor in SECONDS via exact integer ops: us − pmod is a long
+    // multiple of stepUs (pmod floors correctly for any sign), and the
+    // /1e6 divides an exact multiple — NOT floor(us / stepUs), whose
+    // double division rounds UP for timestamps within ~0.2 ms below a
+    // step boundary at micro precision
+    def stepFloorSec(u: Column): Column =
+      ((u - pmod(u, lit(stepUs))) / lit(1000000L)).cast("long")
+    // first step-aligned instant covered by this observation (its own ts
+    // when aligned, else the next grid instant)
+    val start = when(onGrid, stepFloorSec(us))
+      .otherwise(stepFloorSec(us) + stepSec)
+    // last covered instant: just below the next observation (its own
+    // instant steps back a full step when aligned — inclusive semantics
+    // hand it to the NEXT observation), or trunc(max ts) for the last
+    val nextUs = lead(us, 1).over(ow)
+    val maxUs = max(us).over(aw)
+    val end = when(nextUs.isNull, stepFloorSec(maxUs))
+      .otherwise(when(pmod(nextUs, lit(stepUs)) === 0,
+          stepFloorSec(nextUs) - stepSec)
+        .otherwise(stepFloorSec(nextUs)))
+    // the sub-step head point before the first observation (null-valued);
+    // exists only when the first ts is not grid-aligned
+    val isFirst = row_number().over(ow) === 1
+    val headArr = when(isFirst && !onGrid, array(stepFloorSec(us)))
+      .otherwise(array().cast("array<long>"))
+    // window expressions must resolve in their own projection before the
+    // generator consumes them (an explode over a windowspec is an
+    // unresolvable operator) — materialize interval bounds first, explode
+    // from plain columns second
+    val iv = vd
+      .withColumn("__start", start)
+      .withColumn("__end", end)
+      .withColumn("__head", headArr)
+    val gridArr = when(col("__start") <= col("__end"),
+        sequence(col("__start"), col("__end"), lit(stepSec)))
+      .otherwise(array().cast("array<long>"))
+    iv.select(
+        keyCols ++ Seq(explode(concat(
+          transform(col("__head"), g => struct(g.as("g"),
+            lit(null).cast(df.schema(valueCol).dataType).as("v"))),
+          transform(gridArr, g => struct(g.as("g"), col("__v").as("v")))))
+          .as("__gv")): _*)
+      .select(keyCols ++ Seq(
+        timestamp_seconds(col("__gv.g")).as(tsCol),
+        col("__gv.v").as(s"asof_$valueCol")): _*)
+  }
+
   /** OHLC downsampling: per (interval window × keys), the first (open) and
     * last (close) values in (ts, tieBreak) order plus min (low) and max
     * (high) — the time-series bar aggregation. ONE hash aggregate with

@@ -187,6 +187,55 @@ class TemporalSpec extends SparkSpec {
       ("u2", "01:00", Some(5.0))))
   }
 
+  test("resampleLocfStream == resampleLocf row-for-row on real events " +
+      "(the grid-after-the-sort rewrite changes the plan, not the output)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val dense = TemporalOps.resampleLocf(ev, Seq("user_id"), "ts",
+        Seq("value"), "1 hour", "hour", col("event_id"))
+      .select(col("user_id"), col("ts"), col("asof_value"))
+    val stream = TemporalOps.resampleLocfStream(ev, Seq("user_id"), "ts",
+      "value", stepSec = 3600L, tieBreak = col("event_id"))
+    assert(stream.columns.toSeq === dense.columns.toSeq)
+    assert(dense.count() > 0)
+    assert(dense.exceptAll(stream).isEmpty && stream.exceptAll(dense).isEmpty,
+      "stream-shaped LOCF grid diverges from the union-window grid")
+  }
+
+  test("resampleLocfStream: head null, on-grid claims, sub-step ties — the " +
+      "micro-precision edges") {
+    val ev = Seq(
+      // u1: first obs exactly ON the hour (claims its own instant, no
+      // null head); second a microsecond past the next hour (02:00 stays
+      // with obs 1, 03:00 carries obs 2 - wait, grid ends at max ts)
+      (1L, "u1", "2024-01-01 01:00:00", 1.0),
+      (2L, "u1", "2024-01-01 02:00:00.000001", 2.0),
+      (3L, "u1", "2024-01-01 03:00:00", 3.0),
+      // u2: sub-hour head (00:00 null), then on-hour boundary handoff:
+      // the 01:00 instant belongs to the 01:00 observation (inclusive
+      // asof), not the 00:30 one
+      (4L, "u2", "2024-01-01 00:30:00", 7.0),
+      (5L, "u2", "2024-01-01 01:00:00", 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = TemporalOps.resampleLocfStream(ev, Seq("user_id"), "ts",
+        "value", stepSec = 3600L, tieBreak = col("event_id"))
+      .select(col("user_id"), date_format(col("ts"), "HH:mm").as("g"),
+        col("asof_value"))
+      .orderBy("user_id", "g").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2))))
+    assert(out.toSeq === Seq(
+      ("u1", "01:00", Some(1.0)), ("u1", "02:00", Some(1.0)),
+      ("u1", "03:00", Some(3.0)),
+      ("u2", "00:00", None), ("u2", "01:00", Some(8.0))))
+    // cross-check the micro-edge rows against the union-window operator
+    val dense = TemporalOps.resampleLocf(ev, Seq("user_id"), "ts",
+        Seq("value"), "1 hour", "hour", col("event_id"))
+      .select(col("user_id"), col("ts"), col("asof_value"))
+    val stream = TemporalOps.resampleLocfStream(ev, Seq("user_id"), "ts",
+      "value", stepSec = 3600L, tieBreak = col("event_id"))
+    assert(dense.exceptAll(stream).isEmpty && stream.exceptAll(dense).isEmpty)
+  }
+
   test("resampleLocf: same-ts ties resolve to the max tieBreak") {
     val ev = Seq(
       (1L, "u", "2024-01-01 00:10:00", 1.0),
