@@ -620,32 +620,39 @@ object AnalyticsOps {
     // partitioning) because four consumers read it: a lazy plan would
     // recompute the scan+dedupe per consumer (measured: 23 exchanges vs
     // 10, see OlapPlanSpec).
-    // DISK_ONLY pin, not an in-memory level: this is the one checkpoint
-    // in the engine whose block is both huge (one row per (basket, item)
-    // — 60M at sf10) and co-resident with the job's hungriest execution
-    // stage (the SMJ self-join + pair-count partials downstream).
-    // History of this line: the r12 deserialized default starved the
-    // unified region at 8g (AGGREGATE_OUT_OF_MEMORY); the r12-r15
-    // MEMORY_AND_DISK_SER fix packed ~5x tighter and held 8g for three
-    // rounds — but locally-checkpointed blocks cannot be recomputed, so
-    // under day-state pressure the pinned storage still squeezed the SMJ
-    // pipeline and 8g regressed to day-fragile (r15 record OOM; r16
-    // reproduced it isolated: Java heap space inside
-    // smj_findNextJoinRows). DISK_ONLY removes the storage-region
-    // co-residency ENTIRELY — the checkpoint lives on local disk like the
-    // stage table a real 100 TB run would write (the scaladoc's "at scale
-    // the checkpoint is the stage output table", literally), and the four
-    // consumers stream it back. Measured r16, isolated 3-trial,
-    // same-session A/B at sf10: ser-8g OOM (reproduced), DISK_ONLY-8g
-    // 42.8 s, ser-16g 39.0 s vs DISK_ONLY-16g 39.5 s (≈1%, noise) — the
-    // 8g envelope is deterministic again at zero 16g cost.
-    // Partitioning is preserved like any checkpoint.
+    // HEAP-AWARE checkpoint placement: this is the one checkpoint in the
+    // engine whose block is both huge (one row per (basket, item) — 60M
+    // at sf10, ~600M at sf100) and co-resident with the job's hungriest
+    // execution stage (the SMJ self-join + pair-count partials). Local
+    // checkpoints cannot be recomputed, so Spark never evicts them — the
+    // block's resting place is a RESOURCE TRADE, and the right side of
+    // the trade flips with the heap:
+    //  - SMALL heap (≤ 16 g): an in-memory pin squeezes execution. The
+    //    r12 deserialized default OOMed 8 g outright; the r12-r15
+    //    MEMORY_AND_DISK_SER pin packed ~5× tighter and held 8 g for
+    //    three rounds but regressed day-fragile (r15 record OOM; r16
+    //    reproduced it isolated — Java heap space inside
+    //    smj_findNextJoinRows). DISK_ONLY removes the storage-region
+    //    co-residency entirely: measured r16, isolated same-session
+    //    3-trial at sf10 — ser-8g OOM, DISK_ONLY-8g 42.8 s, and at 16 g
+    //    ser 39.0 s vs DISK_ONLY 39.5 s (≈1%, noise).
+    //  - BIG heap (> 16 g): memory is abundant and DISK is the scarce
+    //    budget — at sf100 the ~25 GB uncompressed DISK_ONLY block plus
+    //    the pair stage's ~37 GB spill cannot co-reside on this
+    //    sandbox's ~52 GB free (measured r16: 3/3 trials died "No space
+    //    left on device"), while the serialized memory-first pin rides
+    //    the 64 g storage region exactly as the r15 record did (436.6 s
+    //    isolated). MEMORY_AND_DISK_SER there.
+    // At 1000-executor scale the same rule reads: write the stage table
+    // to whichever tier the cluster actually has headroom in — the
+    // threshold keys on executor memory, the one signal the JVM gives us.
+    // Partitioning is preserved like any checkpoint either way.
     val items = df.select(basketCol.as("basket"), itemCol.as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .repartition(col("basket"))
       .dropDuplicates("basket", "item")
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, cooccurCheckpointLevel(
+        Runtime.getRuntime.maxMemory))
     val keptBaskets = items.groupBy(col("basket"))
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize)
@@ -659,6 +666,19 @@ object AnalyticsOps {
       kept.groupBy(col("item")).agg(count(lit(1)).as("n_i")),
       nBaskets, minPairCount)
   }
+
+  /** Storage level for [[coOccurrence]]'s items checkpoint, keyed on the
+    * executor heap (see the placement rationale at the call site): at or
+    * below 16 GiB the unevictable block must stay OFF the heap
+    * (DISK_ONLY — the measured 8 g envelope fix), above it memory is the
+    * cheap tier and disk the scarce one (MEMORY_AND_DISK_SER — the
+    * measured sf100 disk-budget fix). Pure function, pinned by
+    * AnalyticsSpec. */
+  private[graft] def cooccurCheckpointLevel(
+      maxHeapBytes: Long): org.apache.spark.storage.StorageLevel =
+    if (maxHeapBytes <= 16L * 1024 * 1024 * 1024)
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
   /** Pair-count partial of [[coOccurrence]] over a (basket, item) frame
     * (distinct rows, oversized baskets already dropped — the `kept` frame

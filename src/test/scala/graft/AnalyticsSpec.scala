@@ -592,6 +592,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("x", "y", 2L, 3L, 2L, 1.0)))
   }
 
+  test("coOccurrence checkpoint placement: DISK_ONLY at or below 16 GiB " +
+      "heap, serialized memory-first above (both measured regimes)") {
+    import org.apache.spark.storage.StorageLevel
+    val gib = 1024L * 1024 * 1024
+    // the 8 g envelope regime (r16 A/B: ser OOMs, DISK_ONLY 42.8 s)
+    assert(AnalyticsOps.cooccurCheckpointLevel(8 * gib) === StorageLevel.DISK_ONLY)
+    assert(AnalyticsOps.cooccurCheckpointLevel(16 * gib) === StorageLevel.DISK_ONLY)
+    // the sf100/64 g regime (r16: DISK_ONLY died 3/3 on disk budget;
+    // the serialized pin is the r15-proven path)
+    assert(AnalyticsOps.cooccurCheckpointLevel(17 * gib) ===
+      StorageLevel.MEMORY_AND_DISK_SER)
+    assert(AnalyticsOps.cooccurCheckpointLevel(64 * gib) ===
+      StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   test("coOccurrence: deterministic across input partitionings") {
     val rows = (1L to 40L).flatMap(b =>
       (0 to (b % 5).toInt).map(k => (b, s"i${(b + k) % 7}")))
