@@ -512,9 +512,11 @@ object DQueries {
         // cap binds (ceil(550/64) = 9 → capped to 8 cells), the fit
         // sample binds (256 < 550 rows), and the 4-group prune is a real
         // prune (2 cells per group expected). The CTE hard-codes
-        // (8 cells, 256 sample, 4 groups); the require in
-        // semDedupSampled's nCells derivation plus the hash-mismatch
-        // this produces if the fixture grows keeps drift loud.
+        // (8 cells, 256 sample, 4 groups); cell-count drift is impossible
+        // at maxCells = 8 because semDedupSampled derives
+        // nCells = min(8, max(8, ⌈n/64⌉)) = 8 for every n (the min/max
+        // clamp, not a require), and a fixture change that altered sample
+        // membership would surface as the opaque hash mismatch.
         SimilarityOps.semDedupSampled(aug, targetCellSize = 64,
             maxCells = 8, iters = 2, threshold = 0.95, fitSampleN = 256,
             coarseGroups = Some(4))
@@ -1631,38 +1633,46 @@ object DQueries {
     * kmeansFit(nCells, iters = 2, init = ivfCodebook(nCells)) over the
     * named corpus CTE. The 16-cell s12/s17/s21 chains and the s22
     * sample-fitted 8-cell chain share this body. */
-  private def trainedIcbChainN(corpus: String, nCells: Int): String = {
-    val ivfBit = h60Sql("'ivf_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
-    s"""icb0 AS (
+  private def trainedIcbChainN(corpus: String, nCells: Int): String =
+    lloydChainN(corpus, nCells, seed = "ivf", p = "icb")
+
+  /** Twin of kmeansFit(nCells, iters = 2, init = ±1 '`seed`_cell_d' hash
+    * planes) over the named corpus CTE — the fully parameterized
+    * unrolled-Lloyd body: hash-plane seeds → argmax-cosine assign →
+    * exact-long nano-grid means, twice; empty cells drop out via the
+    * GROUP BY, exactly as Lloyd's does. Emits CTEs `${p}0..${p}`
+    * (trailing comma included); downstream chains read `$p` with columns
+    * (cell, anchor). `p` prefixes every internal CTE so two chains can
+    * coexist in one query (the s22 cell chain + its kmeans-of-centroids
+    * group chain). */
+  private def lloydChainN(corpus: String, nCells: Int, seed: String,
+                          p: String): String = {
+    val bit = h60Sql(
+      s"'${seed}_' || CAST(cell AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+    def assign(from: String, cb: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM $from e, $cb c) WHERE r = 1),""".stripMargin
+    def means(from: String, sums: String, out: String): String =
+      s"""$sums AS (
+         |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
+         |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
+         |  FROM $from, range(1, 65) t(i) GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
+         |  FROM $sums GROUP BY cell),""".stripMargin
+    s"""${p}0 AS (
        |  SELECT cell, list_transform(range(0, 64), d ->
-       |    CASE WHEN ($ivfBit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
-       |  FROM range(0, $nCells) t1(cell)),
-       |ta1 AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
-       |    FROM $corpus e, icb0 c) WHERE r = 1),
-       |tm1 AS (
-       |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
-       |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
-       |  FROM ta1, range(1, 65) t(i) GROUP BY 1, 2),
-       |icb1 AS (
-       |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
-       |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
-       |  FROM tm1 GROUP BY cell),
-       |ta2 AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
-       |    FROM $corpus e, icb1 c) WHERE r = 1),
-       |tm2 AS (
-       |  SELECT cell, t.i - 1 AS pos, COUNT(*) AS n,
-       |    SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS s
-       |  FROM ta2, range(1, 65) t(i) GROUP BY 1, 2),
-       |icb AS (
-       |  SELECT cell, list(CAST(CAST(s AS BIGINT) AS DOUBLE)
-       |    / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS anchor
-       |  FROM tm2 GROUP BY cell),""".stripMargin
+       |    CASE WHEN ($bit & 1) = 0 THEN 1.0 ELSE -1.0 END) AS anchor
+       |  FROM range(0, $nCells) ${p}t1(cell)),
+       |""".stripMargin +
+      assign(corpus, s"${p}0", s"${p}a1") + "\n" +
+      means(s"${p}a1", s"${p}m1", s"${p}1") + "\n" +
+      assign(corpus, s"${p}1", s"${p}a2") + "\n" +
+      means(s"${p}a2", s"${p}m2", p)
   }
 
   private def ivfPqCtesWith(trainedIvf: Boolean,
@@ -2556,10 +2566,11 @@ object DQueries {
     // E143: twin of SimilarityOps.semDedupSampled at the gate constants
     // (8 capped cells, 256-row hash-ordered fit sample, 4 coarse groups) —
     // the full production chain replayed: sample → 2 unrolled Lloyd rounds
-    // over the SAMPLE → fixed 'sdg_' group planes → centroid→group rank →
-    // point→live-group rank → within-group centroid rank → the s21
-    // pair/verdict tail. Every rank tie-breaks (cos DESC, id ASC), exactly
-    // the Spark min(struct(-cos, id)) argmax.
+    // over the SAMPLE → kmeans-of-centroids group chain (2 more unrolled
+    // rounds over the 8 fitted centroids, 'sdg_'-plane seeded) → its final
+    // centroid→group assignment → point→live-group rank → within-group
+    // centroid rank → the s21 pair/verdict tail. Every rank tie-breaks
+    // (cos DESC, id ASC), exactly the Spark min(struct(-cos, id)) argmax.
     "s22_semdedup_sampled" ->
       (s"""WITH aug AS (
          |  SELECT vec_id, list_transform(range(1, 65),
@@ -2575,17 +2586,17 @@ object DQueries {
          |  LIMIT 256),
          |""".stripMargin +
         trainedIcbChainN("fit", 8) +
+        "\ngsrc AS (SELECT cell AS vec_id, anchor AS embedding FROM icb),\n" +
+        lloydChainN("gsrc", 4, seed = "sdg", p = "gicb") +
         s"""
-         |gcb AS (
-         |  SELECT grp, list_transform(range(0, 64), d ->
-         |    CASE WHEN (${h60Sql("'sdg_' || CAST(grp AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1) = 0
-         |         THEN 1.0 ELSE -1.0 END) AS ganchor
-         |  FROM range(0, 4) t2(grp)),
-         |cg AS (
-         |  SELECT cell, anchor, grp FROM (
-         |    SELECT c.cell, c.anchor, g.grp, row_number() OVER (PARTITION BY c.cell
-         |      ORDER BY ${cosSql("c.anchor", "g.ganchor")} DESC, g.grp) AS r
-         |    FROM icb c, gcb g) WHERE r = 1),
+         |gcb AS (SELECT cell AS grp, anchor AS ganchor FROM gicb),
+         |cga AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.anchor")} DESC, c.cell) AS r
+         |    FROM gsrc e, gicb c) WHERE r = 1),
+         |cg AS (SELECT cga.vec_id AS cell, cga.embedding AS anchor,
+         |  cga.cell AS grp FROM cga),
          |lgc AS (
          |  SELECT g.grp, g.ganchor FROM gcb g
          |  JOIN (SELECT DISTINCT grp FROM cg) l USING (grp)),

@@ -136,17 +136,29 @@ object OlapQueries {
       // count / exact micro-quantized value sum (the t37 long-sum
       // convention, order-independent where a double sum is not). The
       // oracle replays the day rollup over the same ASOF grid.
+      //
+      // Sink discipline (the E25/E80 trade, made explicit): the write goes
+      // through DataLayout.writePartitionedNoExchange — a LOCAL sort on
+      // grid_day (contiguous per-task fan-out, one open writer at a time)
+      // plus a maxRecordsPerFile cap, NOT writePartitioned, whose
+      // repartition would re-shuffle the grid — the biggest frame of the
+      // job and exactly the exchange this key exists to avoid. The cost is
+      // file COUNT O(tasks × days-per-task) instead of filesPerPartition
+      // (bounded: LayoutSpec pins the writer's count contract); a
+      // downstream that wants fewer files runs DataLayout.compact as the
+      // standard epilogue. Scratch roots at GRAFT_SCRATCH_DIR (decade
+      // runs put the grid on the budgeted disk, not /tmp) with a
+      // shutdown-hook cleanup for the hard-kill path.
       val grid = graft.operators.TemporalOps.resampleLocfStream(
         events(s, dir), key = Seq("user_id"), tsCol = "ts",
         valueCol = "value", stepSec = 3600L, tieBreak = col("event_id"))
-      val outDir = java.nio.file.Files.createTempDirectory("a36_sink")
+      val outDir = scratchDir("a36_sink")
       try {
-        grid
-          .withColumn("grid_day",
+        graft.sources.DataLayout.writePartitionedNoExchange(
+          grid.withColumn("grid_day",
             (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")),
-              lit(86400L))))
-          .write.partitionBy("grid_day").mode("overwrite")
-          .parquet(outDir.toString)
+              lit(86400L)))),
+          outDir.toString, "grid_day", maxRecordsPerFile = 4000000L)
         val back = s.read.parquet(outDir.toString)
         // eager: the summary is days-sized — materialize it before the
         // temp sink is deleted (finally below)
@@ -163,11 +175,7 @@ object OlapQueries {
         // the grid parquet is scratch — a real deployment keeps it as the
         // stage output table; the bench/verify contract only needs the
         // audit frame
-        def rm(p: java.io.File): Unit = {
-          if (p.isDirectory) p.listFiles().foreach(rm)
-          p.delete(): Unit
-        }
-        rm(outDir.toFile)
+        deleteRecursively(outDir.toFile)
       }
     }),
 

@@ -53,6 +53,36 @@ object QueryHelpers {
   def isGateDir(dir: String): Boolean =
     new java.io.File(dir).getName == GateDirName
 
+  /** Scratch directory for keys whose real product is a SINK (a36's grid):
+    * rooted at `GRAFT_SCRATCH_DIR` when set — at the big decades the grid's
+    * disk footprint must land on the disk that was budgeted for it, not
+    * whatever tmpfs backs /tmp — else the JVM tmpdir (gate/spec scale,
+    * where the footprint is KBs). A shutdown hook covers the hard-kill
+    * path: callers delete in their `finally`, but a JVM killed mid-write
+    * would otherwise strand a grid-sized directory; the hook makes the
+    * abandoned-scratch lifetime one process, not forever. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val root = sys.env.get("GRAFT_SCRATCH_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(root)
+    val dir = java.nio.file.Files.createTempDirectory(root, prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(dir.toFile)))
+    dir
+  }
+
+  /** Best-effort recursive delete (scratch cleanup — both the normal
+    * `finally` path and [[scratchDir]]'s shutdown hook). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
+    f.delete(): Unit
+  }
+
   // ---- DuckDB SQL fragments ------------------------------------------------
 
   /** DuckDB twin of [[graft.functions.Hashing.hash60]]. */

@@ -652,7 +652,7 @@ object AnalyticsOps {
       .repartition(col("basket"))
       .dropDuplicates("basket", "item")
       .localCheckpoint(true, cooccurCheckpointLevel(
-        Runtime.getRuntime.maxMemory))
+        executorHeapBytes(df.sparkSession)))
     val keptBaskets = items.groupBy(col("basket"))
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBasketSize)
@@ -667,8 +667,25 @@ object AnalyticsOps {
       nBaskets, minPairCount)
   }
 
+  /** Heap of the JVMs that will HOLD the checkpoint blocks, in bytes:
+    * `spark.executor.memory` on a real cluster (localCheckpoint blocks
+    * live on executors — the driver's own heap is the wrong signal
+    * there), this JVM's max heap in local mode (driver == executor, and
+    * local mode ignores spark.executor.memory, so the runtime value is
+    * the only honest one). Parsed with Spark's own size-string rules;
+    * executor memory defaults to 1g when unset, matching the deploy
+    * default. Pinned by AnalyticsSpec. */
+  private[graft] def executorHeapBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    if (spark.sparkContext.master.startsWith("local"))
+      Runtime.getRuntime.maxMemory
+    else
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.executor.memory", "1g"))
+
   /** Storage level for [[coOccurrence]]'s items checkpoint, keyed on the
-    * executor heap (see the placement rationale at the call site): at or
+    * executor heap ([[executorHeapBytes]] — see the placement rationale
+    * at the call site): at or
     * below 16 GiB the unevictable block must stay OFF the heap
     * (DISK_ONLY — the measured 8 g envelope fix), above it memory is the
     * cheap tier and disk the scarce one (MEMORY_AND_DISK_SER — the

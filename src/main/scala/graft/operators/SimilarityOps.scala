@@ -1263,15 +1263,32 @@ object SimilarityOps {
     *    the sample is simply the best k·16-point budget available
     *    (centroid quality degrades gracefully; verdict semantics never
     *    depend on cell QUALITY, only on the deterministic cell function).
+    *    The sample REPARTITIONS after the global limit that materializes
+    *    it: orderBy+limit plans as a single-partition GlobalLimit, and
+    *    without the repartition every per-iteration [[kmeansFit]]
+    *    aggregate over the sample runs on ONE task while the cluster
+    *    idles (at the 65,536-row cap that is iters·sampleN·k cosines
+    *    single-threaded — tens of minutes at k = 2¹⁶). Membership is
+    *    fixed by the hash order before the repartition and the Lloyd
+    *    means are exact-long nano-grid sums (order-independent), so the
+    *    fitted codebook is BIT-IDENTICAL either way — pinned by
+    *    SimilaritySpec, witnessed again by the s22 oracle hash.
     * 2. PRUNED ASSIGNMENT. Full-corpus assignment is the quadratic term of
     *    the s21 formula (n·k = n²/targetCellSize cosines). Here centroids
-    *    are first bucketed to `coarseGroups` (default ⌈√k⌉) fixed
-    *    hash-plane group anchors ("sdg_" seeds, the [[ivfCodebook]]
-    *    construction); each point ranks the NON-EMPTY groups (k·g +
-    *    n·g cosines), then ranks only its group's centroids (n·k/g
-    *    expected). Total assign ≈ n·2√k — sub-quadratic (n^1.5/√cellSize
-    *    with tiny constant) instead of n². Restricting the point's group
-    *    rank to non-empty groups guarantees every point still gets a cell.
+    *    are first bucketed to `coarseGroups` (default ⌈√k⌉) group anchors;
+    *    each point ranks the NON-EMPTY groups (k·g + n·g cosines), then
+    *    ranks only its group's centroids (n·k/g expected). Total assign ≈
+    *    n·2√k — sub-quadratic (n^1.5/√cellSize with tiny constant) instead
+    *    of n². Restricting the point's group rank to non-empty groups
+    *    guarantees every point still gets a cell. Group anchors are
+    *    KMEANS-OF-CENTROIDS: a second (tiny — k points) [[kmeansFit]] over
+    *    the fitted centroids themselves, seeded from fixed ±1 hash planes
+    *    ("sdg_" family). Raw hash planes as the anchors routed points by
+    *    a data-blind partition of the sphere and measurably skewed cell
+    *    sizes (fattening the quadratic-in-cell-size pair term — disclosed
+    *    in SCALING r16); Lloyd-refined anchors sit where the centroid
+    *    mass actually is, so group populations track the data. Cost is
+    *    iters·k·g centroid-sized cosines — noise next to the fit.
     * 3. CAPPED nCells. k = min(maxCells, max(8, ⌈n/targetCellSize⌉)).
     *    The cap bounds the broadcast codebook (k·dim floats must ship to
     *    every executor) and the fit budget; past it, cells grow beyond
@@ -1304,32 +1321,40 @@ object SimilarityOps {
       math.max(8L, math.ceil(n.toDouble / targetCellSize).toLong)).toInt
     val g = coarseGroups.getOrElse(
       math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt))
+    // sample membership is fixed by the hash-ordered global limit; the
+    // repartition only redistributes those rows so the per-iteration fit
+    // aggregates run on every core instead of the GlobalLimit's single
+    // partition (nano-grid means are order-independent → bit-identical
+    // codebook, pinned in SimilaritySpec)
     val fit = corpus
       .select(col("vec_id"), col("embedding"),
         Hashing.hash60(concat(lit("sdfit_"), col("vec_id").cast("string")))
           .as("__h"))
       .orderBy(col("__h"), col("vec_id")).limit(fitSampleN)
       .select("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val (icb, _) = kmeansFit(fit, nCells, iters, dim = dim,
       init = Some(ivfCodebook(spark, nCells, dim)))
-    // group anchors: fixed ±1 hash planes, own seed family so they are
-    // independent of the "ivf_" Lloyd init planes
+    // group anchors: kmeans-of-centroids — Lloyd over the k fitted
+    // centroids (a k-row corpus), seeded from fixed ±1 "sdg_" hash planes
+    // (own seed family, independent of the "ivf_" Lloyd init planes). The
+    // returned assignment IS the centroid → group routing.
     import spark.implicits._
-    val gcb = (0 until g).map { grp =>
+    val gInit = (0 until g).map { grp =>
       val anchor = Array.tabulate(dim) { d =>
         if ((graft.functions.Hashing.hash60Scalar(s"sdg_${grp}_$d") & 1L) == 0L)
-          1.0f else -1.0f
+          1.0 else -1.0
       }
       (grp, anchor)
-    }.toDF("grp", "ganchor")
-    // centroid → group (k·g cosines, broadcast both ways — k rows total)
-    val centGrp = icb.crossJoin(broadcast(gcb))
-      .select(col("cell"), col("anchor"), col("grp"),
-        cosine(col("anchor"), col("ganchor")).as("__gc"))
-      .groupBy("cell")
-      .agg(min(struct((-col("__gc")).as("neg"), col("grp").as("grp"))).as("m"),
-        first(col("anchor")).as("anchor"))
-      .select(col("cell"), col("anchor"), col("m.grp").as("grp"))
+    }.toDF("cell", "anchor")
+    val (gFit, centAssign) = kmeansFit(
+      icb.select(col("cell").as("vec_id"), col("anchor").as("embedding")),
+      g, iters, dim = dim, init = Some(gInit))
+    val gcb = gFit.select(col("cell").as("grp"), col("anchor").as("ganchor"))
+    // centroid → group (k rows total; Lloyd's own final assignment)
+    val centGrp = centAssign
+      .select(col("vec_id").as("cell"), col("embedding").as("anchor"),
+        col("cell").as("grp"))
       .localCheckpoint(true)
     // point → best NON-EMPTY group (n·g map-side cosines): ranking only
     // groups that hold ≥1 centroid guarantees the pruned candidate set is

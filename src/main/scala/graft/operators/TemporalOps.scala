@@ -180,11 +180,15 @@ object TemporalOps {
     val onGrid = pmod(us, lit(stepUs)) === 0
     // step-floor in SECONDS via exact integer ops: us − pmod is a long
     // multiple of stepUs (pmod floors correctly for any sign), and the
-    // /1e6 divides an exact multiple — NOT floor(us / stepUs), whose
+    // /1e6 strips an exact factor — NOT floor(us / stepUs), whose
     // double division rounds UP for timestamps within ~0.2 ms below a
-    // step boundary at micro precision
+    // step boundary at micro precision. The division is INTEGRAL (SQL
+    // `div`), not Column `/` (double): a double round-trip is exact only
+    // below 2^53 µs (~year 2255), integral division has no such
+    // representability precondition. Truncation == exact here because
+    // the numerator is an exact multiple of 1 000 000 (stepUs = stepSec·10⁶).
     def stepFloorSec(u: Column): Column =
-      ((u - pmod(u, lit(stepUs))) / lit(1000000L)).cast("long")
+      call_function("div", u - pmod(u, lit(stepUs)), lit(1000000L))
     // first step-aligned instant covered by this observation (its own ts
     // when aligned, else the next grid instant)
     val start = when(onGrid, stepFloorSec(us))

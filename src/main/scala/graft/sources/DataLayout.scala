@@ -50,6 +50,48 @@ object DataLayout {
       .parquet(path)
   }
 
+  /** Write `df` Hive-partitioned by `partitionCol` WITHOUT an exchange —
+    * the sink for frames whose no-shuffle plan is the point (a36's
+    * generated LOCF grid: re-shuffling the biggest frame of the job to
+    * control file counts would defeat the operator). Rows are sorted by
+    * the partition column WITHIN each upstream task (a local sort, no
+    * exchange), which makes each task's fan-out CONTIGUOUS — the writer
+    * holds one open file at a time instead of one per live value — and
+    * `maxRecordsPerFile` caps every file's rows, bounding file SIZE from
+    * above. The explicit trade vs [[writePartitioned]]: file COUNT is
+    * O(upstream tasks × values-per-task) (each task emits one file per
+    * partition value it holds, plus record-cap splits), not
+    * filesPerPartition — bounded and returned (LayoutSpec pins it), paid
+    * deliberately to keep the grid off the wire. A too-fragmented result
+    * feeds [[compact]] as the standard epilogue. Returns the written
+    * parquet file count. */
+  def writePartitionedNoExchange(df: DataFrame, path: String,
+                                 partitionCol: String,
+                                 maxRecordsPerFile: Long): Int = {
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive: $maxRecordsPerFile")
+    df.sortWithinPartitions(F.col(partitionCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+    parquetFileCount(df.sparkSession, path)
+  }
+
+  /** Recursive parquet data-file count under `path` (partition dirs
+    * included) — the number LayoutSpec-style file-count assertions pin. */
+  def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** 32-bit Morton (Z-order) key of two bounded coordinates: each is
     * quantized to 16 bits over its [lo, hi) range, bit-spread with the
     * classic magic-mask chain, and interleaved. Sorting a table by this key

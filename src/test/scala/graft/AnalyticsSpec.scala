@@ -607,6 +607,21 @@ class AnalyticsSpec extends SparkSpec {
       StorageLevel.MEMORY_AND_DISK_SER)
   }
 
+  test("executorHeapBytes: local mode reads this JVM's heap (driver == " +
+      "executor there); the cluster branch parses spark.executor.memory") {
+    // in local mode the checkpoint blocks live in THIS JVM, and local mode
+    // ignores spark.executor.memory — Runtime.maxMemory is the only honest
+    // signal (the r16 heuristic, now scoped to where it is true)
+    assert(spark.sparkContext.master.startsWith("local"))
+    assert(AnalyticsOps.executorHeapBytes(spark) ===
+      Runtime.getRuntime.maxMemory)
+    // the size-string parse the cluster branch feeds to the threshold
+    // (spark.executor.memory is a Spark size string, default 1g)
+    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    assert(byteStringAsBytes("8g") === 8L * 1024 * 1024 * 1024)
+    assert(byteStringAsBytes("16384m") === 16L * 1024 * 1024 * 1024)
+  }
+
   test("coOccurrence: deterministic across input partitionings") {
     val rows = (1L to 40L).flatMap(b =>
       (0 to (b % 5).toInt).map(k => (b, s"i${(b + k) % 7}")))

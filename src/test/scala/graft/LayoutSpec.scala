@@ -85,6 +85,42 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 400)
   }
 
+  test("writePartitionedNoExchange: no added exchange, file count bounded " +
+      "by tasks x values, maxRecordsPerFile caps file rows") {
+    // the a36 sink contract: the grid-sized frame keeps the caller's
+    // partitioning (sortWithinPartitions is a LOCAL sort), the fan-out is
+    // one file per (task, value) plus record-cap splits — bounded, not an
+    // accident of task count
+    val df = (0L until 600L).map(i => (i, i % 3, s"v$i")).toDF("id", "day", "v")
+      .repartition(4, col("id"))
+    // plan shape: exactly the caller's own repartition exchange, nothing
+    // added (string count — the AQE wrapper hides children from collect)
+    val planStr = df.sortWithinPartitions(col("day"))
+      .queryExecution.executedPlan.toString
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"local sort added an exchange:\n$planStr")
+
+    val path = Files.createTempDirectory("layout_ne").toString
+    val n = DataLayout.writePartitionedNoExchange(df, path, "day",
+      maxRecordsPerFile = 1000000L)
+    assert(n === DataLayout.parquetFileCount(spark, path))
+    // >= one file per day value, <= tasks x values
+    assert(n >= 3 && n <= 12, s"file count $n outside [3, 12]")
+    assert(spark.read.parquet(path).count() === 600)
+
+    // a binding record cap splits but stays bounded: >= rows/cap files,
+    // <= rows/cap + one remainder file per (task, value) cell
+    val path2 = Files.createTempDirectory("layout_ne2").toString
+    val n2 = DataLayout.writePartitionedNoExchange(df, path2, "day",
+      maxRecordsPerFile = 25L)
+    assert(n2 >= 24 && n2 <= 24 + 12, s"capped file count $n2 outside [24, 36]")
+    // the cap is honored file by file
+    val fs = spark.read.parquet(path2)
+    val perFile = fs.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 25L), s"a file exceeds the record cap")
+    assert(fs.count() === 600)
+  }
+
   test("compact: many small files rewrite to the byte-sized target count, content preserved") {
     val src = Files.createTempDirectory("layout_frag").toString
     val dest = Files.createTempDirectory("layout_compact").toString

@@ -664,6 +664,35 @@ class SimilaritySpec extends SparkSpec {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("semDedupSampled fit: the repartitioned (distributed) sample fits a " +
+      "BIT-IDENTICAL codebook to a single-partition materialization") {
+    // the r16 plan flaw: orderBy+limit plans as a single-partition
+    // GlobalLimit, so without a repartition every per-iteration fit
+    // aggregate ran on ONE task. The fix redistributes the SAME rows
+    // (membership is fixed by the hash order before the repartition);
+    // kmeansFit's nano-grid means are exact-long sums — order-independent
+    // — so the codebook must not move by even an ulp.
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Hashing.hash60(
+          concat(lit("sdfit_"), col("vec_id").cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(256)
+      .select("vec_id", "embedding")
+    val single = sample.coalesce(1)
+    val multi = sample.repartition(8, col("vec_id"))
+    assert(multi.rdd.getNumPartitions === 8, "fit sample must distribute")
+    val init = SimilarityOps.ivfCodebook(spark, nCells = 8, dim = 64)
+    val (cbS, _) = SimilarityOps.kmeansFit(single, 8, 2, init = Some(init))
+    val (cbM, _) = SimilarityOps.kmeansFit(multi, 8, 2, init = Some(init))
+    def anchors(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell").collect()
+        .map(r => (r.get(0), r.getSeq[Double](1).toVector)).toSeq
+    assert(anchors(cbS) === anchors(cbM),
+      "distributed fit drifted from the single-partition codebook")
+  }
+
   test("artifact search prunes the scan to probed cell partitions " +
       "(static partition filter, not runtime luck)") {
     val ivfCb = SimilarityOps.ivfCodebook(spark, nCells = 16, dim = 64)
