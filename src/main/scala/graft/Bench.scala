@@ -191,10 +191,19 @@ object Bench {
     // WAV corpus is 19 GB, the same order as b55's shuffle-spill headroom).
     val needsBmp = Seq("m03", "m05").exists(p => headline.keys.exists(_.startsWith(p)))
     val needsWav = headline.keys.exists(_.startsWith("m06"))
-    if (needsBmp || needsWav)
+    // SPARK_GRAFT_BENCH_WAV_WINDOWED=1: do NOT hold the WAV corpus on disk
+    // for the whole run — render it immediately before m06 (untimed) and
+    // delete it immediately after. At sf100 the WAV cache is ~19 GB and
+    // b55's pair-stage spill ~37 GB; on this sandbox's ~52 GB free they
+    // cannot co-reside, which is exactly why m06 was excluded from the
+    // r14-r16 sf100 records. Windowing the corpus to the one key that
+    // reads it removes the co-residency instead of the key. The driver
+    // sets no env, so gate/default runs keep the prebuilt-cache behavior.
+    val wavWindowed = sys.env.get("SPARK_GRAFT_BENCH_WAV_WINDOWED").contains("1")
+    if (needsBmp || (needsWav && !wavWindowed))
       try {
         if (needsBmp) graft.sources.MediaFixtures.bmpCorpus(spark, sfDir)
-        if (needsWav) graft.sources.MediaFixtures.wavCorpus(spark, sfDir)
+        if (needsWav && !wavWindowed) graft.sources.MediaFixtures.wavCorpus(spark, sfDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] media fixture build failed: ${e.getMessage}")
       }
@@ -203,6 +212,13 @@ object Bench {
     val calib = calibrate()
     def runOnce(): Seq[(String, Double, Boolean)] =
       headline.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // windowed WAV lifetime: render right before m06's timer starts
+        // (outside the timed region, like the upfront build it replaces)
+        if (wavWindowed && name.startsWith("m06"))
+          try graft.sources.MediaFixtures.wavCorpus(spark, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] windowed WAV build failed: ${e.getMessage}")
+          }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -230,6 +246,12 @@ object Bench {
         // threshold keeps full sf0.1 registry runs (most keys < 3 s)
         // overhead-free.
         if (elapsed > 30.0) Thread.sleep(3000)
+        // windowed WAV lifetime: delete the corpus the moment its one
+        // reader is timed, so the ~19 GB never co-resides with a later
+        // key's shuffle spill (untimed, mirrors the untimed render above)
+        if (wavWindowed && name.startsWith("m06"))
+          graft.entry.QueryHelpers.deleteRecursively(new java.io.File(
+            graft.sources.MediaFixtures.cachePath(sfDir, "wav", 4)))
         (name, elapsed, ok)
       }
     val runs = (1 to trials).map(_ => runOnce())
