@@ -144,6 +144,41 @@ object CdcOps {
       payload.map(p => when(valid, col(s"asof_$p")).as(s"pit_$p")): _*)
   }
 
+  /** Sort-free variant of [[pointInTime]] (the r16 task-7 A/B): an
+    * equi-join on the entity key with the interval containment as a
+    * RESIDUAL condition, hinted to a shuffled-HASH join — no sort on
+    * either side, where the as-of form pays one sort of facts ∪ versions.
+    * SCD2 intervals are disjoint per key, so at most one version survives
+    * the residual filter per fact: the left join's multiplicity is the
+    * as-of join's, row for row (CdcSpec pins equality, tombstone gaps and
+    * pre-history facts included).
+    *
+    * Cost model — when to pick which: the hash join streams every fact
+    * against ALL of its key's versions (candidates = facts ×
+    * versions-per-key, filtered to ≤ 1), so it wins when dimension churn
+    * per key is a small constant (the standard SCD2 shape — the b56 data
+    * has ~10 versions/key) and loses to the one-sort as-of pass when
+    * churn is high. This is the E23 bucketed interval join in its
+    * degenerate one-bucket-per-key form: the b56 intervals are FEW and
+    * WIDE per key (each spans ~a keyspace/churn slice), exactly the
+    * regime where finer seq buckets only multiply the interval explosion
+    * (Σ span/width) without cutting candidates. */
+  def pointInTimeHashed(facts: DataFrame, history: DataFrame,
+                        key: Seq[String], seqCol: String,
+                        payload: Seq[String]): DataFrame = {
+    val hx = history.select(
+      key.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col("seq_from"), col("seq_to")) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+      .hint("SHUFFLE_HASH")
+    val cond = key.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+      col("seq_from") <= col(seqCol) &&
+      (col("seq_to").isNull || col(seqCol) < col("seq_to"))
+    facts.join(hx, cond, "left")
+      .select(facts.columns.map(col).toIndexedSeq ++
+        payload.map(p => col(s"__p_$p").as(s"pit_$p")): _*)
+  }
+
   /** Incremental aggregate maintenance (materialized-view merge): combine a
     * stored aggregate state with a new batch's aggregate of the SAME shape
     * — union + one re-aggregate per mergeable column. For algebraic

@@ -162,4 +162,36 @@ class CdcSpec extends SparkSpec {
       14L -> None,          // after the delete tombstone
       15L -> None))         // key with no history at all
   }
+
+  test("pointInTimeHashed: row-for-row equal to the as-of pointInTime, " +
+      "sort-free hash-join plan") {
+    // the same edge fixture as pointInTime (boundaries, tombstone gap,
+    // pre-history, unknown key) plus a second key with interleaved facts
+    val changelog = Seq(
+      (1L, 1L, "U", "v1"), (1L, 5L, "U", "v2"), (1L, 9L, "D", "x"),
+      (2L, 3L, "U", "w1"), (2L, 7L, "U", "w2")
+    ).toDF("k", "seq", "op", "name")
+    val hist = CdcOps.scd2History(changelog, Seq("k"), "seq", "op",
+      Seq("name"))
+    val facts = Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, 1L, 4L),
+      (13L, 1L, 5L), (14L, 1L, 10L), (15L, 3L, 3L),
+      (16L, 2L, 3L), (17L, 2L, 6L), (18L, 2L, 7L), (19L, 2L, 100L))
+      .toDF("fact_id", "k", "seq")
+    val asOf = CdcOps.pointInTime(facts, hist, Seq("k"), "seq", Seq("name"))
+    val hashed = CdcOps.pointInTimeHashed(facts, hist, Seq("k"), "seq",
+      Seq("name"))
+    assert(asOf.columns.toSeq === hashed.columns.toSeq)
+    val a = asOf.orderBy("fact_id").collect().map(_.toString).toSeq
+    val h = hashed.orderBy("fact_id").collect().map(_.toString).toSeq
+    assert(a === h, "hashed PIT diverged from the as-of PIT")
+    // multiplicity: disjoint intervals -> exactly one output row per fact
+    assert(hashed.count() === facts.count())
+    // the plan is the point: a shuffled-hash join, no sort on either side
+    // the plan is the point: the JOIN is a shuffled-hash join, not a
+    // sort-merge — the only Sort left in the tree is scd2History's own
+    // delta-sized lead window, which both variants pay identically
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"hash hint ignored:\n$plan")
+  }
 }
