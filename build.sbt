@@ -42,4 +42,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r17: a full sf100 bench run died with a spurious "Java heap space"
+  // OOM at 64 g — G1's GCLocker starvation ("Retried waiting for GCLocker
+  // too often allocating 7 words"): the default retry count is 2, and
+  // heavy JNI-critical traffic (parquet/lz4) can exhaust it while the
+  // heap is mostly free. Raising the retry bound removes the spurious
+  // kill without touching real-OOM behavior.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=8",
 )

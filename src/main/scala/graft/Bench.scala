@@ -350,7 +350,8 @@ object Bench {
       """"b40_fuzzy_match":"since r13 the scaled decades tag supplier names per copy - the untagged sf1/sf10 fixtures planted same-name cliques that made blocking candidates quadratic in copies, so pre-r13 b40 decade numbers measured that artifact (SCALING r13)",""" +
       """"m03_image_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)",""" +
       """"m05_image_resize":"materialized-corpus input since r12 (r10-r11: inline fixture render inside the timed region)",""" +
-      """"m06_audio_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)"}"""
+      """"m06_audio_dedup":"materialized-corpus input since r12 (r09-r11: inline fixture render inside the timed region)",""" +
+      """"b56_pit_lookup":"pointInTimeHashed (shuffled-hash equi-join, interval as residual - no facts-union-versions sort) since r17; the as-of sort-merge plan benched r12-r17 sf0.1/1/10 records. Interleaved PitAb: hashed wins every decade (sf100 49.0 vs 69.4 s median), candidates = facts x versions-per-key (~10 here); pointInTime stays the high-churn answer"}"""
     val reprobedJson = reprobed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val excludedJson = excluded.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
