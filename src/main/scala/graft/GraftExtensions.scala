@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharEntropyStats, DotFold, EmbeddingSimhash60, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, MinHashBands, SimHash60, TextScanStats, TokenDiversity}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.{ArgMaxCos, ArgMaxCosGrouped, CharEntropyStats, DotFold, EmbeddingSimhash60, Hash60, KllMergeAgg, KllQuantiles, KllSketchAgg, LocaleClean, MinHashBands, PqCodes, SimHash60, TextScanStats, TokenDiversity}
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -15,6 +16,32 @@ import graft.functions.{CharEntropyStats, DotFold, EmbeddingSimhash60, Hash60, K
   * that canonicalizes hand-written HOF dot folds into the native form.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** The codebook arguments of the argmax/PQ scans are driver-known
+    * constants by contract — fold them at expression-construction time so
+    * the expression holds plain Java arrays (codegen references them as
+    * objects; no per-row literal traversal). */
+  private def foldedArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): ArrayData = {
+    require(e.foldable, s"$fn: $what must be a foldable array literal")
+    val v = e.eval(null)
+    require(v != null, s"$fn: $what must not be null")
+    v.asInstanceOf[ArrayData]
+  }
+
+  private def foldInts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): Array[Int] =
+    foldedArray(e, fn, what).toIntArray()
+
+  private def foldMatrix(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): Array[Array[Double]] = {
+    val ad = foldedArray(e, fn, what)
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.DotFoldRewrite)
     ext.injectFunction((
@@ -118,6 +145,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, s"graft_kll_quantiles expects (sketch, quantiles), got ${children.size} args")
         KllQuantiles(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmax_cos"),
+      new ExpressionInfo(classOf[ArgMaxCos].getName, "graft_argmax_cos"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          s"graft_argmax_cos expects (emb, cells, anchors), got ${children.size} args")
+        ArgMaxCos(children.head,
+          foldInts(children(1), "graft_argmax_cos", "cells"),
+          foldMatrix(children(2), "graft_argmax_cos", "anchors"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_argmax_cos_grouped"),
+      new ExpressionInfo(classOf[ArgMaxCosGrouped].getName, "graft_argmax_cos_grouped"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 5,
+          s"graft_argmax_cos_grouped expects (emb, grp, cells, anchors, groups), got ${children.size} args")
+        ArgMaxCosGrouped(children.head, children(1),
+          foldInts(children(2), "graft_argmax_cos_grouped", "cells"),
+          foldMatrix(children(3), "graft_argmax_cos_grouped", "anchors"),
+          foldInts(children(4), "graft_argmax_cos_grouped", "groups"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "graft_pq_codes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4,
+          s"graft_pq_codes expects (emb, subOffsets, codes, anchors), got ${children.size} args")
+        val anchors = foldMatrix(children(3), "graft_pq_codes", "anchors")
+        PqCodes(children.head,
+          foldInts(children(1), "graft_pq_codes", "subOffsets"),
+          foldInts(children(2), "graft_pq_codes", "codes"),
+          anchors, anchors.map(ArgMaxCos.selfDot))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),

@@ -613,9 +613,73 @@ object SimilarityOps {
     }.toDF("cell", "anchor")
   }
 
+  /** Codebook rows pulled to the driver, sorted by cell ascending — the
+    * bounded-by-nCells collect every assignment already paid implicitly
+    * through `broadcast(codebook)`; here it feeds the per-row argmax scan
+    * (float anchors widen to double — exact, the [[DotFold]] cast). */
+  private[graft] def collectCodebook(
+      codebook: DataFrame): (Array[Int], Array[Array[Double]]) = {
+    val rows = codebook.select(col("cell"), col("anchor")).collect()
+      .map { r =>
+        val cell = r.get(0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => other.toString.toInt
+        }
+        val anchor = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        (cell, anchor)
+      }.sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Group-tagged codebook rows (cell, anchor, grp) pulled to the driver
+    * for the per-row pruned scan ([[graft.functions.ArgMaxCosGrouped]]):
+    * parallel arrays sorted by cell ascending, so the scan's strict-replace
+    * keeps the lowest cell on ties — `min(struct)`'s tie-break. */
+  private[graft] def collectGroupedCodebook(centGrp: DataFrame)
+      : (Array[Int], Array[Array[Double]], Array[Int]) = {
+    val rows = centGrp.select(col("cell"), col("anchor"), col("grp")).collect()
+      .map { r =>
+        val anchor = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        (r.getInt(0), anchor, r.getInt(2))
+      }.sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+  }
+
+  /** The per-row argmax-cosine Column over a driver-known codebook (the
+    * [[graft.functions.ArgMaxCos]] scan — codebook ships as foldable
+    * literals the extension builder unpacks once). */
+  private def argMaxCosCol(emb: Column, cells: Array[Int],
+                           anchors: Array[Array[Double]]): Column =
+    call_function("graft_argmax_cos", emb,
+      typedLit(cells.toSeq), typedLit(anchors.map(_.toSeq).toSeq))
+
   /** IVF assignment: each vector goes to its nearest (max cosine) codebook
-    * cell — broadcast the codebook, min(struct) argmax, no sort. */
+    * cell. On a graft session this is ONE compiled per-row codebook scan
+    * ([[graft.functions.ArgMaxCos]]) — a pure map over the corpus, no
+    * exchange at any scale. The relational crossJoin + `min(struct)`
+    * argmax ([[ivfAssignHof]]) remains the vanilla-session fallback and
+    * the semantic definition; it pays a full-corpus exchange for the
+    * `groupBy(vec_id)` (guide §2.4 — that exchange was one per assignment
+    * and one per Lloyd iteration). Bit-equivalence pinned by
+    * ArgMaxCosSpec. */
   def ivfAssign(corpus: DataFrame, codebook: DataFrame): DataFrame =
+    if (graft.functions.Native.has("graft_argmax_cos")) {
+      val (cells, anchors) = collectCodebook(codebook)
+      corpus.select(col("vec_id"), col("embedding"),
+        argMaxCosCol(col("embedding"), cells, anchors).as("cell"))
+    } else ivfAssignHof(corpus, codebook)
+
+  /** The engine-portable relational twin of [[ivfAssign]]: broadcast the
+    * codebook, min(struct) argmax, no sort — one exchange on vec_id. */
+  private[graft] def ivfAssignHof(corpus: DataFrame,
+                                  codebook: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("anchor")).as("acos"))
@@ -703,10 +767,61 @@ object SimilarityOps {
                 dim: Int = 64,
                 init: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(iters > 0, s"iters must be positive: $iters")
+    if (!graft.functions.Native.has("graft_argmax_cos"))
+      return kmeansFitHof(corpus, nCells, iters, dim, init)
+    // Native Lloyd loop: the codebook lives on the DRIVER between
+    // iterations (k·dim doubles — the same bound the broadcast already
+    // imposed), so each iteration is ONE job: a per-row ArgMaxCos scan
+    // (no exchange — the relational form shuffled the whole corpus per
+    // iteration for its groupBy(vec_id) argmax) feeding the (cell, pos)
+    // partial-agg'd nano-grid sums, collected k·dim rows small. The
+    // per-iteration localCheckpoint is gone — a driver-literal codebook
+    // needs no lineage truncation. Means divide exactly as the relational
+    // form did (s/(n·1e9), one IEEE divide on exact long sums) — the
+    // fitted codebook is bit-identical (ArgMaxCosSpec; the s12/s17-s20/s22
+    // oracle hashes are the standing witnesses).
+    val spark = corpus.sparkSession
+    var (cells, anchors) = collectCodebook(
+      init.getOrElse(farthestInit(corpus, nCells)))
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .select(argMaxCosCol(col("embedding"), cells, anchors).as("cell"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * lit(1.0e9)).cast("long"))))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("__n"), sum(col("col")).as("__s"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      cells = byCell.map(_._1)
+      anchors = byCell.map { case (_, rows) =>
+        val a = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach { r =>
+          a(r.getInt(1)) =
+            r.getLong(3).toDouble / (r.getLong(2).toDouble * 1.0e9)
+        }
+        a
+      }
+    }
+    import spark.implicits._
+    val codebook = cells.zip(anchors).toSeq.toDF("cell", "anchor")
+    (codebook,
+      corpus.select(col("vec_id"), col("embedding"),
+        argMaxCosCol(col("embedding"), cells, anchors).as("cell")))
+  }
+
+  /** The engine-portable relational Lloyd loop — [[kmeansFit]]'s vanilla-
+    * session fallback and semantic definition (one [[ivfAssignHof]]
+    * exchange + one (cell, pos) agg + an eager localCheckpoint per
+    * iteration). */
+  private[graft] def kmeansFitHof(corpus: DataFrame, nCells: Int, iters: Int,
+                                  dim: Int = 64,
+                                  init: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    require(iters > 0, s"iters must be positive: $iters")
     var codebook = init.getOrElse(farthestInit(corpus, nCells))
     for (_ <- 0 until iters) {
       // exact-long nano-grid mean (order-independent — see scaladoc)
-      val means = ivfAssign(corpus, codebook)
+      val means = ivfAssignHof(corpus, codebook)
         .select(col("cell"), posexplode(transform(col("embedding"),
           x => round(x.cast("double") * lit(1.0e9)).cast("long"))))
         .groupBy("cell", "pos")
@@ -722,7 +837,7 @@ object SimilarityOps {
       // side tiny and precomputed
       codebook = means.localCheckpoint(true)
     }
-    (codebook, ivfAssign(corpus, codebook))
+    (codebook, ivfAssignHof(corpus, codebook))
   }
 
   /** Deterministic product-quantization codebook: `m` subspaces ×
@@ -783,8 +898,58 @@ object SimilarityOps {
     * vector — at k=16/m=8 that is 8 bytes instead of 256 of floats, the
     * 32× compression that makes a 100 TB embedding corpus scannable.
     * Returns (vec_id, sub, code). */
+  /** PQ codebook pulled to the driver for the per-row scan: entries
+    * sorted (sub asc, code asc), `subOffsets(sub)..subOffsets(sub+1)`
+    * delimiting each sub's codes (codes need not be dense — trained
+    * codebooks drop empty codes). Requires subs 0..m-1 all present. */
+  private[graft] def collectPqCodebook(codebook: DataFrame, m: Int)
+      : (Array[Int], Array[Int], Array[Array[Double]]) = {
+    val rows = codebook.select(col("sub"), col("code"), col("anchor"))
+      .collect()
+      .map { r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Any](2).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      }.sortBy(e => (e._1, e._2))
+    val offsets = new Array[Int](m + 1)
+    var i = 0
+    rows.zipWithIndex.foreach { case ((sub, _, _), idx) =>
+      require(sub >= 0 && sub < m, s"pq codebook sub $sub out of range 0..${m - 1}")
+      while (i <= sub) { offsets(i) = idx; i += 1 }
+    }
+    while (i <= m) { offsets(i) = rows.length; i += 1 }
+    (0 until m).foreach { s =>
+      require(offsets(s) < offsets(s + 1), s"pq codebook has no codes for sub $s")
+    }
+    (offsets, rows.map(_._2), rows.map(_._3))
+  }
+
+  /** The per-row PQ assignment Column ([[graft.functions.PqCodes]]) —
+    * array of m (code, d) structs, d = raw dot(subvector, chosen anchor). */
+  private def pqCodesCol(emb: Column, offsets: Array[Int], codes: Array[Int],
+                         anchors: Array[Array[Double]]): Column =
+    call_function("graft_pq_codes", emb,
+      typedLit(offsets.toSeq), typedLit(codes.toSeq),
+      typedLit(anchors.map(_.toSeq).toSeq))
+
   def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 8,
                dim: Int = 64): DataFrame =
+    if (graft.functions.Native.has("graft_pq_codes")) {
+      // one compiled per-row scan + posexplode — a pure map over the
+      // corpus; the relational form ([[pqEncodeHof]]) paid a full
+      // (vec_id, sub) exchange for its groupBy argmin (guide §2.4)
+      val (offsets, codes, anchors) = collectPqCodebook(codebook, m)
+      corpus
+        .select(col("vec_id"),
+          posexplode(pqCodesCol(col("embedding"), offsets, codes, anchors)))
+        .select(col("vec_id"), col("pos").as("sub"), col("col.code").as("code"))
+    } else pqEncodeHof(corpus, codebook, m, dim)
+
+  /** The engine-portable relational twin of [[pqEncode]] (vanilla-session
+    * fallback and semantic definition). */
+  private[graft] def pqEncodeHof(corpus: DataFrame, codebook: DataFrame,
+                                 m: Int = 8, dim: Int = 64): DataFrame =
     pqAssign(pqSubvectors(corpus, m, dim), codebook)
       .select("vec_id", "sub", "code")
 
@@ -947,8 +1112,31 @@ object SimilarityOps {
     * a 100 TB float corpus searchable from a fraction of its bytes. */
   def ivfPqIndex(corpus: DataFrame, ivfCb: DataFrame, pqCb: DataFrame,
                  m: Int = 8, dim: Int = 64): DataFrame =
-    ivfAssign(corpus, ivfCb).select(col("vec_id"), col("cell"))
-      .join(pqEncode(corpus, pqCb, m, dim), "vec_id")
+    if (graft.functions.Native.has("graft_argmax_cos") &&
+        graft.functions.Native.has("graft_pq_codes")) {
+      // assignment and encoding are PER-VECTOR functions of the frozen
+      // codebooks (the incrementality contract), so the index build is
+      // ONE map-only scan of the float corpus: cell argmax + m-code scan
+      // per row, posexplode — no join, no exchange (the relational form
+      // shuffled the corpus three times: assign argmax, encode argmin,
+      // and the vec_id re-join)
+      val (cells, anchors) = collectCodebook(ivfCb)
+      val (offsets, codes, pqAnchors) = collectPqCodebook(pqCb, m)
+      corpus
+        .select(col("vec_id"),
+          argMaxCosCol(col("embedding"), cells, anchors).as("cell"),
+          posexplode(pqCodesCol(col("embedding"), offsets, codes, pqAnchors)))
+        .select(col("vec_id"), col("pos").as("sub"), col("col.code").as("code"),
+          col("cell"))
+    } else ivfPqIndexHof(corpus, ivfCb, pqCb, m, dim)
+
+  /** The engine-portable relational twin of [[ivfPqIndex]] (vanilla-
+    * session fallback and semantic definition). */
+  private[graft] def ivfPqIndexHof(corpus: DataFrame, ivfCb: DataFrame,
+                                   pqCb: DataFrame, m: Int = 8,
+                                   dim: Int = 64): DataFrame =
+    ivfAssignHof(corpus, ivfCb).select(col("vec_id"), col("cell"))
+      .join(pqEncodeHof(corpus, pqCb, m, dim), "vec_id")
       .select(col("vec_id"), col("sub"), col("code"), col("cell"))
 
   /** Persist an [[ivfPqIndex]] (plus both codebooks — an index artifact
@@ -1087,6 +1275,43 @@ object SimilarityOps {
   def ivfPqResidualIndex(corpus: DataFrame, ivfCb: DataFrame,
                          pqCb: DataFrame, m: Int = 8,
                          dim: Int = 64): (DataFrame, DataFrame) = {
+    val subDim = dim / m
+    if (graft.functions.Native.has("graft_argmax_cos") &&
+        graft.functions.Native.has("graft_pq_codes")) {
+      // residual build as a MAP-ONLY pipeline: per-row cell argmax →
+      // residual subtraction → per-row PQ scan (the [[PqCodes]] struct
+      // carries dot(sv, anchor_chosen) alongside the code, so the scales
+      // term needs no pqCb re-join). index and scales are two map-only
+      // scans of the corpus — the relational form paid two exchanges
+      // (encode argmin + the vec_id re-join) plus an eager serialized
+      // checkpoint of the n·m encoded rows purely to share that lineage;
+      // with no shuffle left to share, the checkpoint goes too.
+      val (offsets, codes, pqAnchors) = collectPqCodebook(pqCb, m)
+      val enc = ivfResiduals(corpus, ivfCb)
+        .select(col("vec_id"), col("cell"),
+          posexplode(pqCodesCol(col("embedding"), offsets, codes, pqAnchors)))
+      val index = enc.select(col("vec_id"), col("pos").as("sub"),
+        col("col.code").as("code"), col("cell"))
+      // same quantization tail as the relational form: round(d·1e9) long,
+      // exact integer sums, one division (null d rows — short/null slices
+      // — drop out of the sum but stay in the count, as before)
+      val scales = enc
+        .select(col("pos").as("sub"),
+          round(col("col.d") * lit(1.0e9)).cast("long").as("__rd"))
+        .groupBy("sub")
+        .agg(sum(col("__rd")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("sub"), (col("__s").cast("double") /
+          (col("__n").cast("double") * lit(subDim * 1.0e9))).as("alpha"))
+      (index, scales)
+    } else ivfPqResidualIndexHof(corpus, ivfCb, pqCb, m, dim)
+  }
+
+  /** The engine-portable relational twin of [[ivfPqResidualIndex]]
+    * (vanilla-session fallback and semantic definition). */
+  private[graft] def ivfPqResidualIndexHof(corpus: DataFrame,
+                                           ivfCb: DataFrame, pqCb: DataFrame,
+                                           m: Int = 8, dim: Int = 64)
+      : (DataFrame, DataFrame) = {
     val subDim = dim / m
     val res = ivfResiduals(corpus, ivfCb)
     val enc = pqAssign(
@@ -1355,10 +1580,46 @@ object SimilarityOps {
     val centGrp = centAssign
       .select(col("vec_id").as("cell"), col("embedding").as("anchor"),
         col("cell").as("grp"))
-      .localCheckpoint(true)
-    // point → best NON-EMPTY group (n·g map-side cosines): ranking only
-    // groups that hold ≥1 centroid guarantees the pruned candidate set is
-    // never empty, so no point drops out of the assignment
+    semVerdicts(prunedAssign(corpus, gcb, centGrp), threshold)
+  }
+
+  /** The pruned two-stage assignment of [[semDedupSampled]]: point → best
+    * NON-EMPTY group (ranking only groups that hold ≥1 centroid guarantees
+    * the pruned candidate set is never empty, so no point drops out) →
+    * nearest centroid WITHIN that group (ivfAssign tie-break). On a graft
+    * session both stages fuse into ONE compiled map-only projection per
+    * row ([[graft.functions.ArgMaxCos]] over the live group anchors
+    * feeding [[graft.functions.ArgMaxCosGrouped]] over the centroids) —
+    * no exchange at any scale; the relational twin ([[prunedAssignHof]])
+    * pays two full-corpus groupBy(vec_id) exchanges for its argmaxes.
+    * Bit-equivalence pinned by ArgMaxCosSpec; the s22 oracle hash is the
+    * standing witness. */
+  private[graft] def prunedAssign(corpus: DataFrame, gcb: DataFrame,
+                                  centGrp: DataFrame): DataFrame =
+    if (graft.functions.Native.has("graft_argmax_cos") &&
+        graft.functions.Native.has("graft_argmax_cos_grouped")) {
+      val (cells, anchors, groups) = collectGroupedCodebook(centGrp)
+      val live = groups.toSet
+      val (gAll, gaAll) = collectCodebook(
+        gcb.select(col("grp").as("cell"), col("ganchor").as("anchor")))
+      val keep = gAll.indices.filter(i => live(gAll(i)))
+      val grps = keep.map(gAll).toArray
+      val ganchors = keep.map(gaAll).toArray
+      corpus.select(col("vec_id"), col("embedding"),
+        call_function("graft_argmax_cos_grouped", col("embedding"),
+          argMaxCosCol(col("embedding"), grps, ganchors),
+          typedLit(cells.toSeq), typedLit(anchors.map(_.toSeq).toSeq),
+          typedLit(groups.toSeq)).as("cell"))
+    } else prunedAssignHof(corpus, gcb, centGrp)
+
+  /** The engine-portable relational twin of [[prunedAssign]] (vanilla-
+    * session fallback and semantic definition): broadcast group rank +
+    * broadcast-hash within-group rank, one groupBy(vec_id) exchange
+    * each. */
+  private[graft] def prunedAssignHof(corpus: DataFrame, gcb: DataFrame,
+                                     centGrp0: DataFrame): DataFrame = {
+    // k rows; eager checkpoint keeps the twice-broadcast side precomputed
+    val centGrp = centGrp0.localCheckpoint(true)
     val liveGcb = gcb.join(centGrp.select("grp").distinct(), "grp")
     val ptGrp = corpus.crossJoin(broadcast(liveGcb))
       .select(col("vec_id"), col("embedding"), col("grp"),
@@ -1367,16 +1628,13 @@ object SimilarityOps {
       .agg(min(struct((-col("__gc")).as("neg"), col("grp").as("grp"))).as("m"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("m.grp").as("grp"))
-    // point → nearest centroid WITHIN its group (n·k/g expected cosines;
-    // broadcast hash join on grp keeps it map-side, ivfAssign tie-break)
-    val assigned = ptGrp.join(broadcast(centGrp), "grp")
+    ptGrp.join(broadcast(centGrp), "grp")
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("anchor")).as("__ac"))
       .groupBy("vec_id")
       .agg(min(struct((-col("__ac")).as("neg"), col("cell").as("cell"))).as("m"),
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
-    semVerdicts(assigned, threshold)
   }
 
   def ivfPqTopKReranked(index: DataFrame, corpus: DataFrame,
