@@ -62,22 +62,25 @@ object BQueries {
     "b04_locale_numeric" -> ((s, dir) => {
       // B4: euro-locale numeric coercion with NBSP noise, '.'-thousands,
       // ','-decimal and malformed cells -> null (istat_utils.py:39-45).
-      // sort FIRST, parse AFTER: the range sort's sampling job executes
-      // the sort's child plan, so an expensive projection below the sort
-      // runs twice (sample + real pass). Sorting the raw rows and keeping
-      // the parse in a project ABOVE the sort computes the regex chain
-      // once, post-shuffle (CollapseProject never merges across a Sort,
-      // and a project preserves the sort order). A/B at sf0.1: 3.1 s ->
-      // 1.7 s warm, identical rows.
-      val li = lineitem(s, dir)
-        .withColumn("raw", euroString(
-          col("l_orderkey") * 7 + col("l_linenumber"),
-          pmod(col("l_suppkey"), lit(100)),
-          col("l_linenumber") === 7))
-      li.select(col("l_orderkey"), col("l_linenumber"), col("raw"))
+      // sort FIRST, generate AND parse AFTER: the range sort's sampling job
+      // executes the sort's child plan, so any expensive projection below
+      // the sort runs twice (sample + real pass). The r02 plan moved the
+      // parse above the sort but left the euroString GENERATION below it —
+      // computed in both sort passes, at source-split parallelism (1-3
+      // tasks on a single-row-group parquet). The generation only reads
+      // the three sorted key columns, so it moves above the sort too
+      // (CollapseProject never merges across a Sort, a project preserves
+      // the sort order): the whole format+regex chain now runs ONCE,
+      // post-shuffle, on the range partitions. r17 profile: the two
+      // below-sort stages were 0.81+1.06 s at 3 tasks; identical rows.
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
         .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
-          localeNumeric(col("raw")).as("parsed"))
+          localeNumeric(euroString(
+            col("l_orderkey") * 7 + col("l_linenumber"),
+            pmod(col("l_suppkey"), lit(100)),
+            col("l_linenumber") === 7)).as("parsed"))
     }),
 
     "b05_regex_filter" -> ((s, dir) => {
@@ -150,6 +153,9 @@ object BQueries {
     "b12_weighted_agg" -> ((s, dir) => {
       // B12: weighted average via sum(a*b)/sum(b) + conditional bucket count
       // (clean_istat_famiglie.py:9-50). Decimal sums for cross-engine parity.
+      // (r17 audited: a Par.ensure spread was A/B'd and REJECTED — the two
+      // decimal products are light enough that the spreading exchange's map
+      // side costs what the parallel agg saves, 1.31 s -> 1.41 s.)
       lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(

@@ -309,7 +309,12 @@ object OlapQueries {
       // ulps of its ≤6-dp true value, so the cast recovers it exactly and
       // the sums are order-independent (see QueryHelpers).
       def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
-      val l = lineitem(s, dir)
+      // Par.ensure: Q1's six decimal casts+sums are the per-row-heavy
+      // partial agg; a single-row-group parquet pins the whole pass to one
+      // task (r17 profile: 2.3 s at 3 tasks, 600k rows). The filter still
+      // pushes to the scan through the repartition; no-op once source
+      // splits >= cores (sf1+).
+      val l = graft.operators.Par.ensure(lineitem(s, dir))
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       val charge = discPrice * (lit(1.0) + col("l_tax"))

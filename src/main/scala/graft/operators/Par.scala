@@ -81,6 +81,12 @@ object Par {
       }
     }
   }
+  // r17 audited: a deterministic whole-row-hash repartition (to skip
+  // round-robin's sortBeforeRepartition local sort) was A/B'd and REJECTED —
+  // the hash expression references EVERY column, defeating column pruning
+  // at the scan (b48's ReadSchema grew 7 -> 11 columns), and the sort's
+  // cost was not measurable on these row-sized frames (b12 stage: 0.62 s
+  // round-robin vs 0.77 s hash, both dominated by decode+write).
 
   /** True iff a shuffle-bearing frame is guaranteed at least `par`
     * partitions at runtime: the static `spark.sql.shuffle.partitions`
