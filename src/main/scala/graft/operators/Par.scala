@@ -121,20 +121,31 @@ object Par {
     // FilePartition's own sizing rule: small tables shrink the split size
     // toward openCostInBytes to fill the cluster, capped at
     // maxPartitionBytes — so a 17 MB parquet genuinely arrives in ~4
-    // splits at the default 4 MB open cost, not 1
-    def fileSplits(totalBytes: Long): Int = {
-      val total = math.max(1L, totalBytes)
+    // splits at the default 4 MB open cost, not 1. Spark charges the open
+    // cost PER FILE when packing files into splits, so a multi-file source
+    // (every ScaleData decade dir, any real partitioned table) arrives in
+    // at least ~numFiles·openCost/maxSplit splits regardless of its byte
+    // size — the r17 lesson: the bytes-only estimate said "2 splits" for a
+    // 32-part 6 MB directory that Spark actually reads 32-way, and the
+    // spurious spreading exchange cost b48/t09 over a second each at sf1
+    // (same-session A/B). numFiles reads the relation's file index, which
+    // the imminent scan materializes anyway.
+    def fileSplits(sizeBytes: Long, numFiles: Long): Int = {
+      val total = math.max(1L, sizeBytes) +
+        math.max(0L, numFiles) * conf.filesOpenCostInBytes
       val maxSplit = math.min(conf.filesMaxPartitionBytes,
         math.max(conf.filesOpenCostInBytes, total / math.max(1, par)))
       ((total + maxSplit - 1) / maxSplit).min(Int.MaxValue).toInt
     }
     val counts = leaves.map {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fileSplits(fs.location.sizeInBytes))
+        case fs: HadoopFsRelation => Some(fileSplits(fs.location.sizeInBytes,
+          fs.location.inputFiles.length.toLong))
         case _                    => None
       }
       case v2: DataSourceV2Relation => v2.table match {
-        case ft: FileTable => Some(fileSplits(ft.fileIndex.sizeInBytes))
+        case ft: FileTable => Some(fileSplits(ft.fileIndex.sizeInBytes,
+          ft.fileIndex.inputFiles.length.toLong))
         case _             => None
       }
       case rdd: LogicalRDD  => Some(rdd.rdd.getNumPartitions)

@@ -81,6 +81,27 @@ class ParSpec extends SparkSpec {
     assert(Par.ensure(two) eq two)
   }
 
+  test("multi-file sources charge the per-file open cost: a byte-small " +
+      "many-part directory is NOT spuriously spread") {
+    // the r17 lesson: Spark packs files into splits charging openCostInBytes
+    // PER FILE, so a 32-part directory of tiny files already scans ~32-way;
+    // the bytes-only estimate said "2 splits" for such a source and inserted
+    // a pure-waste exchange (b48/t09 at sf1, same-session A/B). Write a
+    // many-part copy and assert the guard now leaves it alone.
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("par_multifile").toString
+    try {
+      spark.read.parquet(docs).select("doc_id").repartition(par)
+        .write.mode("overwrite").parquet(dir)
+      val many = spark.read.parquet(dir)
+      assert(Par.ensure(many) eq many,
+        "ensure() spread a many-part source that already scans wide")
+      // control: the single-file original still spreads (first test's case)
+      val single = spark.read.parquet(docs).select("doc_id")
+      assert(!(Par.ensure(single) eq single))
+    } finally graft.entry.QueryHelpers.deleteRecursively(new java.io.File(dir))
+  }
+
   test("already-materialized RDD leaves read their partition count for free") {
     val par = spark.sparkContext.defaultParallelism
     val ck = spark.read.parquet(docs).select("doc_id")
