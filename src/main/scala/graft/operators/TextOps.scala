@@ -145,10 +145,7 @@ object TextOps {
   def tfidfTopK(df: DataFrame, idCol: Column, textCol: Column, k: Int,
                 logIdf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tokenize+explode is the per-row-heavy pass; spread it when the source
-    // arrives under-split (Par.ensure is a no-op once splits >= cores)
-    val toks = Par.ensure(df)
-      .select(idCol.as("id"), explode(tokens(textCol)).as("term"))
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     // tf is one row per (doc, term), so df(term) = row count per term —
     // derived from the aggregated frame, NOT by re-exploding the corpus
@@ -304,10 +301,7 @@ object TextOps {
     * their product at 100 TB token counts). Returns
     * (id, n_tokens, sum_tf, score). */
   def unigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    // the persist write pays the tokenize+explode once — at source-split
-    // parallelism unless spread first (no-op once splits >= cores)
-    val toks = Par.ensure(df)
-      .select(idCol.as("id"), explode(tokens(textCol)).as("term"))
+    val toks = df.select(idCol.as("id"), explode(tokens(textCol)).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = toks.groupBy("term").agg(count(lit(1)).as("tf"))
     val total = counts.agg(sum(col("tf")).as("total"))
@@ -712,9 +706,7 @@ object TextOps {
     * step a correctly-rounded IEEE op, identical in any engine. */
   def bigramPmi(df: DataFrame, idCol: Column, textCol: Column,
                 minCount: Long): DataFrame = {
-    // toks feeds the unigram AND bigram passes — both tokenize at source
-    // parallelism unless spread first (no-op once splits >= cores)
-    val toks = Par.ensure(df).select(idCol.as("id"), tokens(textCol).as("__w"))
+    val toks = df.select(idCol.as("id"), tokens(textCol).as("__w"))
     val unis = toks.select(explode(col("__w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -806,9 +798,7 @@ object TextOps {
       slice(toks, lit(1), size(toks) - 1),
       slice(toks, lit(2), size(toks) - 1),
       (x, y) => struct(x.as("p"), y.as("w")))
-    // both corpora pay tokenize+bigram explodes (train twice: uni + bi) —
-    // spread under-split sources first (no-op once splits >= cores)
-    val trainToks = Par.ensure(train).select(tokens(trainTextCol).as("__tk"))
+    val trainToks = train.select(tokens(trainTextCol).as("__tk"))
       .filter(size(col("__tk")) > 0)
     val uni = trainToks.select(explode(col("__tk")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("__c1"))
@@ -816,7 +806,7 @@ object TextOps {
     val bi = trainToks.select(explode(bigrams(col("__tk"))).as("__b"))
       .select(col("__b.p").as("p"), col("__b.w").as("w"))
       .groupBy(col("p"), col("w")).agg(count(lit(1)).as("__c2"))
-    val docBi = Par.ensure(docs).select(idCol.as("id"), tokens(textCol).as("__tk"))
+    val docBi = docs.select(idCol.as("id"), tokens(textCol).as("__tk"))
       .select(col("id"), explode(bigrams(col("__tk"))).as("__b"))
       .select(col("id"), col("__b.p").as("p"), col("__b.w").as("w"))
     val scored = docBi
@@ -908,11 +898,9 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 
-  /** (seq, freq): the encoded word-frequency table BPE trains on. The one
-    * corpus-sized pass of BPE training — spread an under-split source
-    * before the tokenize+explode (no-op once splits >= cores). */
+  /** (seq, freq): the encoded word-frequency table BPE trains on. */
   private def bpeWordTable(docs: DataFrame, textCol: Column): DataFrame =
-    Par.ensure(docs).select(explode(tokens(textCol)).as("w"))
+    docs.select(explode(tokens(textCol)).as("w"))
       .filter(length(col("w")) > 0 &&
         !col("w").contains(BpeD1) && !col("w").contains(BpeD2) &&
         !col("w").contains(BpeEow))
