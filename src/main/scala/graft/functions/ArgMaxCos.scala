@@ -97,38 +97,66 @@ object ArgMaxCos {
     bestCell
   }
 
-  /** [[compute]] restricted to entries whose group tag equals grp; null
-    * (boxed) when the group holds no entry — the caller filters, matching
-    * the inner-join row drop of the relational form. */
-  def computeGrouped(arr: ArrayData, grp: Int, cells: Array[Int],
-                     anchors: Array[Array[Double]], sqrtNorms: Array[Double],
-                     groups: Array[Int], isFloat: Boolean): Any = {
+  /** [[compute]] restricted to the entries of slice [from, until) — the
+    * row's group, located by the caller's slice index; cells ascend within
+    * the slice so the strict replace keeps the lowest cell on ties. Null
+    * (boxed) embedding degeneracies resolve to the slice's first (lowest)
+    * cell — the relational `min(struct(null, cell))` answer. */
+  def computeGrouped(arr: ArrayData, from: Int, until: Int,
+                     cells: Array[Int], anchors: Array[Array[Double]],
+                     sqrtNorms: Array[Double], isFloat: Boolean): Int = {
     val v = extract(arr, anchors(0).length, isFloat)
-    val sne = if (v == null) 0.0 else math.sqrt(selfDot(v))
+    if (v == null) return cells(from) // all acos null -> lowest cell
+    val sne = math.sqrt(selfDot(v))
     var bestNeg = 0.0
     var bestCell = 0
     var first = true
-    var any = false
-    var i = 0
-    while (i < anchors.length) {
-      if (groups(i) == grp) {
-        if (v == null) {
-          // all acos null -> first (lowest-cell) candidate of the group
-          if (!any) { bestCell = cells(i); any = true; first = false }
-        } else {
-          val a = anchors(i)
-          var d = 0.0; var j = 0
-          while (j < a.length) { d += v(j) * a(j); j += 1 }
-          val neg = -(d / (sne * sqrtNorms(i)))
-          if (first || cmpD(neg, bestNeg) < 0) {
-            bestNeg = neg; bestCell = cells(i); first = false
-          }
-          any = true
-        }
+    var i = from
+    while (i < until) {
+      val a = anchors(i)
+      var d = 0.0; var j = 0
+      while (j < a.length) { d += v(j) * a(j); j += 1 }
+      val neg = -(d / (sne * sqrtNorms(i)))
+      if (first || cmpD(neg, bestNeg) < 0) {
+        bestNeg = neg; bestCell = cells(i); first = false
       }
       i += 1
     }
-    if (any) java.lang.Integer.valueOf(bestCell) else null
+    bestCell
+  }
+
+  /** Group-slice index over a (grp, cell)-sorted parallel-array codebook:
+    * (sorted distinct group ids, slice start, slice end). Requires the
+    * groups array non-decreasing — [[graft.operators.SimilarityOps.collectGroupedCodebook]]'s
+    * sort order. */
+  def groupIndex(groups: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < groups.length) {
+      require(ids.isEmpty || groups(i) > ids.last,
+        s"groups array not sorted ascending at $i: ${groups(i)} after ${ids.last}")
+      val g = groups(i)
+      val start = i
+      while (i < groups.length && groups(i) == g) i += 1
+      ids += g; starts += start; ends += i
+    }
+    (ids.toArray, starts.toArray, ends.toArray)
+  }
+
+  /** Binary search for grp in the sorted slice-index ids; -1 = no such
+    * (non-empty) group — the relational inner join dropped those rows. */
+  def findGroup(ids: Array[Int], grp: Int): Int = {
+    var lo = 0; var hi = ids.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = ids(mid)
+      if (v == grp) return mid
+      else if (v < grp) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 
   def sqrtNormsOf(anchors: Array[Array[Double]]): Array[Double] =
@@ -193,9 +221,13 @@ case class ArgMaxCos(child: Expression, cells: Array[Int],
 
 /** [[ArgMaxCos]] restricted per row to the anchors whose `groups` tag
   * equals the `grp` child — the exchange-free form of semDedupSampled's
-  * broadcast-join-on-grp + `min(struct)` pruned assignment. Null when grp
-  * is null or names an empty group (the relational inner join dropped
-  * those rows; callers filter). */
+  * broadcast-join-on-grp + `min(struct)` pruned assignment. Entries
+  * arrive sorted by (group, cell), so each group is a contiguous slice
+  * and a row costs O(log g) lookup + its own slice's cosines — the same
+  * n·k/g work as the relational broadcast-hash join, not an O(k) tag
+  * scan (the r17 lesson at sf100's k≈32k). Null when grp is null or
+  * names an empty group (the relational inner join dropped those rows;
+  * callers filter). */
 case class ArgMaxCosGrouped(left: Expression, right: Expression,
                             cells: Array[Int], anchors: Array[Array[Double]],
                             groups: Array[Int])
@@ -203,6 +235,9 @@ case class ArgMaxCosGrouped(left: Expression, right: Expression,
   require(cells.nonEmpty && cells.length == anchors.length &&
     cells.length == groups.length,
     s"graft_argmax_cos_grouped: cells/anchors/groups lengths differ")
+
+  @transient private lazy val (grpIds, grpStarts, grpEnds) =
+    ArgMaxCos.groupIndex(groups)
 
   override def checkInputDataTypes(): TypeCheckResult =
     ArgMaxCos.checkEmb(left.dataType, prettyName) match {
@@ -229,10 +264,12 @@ case class ArgMaxCosGrouped(left: Expression, right: Expression,
   override def eval(input: InternalRow): Any = {
     val g = right.eval(input)
     if (g == null) return null
+    val gi = ArgMaxCos.findGroup(grpIds, g.asInstanceOf[Int])
+    if (gi < 0) return null
     val v = left.eval(input)
-    ArgMaxCos.computeGrouped(
+    java.lang.Integer.valueOf(ArgMaxCos.computeGrouped(
       if (v == null) null else v.asInstanceOf[ArrayData],
-      g.asInstanceOf[Int], cells, anchors, sqrtNorms, groups, isFloat)
+      grpStarts(gi), grpEnds(gi), cells, anchors, sqrtNorms, isFloat))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -241,8 +278,10 @@ case class ArgMaxCosGrouped(left: Expression, right: Expression,
     val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
     val anchorsRef = ctx.addReferenceObj("anchors", anchors, "double[][]")
     val normsRef = ctx.addReferenceObj("sqrtNorms", sqrtNorms, "double[]")
-    val groupsRef = ctx.addReferenceObj("groups", groups, "int[]")
-    val boxed = ctx.freshName("boxed")
+    val idsRef = ctx.addReferenceObj("grpIds", grpIds, "int[]")
+    val startsRef = ctx.addReferenceObj("grpStarts", grpStarts, "int[]")
+    val endsRef = ctx.addReferenceObj("grpEnds", grpEnds, "int[]")
+    val gi = ctx.freshName("gi")
     ev.copy(code =
       code"""
         ${l.code}
@@ -250,12 +289,13 @@ case class ArgMaxCosGrouped(left: Expression, right: Expression,
         boolean ${ev.isNull} = true;
         int ${ev.value} = 0;
         if (!${r.isNull}) {
-          Object $boxed = graft.functions.ArgMaxCos.computeGrouped(
-            ${l.isNull} ? null : ${l.value}, ${r.value},
-            $cellsRef, $anchorsRef, $normsRef, $groupsRef, $isFloat);
-          if ($boxed != null) {
+          int $gi = graft.functions.ArgMaxCos.findGroup($idsRef, ${r.value});
+          if ($gi >= 0) {
             ${ev.isNull} = false;
-            ${ev.value} = ((java.lang.Integer) $boxed).intValue();
+            ${ev.value} = graft.functions.ArgMaxCos.computeGrouped(
+              ${l.isNull} ? null : ${l.value},
+              $startsRef[$gi], $endsRef[$gi],
+              $cellsRef, $anchorsRef, $normsRef, $isFloat);
           }
         }
       """)

@@ -637,8 +637,12 @@ object SimilarityOps {
 
   /** Group-tagged codebook rows (cell, anchor, grp) pulled to the driver
     * for the per-row pruned scan ([[graft.functions.ArgMaxCosGrouped]]):
-    * parallel arrays sorted by cell ascending, so the scan's strict-replace
-    * keeps the lowest cell on ties — `min(struct)`'s tie-break. */
+    * parallel arrays sorted by (grp, cell) ascending — each group is a
+    * CONTIGUOUS SLICE (the expression scans only its row's slice, the
+    * compiled form of the broadcast-hash join on grp; a global scan with
+    * a tag filter was measured O(k) per row, ~66G wasted branch-ops at
+    * sf100's k≈32k), and cells ascend within a slice so the strict
+    * replace keeps the lowest cell on ties — `min(struct)`'s tie-break. */
   private[graft] def collectGroupedCodebook(centGrp: DataFrame)
       : (Array[Int], Array[Array[Double]], Array[Int]) = {
     val rows = centGrp.select(col("cell"), col("anchor"), col("grp")).collect()
@@ -648,7 +652,7 @@ object SimilarityOps {
           case d: Double => d
         }.toArray
         (r.getInt(0), anchor, r.getInt(2))
-      }.sortBy(_._1)
+      }.sortBy(e => (e._3, e._1))
     (rows.map(_._1), rows.map(_._2), rows.map(_._3))
   }
 
@@ -773,34 +777,35 @@ object SimilarityOps {
     // iterations (k·dim doubles — the same bound the broadcast already
     // imposed), so each iteration is ONE job: a per-row ArgMaxCos scan
     // (no exchange — the relational form shuffled the whole corpus per
-    // iteration for its groupBy(vec_id) argmax) feeding the (cell, pos)
-    // partial-agg'd nano-grid sums, collected k·dim rows small. The
-    // per-iteration localCheckpoint is gone — a driver-literal codebook
-    // needs no lineage truncation. Means divide exactly as the relational
-    // form did (s/(n·1e9), one IEEE divide on exact long sums) — the
-    // fitted codebook is bit-identical (ArgMaxCosSpec; the s12/s17-s20/s22
-    // oracle hashes are the standing witnesses).
+    // iteration for its groupBy(vec_id) argmax) feeding the SAME
+    // (cell, pos) nano-grid means expression as [[kmeansFitHof]], with
+    // only the k anchor rows collected (k·dim doubles — a first cut
+    // collected the k·dim (cell, pos) partial rows instead, ~2M Row
+    // objects per iteration at sf100's k≈32k, measured driver-heavy).
+    // The per-iteration localCheckpoint is gone — a driver-literal
+    // codebook needs no lineage truncation. Means divide in-Spark exactly
+    // as the relational form (s/(n·1e9), one IEEE divide on exact long
+    // sums) — the fitted codebook is bit-identical (ArgMaxCosSpec; the
+    // s12/s17-s20/s22 oracle hashes are the standing witnesses).
     val spark = corpus.sparkSession
     var (cells, anchors) = collectCodebook(
       init.getOrElse(farthestInit(corpus, nCells)))
     for (_ <- 0 until iters) {
-      val sums = corpus
+      val means = corpus
         .select(argMaxCosCol(col("embedding"), cells, anchors).as("cell"),
           posexplode(transform(col("embedding"),
             x => round(x.cast("double") * lit(1.0e9)).cast("long"))))
         .groupBy("cell", "pos")
         .agg(count(lit(1)).as("__n"), sum(col("col")).as("__s"))
-        .collect()
-      val byCell = sums.groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      cells = byCell.map(_._1)
-      anchors = byCell.map { case (_, rows) =>
-        val a = new Array[Double](rows.map(_.getInt(1)).max + 1)
-        rows.foreach { r =>
-          a(r.getInt(1)) =
-            r.getLong(3).toDouble / (r.getLong(2).toDouble * 1.0e9)
-        }
-        a
-      }
+        .select(col("cell"), col("pos"),
+          (col("__s").cast("double") / (col("__n").cast("double") * lit(1.0e9)))
+            .as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("anchor"))
+      val next = collectCodebook(means)
+      cells = next._1
+      anchors = next._2
     }
     import spark.implicits._
     val codebook = cells.zip(anchors).toSeq.toDF("cell", "anchor")
